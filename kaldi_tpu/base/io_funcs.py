@@ -1,0 +1,383 @@
+"""Kaldi-wire-format object I/O primitives.
+
+Byte-level interoperability with the reference's on-disk formats
+(base/io-funcs.h Read/WriteBasicType/Token; matrix/kaldi-matrix.cc:1382
+Matrix::Write; matrix/kaldi-vector.cc Vector::Write), so that archives,
+models and stats written by either implementation can be read by the
+other. Binary streams open with the two-byte marker b"\\x00B".
+
+This is the host-side codec layer: arrays are numpy; device transfer
+happens in the compute layers.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import BinaryIO, Iterable, List, Sequence
+
+import numpy as np
+
+from kaldi_tpu.base.logging import KaldiTpuError
+
+BINARY_MARKER = b"\x00B"
+
+
+# ---------------------------------------------------------------------------
+# Stream header
+
+def init_output_stream(stream: BinaryIO, binary: bool) -> None:
+    if binary:
+        stream.write(BINARY_MARKER)
+
+
+def init_input_stream(stream: BinaryIO) -> bool:
+    """Peek the stream; consume and return True if it is binary."""
+    peek = getattr(stream, "peek", None)
+    if peek is not None:
+        if peek(2)[:2] == BINARY_MARKER:
+            stream.read(2)
+            return True
+        return False
+    pos = stream.tell()
+    head = stream.read(2)
+    if head == BINARY_MARKER:
+        return True
+    stream.seek(pos)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Tokens and basic types
+
+def write_token(stream: BinaryIO, binary: bool, token: str) -> None:
+    if " " in token or not token:
+        raise KaldiTpuError(f"invalid token to write: {token!r}")
+    stream.write(token.encode("utf-8") + b" ")
+
+
+def read_token(stream: BinaryIO, binary: bool) -> str:
+    """Read a whitespace-delimited token, consuming one trailing space/newline.
+
+    Mirrors ReadToken (io-funcs.cc): leading whitespace is skipped (operator>>
+    semantics) and exactly one terminating whitespace byte is consumed.
+    """
+    _skip_ws(stream)
+    chars = bytearray()
+    while True:
+        c = stream.read(1)
+        if not c:
+            if chars:
+                break
+            raise KaldiTpuError("read_token: unexpected EOF")
+        if c.isspace():
+            break
+        chars += c
+    return chars.decode("utf-8")
+
+
+def peek_token(stream: BinaryIO, binary: bool) -> str:
+    peek = getattr(stream, "peek", None)
+    if peek is not None:
+        buf = peek(64)
+        s = buf.lstrip()
+        end = 0
+        while end < len(s) and not chr(s[end]).isspace():
+            end += 1
+        return s[:end].decode("utf-8")
+    pos = stream.tell()
+    try:
+        tok = read_token(stream, binary)
+    finally:
+        stream.seek(pos)
+    return tok
+
+
+def expect_token(stream: BinaryIO, binary: bool, token: str) -> None:
+    got = read_token(stream, binary)
+    if got != token:
+        raise KaldiTpuError(f"expected token {token!r}, got {got!r}")
+
+
+def peek_byte(stream: BinaryIO) -> bytes:
+    """Peek one byte without consuming (works on pipes via BufferedReader.peek)."""
+    peek = getattr(stream, "peek", None)
+    if peek is not None:
+        return peek(1)[:1]
+    pos = stream.tell()
+    c = stream.read(1)
+    stream.seek(pos)
+    return c
+
+
+def _skip_ws(stream: BinaryIO) -> None:
+    while True:
+        c = peek_byte(stream)
+        if not c or not c.isspace():
+            return
+        stream.read(1)
+
+
+_FMT = {4: "<i", 8: "<q"}
+
+
+def write_int32(stream: BinaryIO, binary: bool, value: int) -> None:
+    if binary:
+        stream.write(b"\x04" + struct.pack("<i", int(value)))
+    else:
+        stream.write(f"{int(value)} ".encode())
+
+
+def read_int32(stream: BinaryIO, binary: bool) -> int:
+    if binary:
+        size = stream.read(1)
+        if size != b"\x04":
+            raise KaldiTpuError(f"read_int32: bad size byte {size!r}")
+        return struct.unpack("<i", stream.read(4))[0]
+    return int(read_token(stream, binary))
+
+
+def write_int64(stream: BinaryIO, binary: bool, value: int) -> None:
+    if binary:
+        stream.write(b"\x08" + struct.pack("<q", int(value)))
+    else:
+        stream.write(f"{int(value)} ".encode())
+
+
+def read_int64(stream: BinaryIO, binary: bool) -> int:
+    if binary:
+        size = stream.read(1)
+        if size != b"\x08":
+            raise KaldiTpuError(f"read_int64: bad size byte {size!r}")
+        return struct.unpack("<q", stream.read(8))[0]
+    return int(read_token(stream, binary))
+
+
+def write_float(stream: BinaryIO, binary: bool, value: float) -> None:
+    if binary:
+        stream.write(b"\x04" + struct.pack("<f", float(value)))
+    else:
+        stream.write(_format_float(float(value)).encode() + b" ")
+
+
+def read_float(stream: BinaryIO, binary: bool) -> float:
+    if binary:
+        size = stream.read(1)
+        if size == b"\x04":
+            return struct.unpack("<f", stream.read(4))[0]
+        if size == b"\x08":
+            return struct.unpack("<d", stream.read(8))[0]
+        raise KaldiTpuError(f"read_float: bad size byte {size!r}")
+    return float(read_token(stream, binary))
+
+
+def write_double(stream: BinaryIO, binary: bool, value: float) -> None:
+    if binary:
+        stream.write(b"\x08" + struct.pack("<d", float(value)))
+    else:
+        stream.write(repr(float(value)).encode() + b" ")
+
+
+read_double = read_float
+
+
+def write_bool(stream: BinaryIO, binary: bool, value: bool) -> None:
+    if binary:
+        stream.write(b"T" if value else b"F")
+    else:
+        stream.write(b"T " if value else b"F ")
+
+
+def read_bool(stream: BinaryIO, binary: bool) -> bool:
+    if binary:
+        c = stream.read(1)
+    else:
+        c = read_token(stream, binary).encode()
+    if c == b"T":
+        return True
+    if c == b"F":
+        return False
+    raise KaldiTpuError(f"read_bool: bad byte {c!r}")
+
+
+def _format_float(v: float) -> str:
+    # Shortest round-trip repr, like ostream << float with default precision.
+    return np.format_float_positional(np.float32(v), unique=True, trim="-")
+
+
+# ---------------------------------------------------------------------------
+# Integer vectors (e.g. alignments); format of WriteIntegerVector (io-funcs-inl.h)
+
+def write_int_vector(stream: BinaryIO, binary: bool, values: Sequence[int]) -> None:
+    values = [int(v) for v in values]
+    if binary:
+        stream.write(b"\x04" + struct.pack("<i", len(values)))
+        stream.write(np.asarray(values, dtype="<i4").tobytes())
+    else:
+        stream.write(b"[ " + " ".join(str(v) for v in values).encode() + (b" ]\n" if values else b"]\n"))
+
+
+def read_int_vector(stream: BinaryIO, binary: bool) -> List[int]:
+    if binary:
+        size = stream.read(1)
+        if size != b"\x04":
+            raise KaldiTpuError(f"read_int_vector: bad size byte {size!r}")
+        n = struct.unpack("<i", stream.read(4))[0]
+        return np.frombuffer(stream.read(4 * n), dtype="<i4").tolist()
+    expect_token(stream, binary, "[")
+    out: List[int] = []
+    while True:
+        tok = read_token(stream, binary)
+        if tok == "]":
+            return out
+        out.append(int(tok))
+
+
+def write_int_pair_vector(stream: BinaryIO, binary: bool,
+                          pairs: Sequence[tuple]) -> None:
+    if binary:
+        stream.write(b"\x04" + struct.pack("<i", len(pairs)))
+        arr = np.asarray(pairs, dtype="<i4").reshape(len(pairs), 2)
+        stream.write(arr.tobytes())
+    else:
+        stream.write(b"[ ")
+        for a, b in pairs:
+            stream.write(f"({a} {b}) ".encode())
+        stream.write(b"]\n")
+
+
+def read_int_pair_vector(stream: BinaryIO, binary: bool) -> List[tuple]:
+    if binary:
+        size = stream.read(1)
+        if size != b"\x04":
+            raise KaldiTpuError("read_int_pair_vector: bad size byte")
+        n = struct.unpack("<i", stream.read(4))[0]
+        arr = np.frombuffer(stream.read(8 * n), dtype="<i4").reshape(n, 2)
+        return [tuple(row) for row in arr.tolist()]
+    expect_token(stream, binary, "[")
+    out: List[tuple] = []
+    while True:
+        tok = read_token(stream, binary)
+        if tok == "]":
+            return out
+        if not tok.startswith("("):
+            raise KaldiTpuError(f"bad pair token {tok}")
+        a = int(tok[1:])
+        b_tok = read_token(stream, binary)
+        if not b_tok.endswith(")"):
+            raise KaldiTpuError(f"bad pair token {b_tok}")
+        out.append((a, int(b_tok[:-1])))
+
+
+# ---------------------------------------------------------------------------
+# Matrices / vectors (float32 "FM"/"FV", float64 "DM"/"DV")
+
+def write_matrix(stream: BinaryIO, binary: bool, mat: np.ndarray) -> None:
+    mat = np.atleast_2d(np.asarray(mat))
+    if binary:
+        if mat.dtype == np.float64:
+            token, dt = "DM", "<f8"
+        else:
+            token, dt = "FM", "<f4"
+            mat = mat.astype(np.float32, copy=False)
+        write_token(stream, binary, token)
+        write_int32(stream, binary, mat.shape[0])
+        write_int32(stream, binary, mat.shape[1])
+        stream.write(np.ascontiguousarray(mat, dtype=dt).tobytes())
+    else:
+        if mat.shape[1] == 0:
+            stream.write(b" [ ]\n")
+            return
+        stream.write(b" [")
+        for row in mat:
+            stream.write(b"\n  " + " ".join(_format_float(v) for v in row).encode() + b" ")
+        stream.write(b"]\n")
+
+
+def read_matrix(stream: BinaryIO, binary: bool) -> np.ndarray:
+    if binary:
+        tok = read_token(stream, binary)
+        if tok == "CM" or tok == "CM2" or tok == "CM3":
+            from kaldi_tpu.matrix.compressed import read_compressed_matrix_body
+            return read_compressed_matrix_body(stream, tok)
+        if tok not in ("FM", "DM"):
+            raise KaldiTpuError(f"read_matrix: bad token {tok!r}")
+        dt = "<f4" if tok == "FM" else "<f8"
+        rows = read_int32(stream, binary)
+        cols = read_int32(stream, binary)
+        data = stream.read(rows * cols * (4 if tok == "FM" else 8))
+        return np.frombuffer(data, dtype=dt).reshape(rows, cols).copy()
+    # Text format: " [ \n r0... \n r1... ]"
+    expect_token(stream, binary, "[")
+    rows: List[List[float]] = []
+    cur: List[float] = []
+    while True:
+        tok = read_token(stream, binary)
+        if tok == "]":
+            if cur:
+                rows.append(cur)
+            break
+        # text rows are newline-separated; we rebuild by detecting newlines
+        cur.append(float(tok))
+        pos = stream.tell()
+        # peek for newline → end of row
+        c = stream.read(1)
+        stream.seek(pos)
+        if c == b"\n":
+            rows.append(cur)
+            cur = []
+    if not rows:
+        return np.zeros((0, 0), dtype=np.float32)
+    ncol = len(rows[0])
+    if any(len(r) != ncol for r in rows):
+        raise KaldiTpuError("read_matrix: ragged text matrix")
+    return np.asarray(rows, dtype=np.float32)
+
+
+def write_vector(stream: BinaryIO, binary: bool, vec: np.ndarray) -> None:
+    vec = np.asarray(vec).reshape(-1)
+    if binary:
+        if vec.dtype == np.float64:
+            token, dt = "DV", "<f8"
+        else:
+            token, dt = "FV", "<f4"
+            vec = vec.astype(np.float32, copy=False)
+        write_token(stream, binary, token)
+        write_int32(stream, binary, vec.shape[0])
+        stream.write(np.ascontiguousarray(vec, dtype=dt).tobytes())
+    else:
+        stream.write(b" [ " + " ".join(_format_float(v) for v in vec).encode() + b" ]\n")
+
+
+def read_vector(stream: BinaryIO, binary: bool) -> np.ndarray:
+    if binary:
+        tok = read_token(stream, binary)
+        if tok not in ("FV", "DV"):
+            raise KaldiTpuError(f"read_vector: bad token {tok!r}")
+        dt = "<f4" if tok == "FV" else "<f8"
+        dim = read_int32(stream, binary)
+        return np.frombuffer(stream.read(dim * (4 if tok == "FV" else 8)),
+                             dtype=dt).copy()
+    expect_token(stream, binary, "[")
+    vals: List[float] = []
+    while True:
+        tok = read_token(stream, binary)
+        if tok == "]":
+            return np.asarray(vals, dtype=np.float32)
+        vals.append(float(tok))
+
+
+# ---------------------------------------------------------------------------
+# Whole-object convenience (ReadKaldiObject/WriteKaldiObject equivalents)
+
+def object_to_bytes(write_fn, binary: bool = True) -> bytes:
+    buf = io.BytesIO()
+    init_output_stream(buf, binary)
+    write_fn(buf, binary)
+    return buf.getvalue()
+
+
+def object_from_bytes(read_fn, data: bytes):
+    buf = io.BytesIO(data)
+    binary = init_input_stream(buf)
+    return read_fn(buf, binary)

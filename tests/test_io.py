@@ -1,0 +1,259 @@
+"""Tests for base I/O primitives, table system, and compressed matrices.
+
+Mirrors the reference's test strategy (SURVEY.md §4): randomized
+round-trip checks plus byte-level golden checks of the wire format."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.base import io_funcs
+from kaldi_tpu.matrix.compressed import (read_compressed_matrix_body,
+                                         write_compressed_matrix)
+from kaldi_tpu.util import kaldi_io
+from kaldi_tpu.util.table import (RandomAccessTableReader,
+                                  RandomAccessTableReaderMapped,
+                                  SequentialTableReader, TableWriter,
+                                  parse_rspecifier, parse_wspecifier)
+
+
+def roundtrip(write_fn, read_fn, binary):
+    buf = io.BytesIO()
+    write_fn(buf, binary)
+    buf.seek(0)
+    return read_fn(io.BufferedReader(buf), binary)
+
+
+class TestBasicTypes:
+    @pytest.mark.parametrize("binary", [True, False])
+    def test_int32(self, binary):
+        for v in [0, 1, -1, 2**31 - 1, -2**31]:
+            got = roundtrip(lambda s, b: io_funcs.write_int32(s, b, v),
+                            io_funcs.read_int32, binary)
+            assert got == v
+
+    @pytest.mark.parametrize("binary", [True, False])
+    def test_float(self, binary):
+        for v in [0.0, 1.5, -3.25, 1e-20, 1e20]:
+            got = roundtrip(lambda s, b: io_funcs.write_float(s, b, v),
+                            io_funcs.read_float, binary)
+            assert got == pytest.approx(v, rel=1e-6)
+
+    @pytest.mark.parametrize("binary", [True, False])
+    def test_bool_token(self, binary):
+        assert roundtrip(lambda s, b: io_funcs.write_bool(s, b, True),
+                         io_funcs.read_bool, binary) is True
+        got = roundtrip(lambda s, b: io_funcs.write_token(s, b, "<Foo>"),
+                        io_funcs.read_token, binary)
+        assert got == "<Foo>"
+
+    @pytest.mark.parametrize("binary", [True, False])
+    def test_int_vector(self, binary):
+        for vec in [[], [5], [1, 2, 3, -7, 100000]]:
+            got = roundtrip(lambda s, b: io_funcs.write_int_vector(s, b, vec),
+                            io_funcs.read_int_vector, binary)
+            assert got == vec
+
+    def test_binary_int32_wire_format(self):
+        buf = io.BytesIO()
+        io_funcs.write_int32(buf, True, 258)
+        assert buf.getvalue() == b"\x04\x02\x01\x00\x00"
+
+
+class TestMatrixVector:
+    @pytest.mark.parametrize("binary", [True, False])
+    @pytest.mark.parametrize("shape", [(3, 5), (1, 1), (10, 2)])
+    def test_matrix_roundtrip(self, binary, shape):
+        rng = np.random.default_rng(0)
+        m = rng.normal(size=shape).astype(np.float32)
+        got = roundtrip(lambda s, b: io_funcs.write_matrix(s, b, m),
+                        io_funcs.read_matrix, binary)
+        tol = 0 if binary else 1e-5
+        np.testing.assert_allclose(got, m, atol=tol)
+
+    @pytest.mark.parametrize("binary", [True, False])
+    def test_vector_roundtrip(self, binary):
+        v = np.linspace(-2, 2, 17, dtype=np.float32)
+        got = roundtrip(lambda s, b: io_funcs.write_vector(s, b, v),
+                        io_funcs.read_vector, binary)
+        tol = 0 if binary else 1e-5
+        np.testing.assert_allclose(got, v, atol=tol)
+
+    def test_double_matrix(self):
+        m = np.random.default_rng(1).normal(size=(4, 4))
+        got = roundtrip(lambda s, b: io_funcs.write_matrix(s, b, m),
+                        io_funcs.read_matrix, True)
+        np.testing.assert_array_equal(got, m)
+
+    def test_matrix_binary_wire_format(self):
+        m = np.zeros((2, 3), dtype=np.float32)
+        buf = io.BytesIO()
+        io_funcs.write_matrix(buf, True, m)
+        data = buf.getvalue()
+        assert data.startswith(b"FM \x04\x02\x00\x00\x00\x04\x03\x00\x00\x00")
+        assert len(data) == 13 + 24
+
+
+class TestCompressedMatrix:
+    @pytest.mark.parametrize("method", [1, 2, 3, 5])
+    def test_roundtrip_accuracy(self, method):
+        rng = np.random.default_rng(2)
+        m = rng.normal(size=(50, 13)).astype(np.float32) * 5.0
+        buf = io.BytesIO()
+        write_compressed_matrix(buf, m, method)
+        buf.seek(0)
+        tok = io_funcs.read_token(buf, True)
+        got = read_compressed_matrix_body(buf, tok)
+        rel = np.abs(got - m).max() / np.abs(m).max()
+        # CM2 is 16-bit (~1e-4); CM/CM3 are 8-bit (~1%)
+        assert rel < (2e-4 if tok == "CM2" else 0.02)
+
+    def test_read_via_read_matrix(self):
+        m = np.random.default_rng(3).normal(size=(20, 7)).astype(np.float32)
+        buf = io.BytesIO()
+        write_compressed_matrix(buf, m, 2)
+        buf.seek(0)
+        got = io_funcs.read_matrix(io.BufferedReader(buf), True)
+        assert np.abs(got - m).max() < 0.05
+
+    def test_tiny_matrices(self):
+        for rows in [1, 2, 3, 4, 5]:
+            m = np.random.default_rng(rows).normal(size=(rows, 3)).astype(np.float32)
+            buf = io.BytesIO()
+            write_compressed_matrix(buf, m, 2)
+            buf.seek(0)
+            tok = io_funcs.read_token(buf, True)
+            got = read_compressed_matrix_body(buf, tok)
+            assert got.shape == m.shape
+
+
+class TestSpecifiers:
+    def test_rspecifier(self):
+        kind, rx, opts = parse_rspecifier("ark,s,cs:foo.ark")
+        assert (kind, rx) == ("ark", "foo.ark")
+        assert opts.sorted and opts.called_sorted
+        kind, rx, opts = parse_rspecifier("scp,p:a b c.scp")
+        assert (kind, rx, opts.permissive) == ("scp", "a b c.scp", True)
+
+    def test_wspecifier(self):
+        kind, ark, scp, opts = parse_wspecifier("ark,scp:f.ark,f.scp")
+        assert (kind, ark, scp) == ("ark,scp", "f.ark", "f.scp")
+        kind, ark, scp, opts = parse_wspecifier("ark,t:-")
+        assert (kind, ark, opts.binary) == ("ark", "-", False)
+
+
+class TestTables:
+    def _write_archive(self, tmp_path, wspec_fmt="ark:{}", binary=True):
+        rng = np.random.default_rng(4)
+        data = {f"utt{i:02d}": rng.normal(size=(5 + i, 4)).astype(np.float32)
+                for i in range(5)}
+        ark = tmp_path / "feats.ark"
+        spec = wspec_fmt.format(ark)
+        with TableWriter("matrix", spec if binary else "ark,t:" + str(ark)) as w:
+            for k, v in data.items():
+                w.write(k, v)
+        return data, ark
+
+    @pytest.mark.parametrize("binary", [True, False])
+    def test_sequential_roundtrip(self, tmp_path, binary):
+        data, ark = self._write_archive(tmp_path, binary=binary)
+        got = dict(SequentialTableReader("matrix", f"ark:{ark}"))
+        assert list(got) == list(data)
+        for k in data:
+            np.testing.assert_allclose(got[k], data[k],
+                                       atol=0 if binary else 1e-5)
+
+    def test_ark_scp_writing_and_random_access(self, tmp_path):
+        rng = np.random.default_rng(5)
+        data = {f"u{i}": rng.normal(size=(3, 2)).astype(np.float32)
+                for i in range(4)}
+        ark, scp = tmp_path / "f.ark", tmp_path / "f.scp"
+        with TableWriter("matrix", f"ark,scp:{ark},{scp}") as w:
+            for k, v in data.items():
+                w.write(k, v)
+        # sequential over the scp
+        got = dict(SequentialTableReader("matrix", f"scp:{scp}"))
+        for k in data:
+            np.testing.assert_array_equal(got[k], data[k])
+        # random access over the scp, out of order
+        ra = RandomAccessTableReader("matrix", f"scp:{scp}")
+        for k in reversed(list(data)):
+            assert k in ra
+            np.testing.assert_array_equal(ra[k], data[k])
+        assert "nokey" not in ra
+
+    def test_random_access_ark(self, tmp_path):
+        data, ark = self._write_archive(tmp_path)
+        ra = RandomAccessTableReader("matrix", f"ark:{ark}")
+        np.testing.assert_array_equal(ra["utt03"], data["utt03"])
+
+    def test_mapped_reader(self, tmp_path):
+        cmvn = {"spkA": np.ones((2, 5), np.float32)}
+        ark = tmp_path / "cmvn.ark"
+        with TableWriter("matrix", f"ark:{ark}") as w:
+            w.write("spkA", cmvn["spkA"])
+        u2s = tmp_path / "utt2spk"
+        u2s.write_text("utt1 spkA\nutt2 spkA\n")
+        r = RandomAccessTableReaderMapped("matrix", f"ark:{ark}", f"ark:{u2s}")
+        assert "utt1" in r and "utt2" in r and "utt3" not in r
+        np.testing.assert_array_equal(r["utt2"], cmvn["spkA"])
+
+    def test_int_vector_table(self, tmp_path):
+        ali = {"a": [1, 2, 3], "b": [7]}
+        ark = tmp_path / "ali.ark"
+        with TableWriter("int-vector", f"ark:{ark}") as w:
+            for k, v in ali.items():
+                w.write(k, v)
+        got = dict(SequentialTableReader("int-vector", f"ark:{ark}"))
+        assert got == ali
+
+    def test_text_tables(self, tmp_path):
+        txt = tmp_path / "text"
+        txt.write_text("utt1 HELLO WORLD\nutt2 YES\n")
+        got = dict(SequentialTableReader("token-vector", f"ark:{txt}"))
+        assert got == {"utt1": ["HELLO", "WORLD"], "utt2": ["YES"]}
+
+    def test_pipe_input(self, tmp_path):
+        data, ark = self._write_archive(tmp_path)
+        got = dict(SequentialTableReader("matrix", f"ark:cat {ark}|"))
+        assert len(got) == len(data)
+
+    def test_gzip_archive(self, tmp_path):
+        ark = tmp_path / "x.ark.gz"
+        with TableWriter("int-vector", f"ark:{ark}") as w:
+            w.write("k", [9, 8])
+        got = dict(SequentialTableReader("int-vector", f"ark:{ark}"))
+        assert got == {"k": [9, 8]}
+
+    def test_compressed_writer(self, tmp_path):
+        m = np.random.default_rng(6).normal(size=(30, 13)).astype(np.float32)
+        ark = tmp_path / "c.ark"
+        with TableWriter("compressed-matrix", f"ark:{ark}") as w:
+            w.write("u", m)
+        got = dict(SequentialTableReader("matrix", f"ark:{ark}"))
+        assert np.abs(got["u"] - m).max() < 0.05
+
+
+class TestExtendedFilenames:
+    def test_classify(self):
+        assert kaldi_io.classify_rxfilename("-") == "standard"
+        assert kaldi_io.classify_rxfilename("gunzip -c x.gz|") == "pipe"
+        assert kaldi_io.classify_rxfilename("foo.ark:123") == "offset"
+        assert kaldi_io.classify_rxfilename("foo.ark") == "file"
+        assert kaldi_io.classify_wxfilename("|gzip>x.gz") == "pipe"
+
+    def test_offset_read(self, tmp_path):
+        p = tmp_path / "data.bin"
+        p.write_bytes(b"junkHELLO")
+        with kaldi_io.input_stream(f"{p}:4") as f:
+            assert f.read() == b"HELLO"
+
+    def test_object_io(self, tmp_path):
+        m = np.random.default_rng(7).normal(size=(3, 3)).astype(np.float32)
+        path = tmp_path / "m.mat"
+        kaldi_io.write_kaldi_object(
+            lambda s, b: io_funcs.write_matrix(s, b, m), str(path))
+        got = kaldi_io.read_kaldi_object(io_funcs.read_matrix, str(path))
+        np.testing.assert_array_equal(got, m)
