@@ -1,0 +1,23 @@
+"""Dispatcher: `python -m kaldi_tpu.cli <tool> [args...]`."""
+
+import sys
+
+from kaldi_tpu.cli import TOOLS, get_tool
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help", "help"):
+        print("usage: python -m kaldi_tpu.cli <tool> [args...]\n\ntools:",
+              file=sys.stderr)
+        for name in sorted(TOOLS):
+            print(f"  {name}", file=sys.stderr)
+        return 1
+    name = sys.argv[1]
+    if name not in TOOLS:
+        print(f"unknown tool {name!r}", file=sys.stderr)
+        return 1
+    return get_tool(name)([name] + sys.argv[2:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

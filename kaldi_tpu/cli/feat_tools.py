@@ -1,0 +1,481 @@
+"""Feature-extraction and feature-manipulation CLIs (featbin equivalents).
+
+Mirrors featbin/compute-mfcc-feats.cc, compute-fbank-feats.cc,
+apply-cmvn.cc, add-deltas.cc, splice-feats.cc etc.: same positional
+args and option names. Feature computation batches utterances onto the
+device (the TPU-native replacement for the per-utterance loop).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List
+
+import numpy as np
+
+from kaldi_tpu.base.logging import log, warn
+from kaldi_tpu.feat import functions as ff
+from kaldi_tpu.feat.frontend import (FbankOptions, MfccOptions, OfflineFeature,
+                                     SpectrogramOptions)
+from kaldi_tpu.util.parse_options import ParseOptions
+from kaldi_tpu.util.table import (RandomAccessTableReaderMapped,
+                                  SequentialTableReader, TableWriter)
+
+
+def _run_feature_tool(tool: str, opts_cls, argv: List[str]) -> int:
+    po = ParseOptions(
+        f"Create {tool.split('-')[1]} features from wave files.\n"
+        f"Usage: {tool} [options...] <wav-rspecifier> <feats-wspecifier>")
+    opts = opts_cls()
+    po.register_struct(opts)
+    channel = po.register_value("channel", -1, "Channel to extract (-1 -> expect mono, 0 -> left, 1 -> right)")
+    subtract_mean = po.register_value("subtract-mean", False, "Subtract mean of each feature file [CMS]; not recommended to do it this way")
+    vtln_warp = po.register_value("vtln-warp", 1.0, "Vtln warp factor (only applicable if vtln-map not specified)")
+    vtln_map = po.register_value("vtln-map", "", "Map from utterance or speaker-id to vtln warp factor (rspecifier)")
+    utt2spk = po.register_value("utt2spk", "", "Utterance to speaker-id map rspecifier (if doing VTLN and you have warps per speaker)")
+    min_duration = po.register_value("min-duration", 0.0, "Minimum duration of segments to process (in seconds)")
+    write_utt2dur = po.register_value("write-utt2dur", "", "Wspecifier to write duration of each utterance in seconds")
+    batch_size = po.register_value("batch-size", 32, "Number of utterances per device batch (TPU efficiency knob)")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+
+    computer = OfflineFeature(opts)
+    vtln_reader = (RandomAccessTableReaderMapped("float", vtln_map[0],
+                                                 utt2spk[0])
+                   if vtln_map[0] else None)
+    reader = SequentialTableReader("wave", po.get_arg(1))
+    writer = TableWriter("matrix", po.get_arg(2))
+    dur_writer = (TableWriter("float", write_utt2dur[0])
+                  if write_utt2dur[0] else None)
+
+    num_done = num_err = 0
+    pending = []  # (key, wave_array, warp)
+
+    def flush():
+        nonlocal num_done
+        if not pending:
+            return
+        # group by warp factor (usually all 1.0)
+        by_warp = {}
+        for i, (key, wav, warp) in enumerate(pending):
+            by_warp.setdefault(warp, []).append(i)
+        results = [None] * len(pending)
+        for warp, idxs in by_warp.items():
+            feats = computer.compute_batch([pending[i][1] for i in idxs], warp)
+            for i, f in zip(idxs, feats):
+                results[i] = f
+        for (key, _, _), feats in zip(pending, results):
+            writer.write(key, feats)
+            num_done += 1
+        pending.clear()
+
+    for key, wave_data in reader:
+        if dur_writer is not None:
+            dur_writer.write(key, wave_data.duration)
+        if wave_data.duration < min_duration[0]:
+            warn(f"utterance {key} too short ({wave_data.duration:.2f}s)")
+            num_err += 1
+            continue
+        nch = wave_data.data.shape[0]
+        ch = channel[0]
+        if ch == -1:
+            if nch != 1:
+                warn(f"{key}: multi-channel file, using channel 0")
+            ch = 0
+        if ch >= nch:
+            warn(f"{key}: no channel {ch}")
+            num_err += 1
+            continue
+        warp = 1.0
+        if vtln_reader is not None:
+            if key not in vtln_reader:
+                warn(f"no vtln-map entry for {key}")
+                num_err += 1
+                continue
+            warp = float(vtln_reader[key])
+        elif vtln_warp[0] != 1.0:
+            warp = vtln_warp[0]
+        wav = wave_data.channel(ch)
+        if abs(wave_data.samp_freq - opts.frame_opts.samp_freq) > 0.01:
+            warn(f"{key}: sample rate {wave_data.samp_freq} != "
+                 f"--sample-frequency {opts.frame_opts.samp_freq}")
+            num_err += 1
+            continue
+        pending.append((key, wav, warp))
+        if len(pending) >= batch_size[0]:
+            flush()
+    flush()
+    writer.close()
+    if dur_writer is not None:
+        dur_writer.close()
+    post = subtract_mean[0]
+    if post:
+        warn("--subtract-mean handled in second pass; prefer apply-cmvn")
+    log(f"Done {num_done} utterances, {num_err} with errors.")
+    return 0 if num_done > 0 else 1
+
+
+def compute_mfcc_feats(argv):
+    return _run_feature_tool("compute-mfcc-feats", MfccOptions, argv)
+
+
+def compute_fbank_feats(argv):
+    return _run_feature_tool("compute-fbank-feats", FbankOptions, argv)
+
+
+def compute_spectrogram_feats(argv):
+    return _run_feature_tool("compute-spectrogram-feats", SpectrogramOptions, argv)
+
+
+def copy_feats(argv):
+    po = ParseOptions("Copy features [and possibly change format]\n"
+                      "Usage: copy-feats [options] <feature-rspecifier> <feature-wspecifier>")
+    compress = po.register_value("compress", False, "If true, write output in compressed form")
+    compression_method = po.register_value("compression-method", 1, "Only relevant if --compress=true; the method to use (1 through 7)")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    holder = "matrix"
+    if compress[0]:
+        from kaldi_tpu.util.table import CompressedMatrixHolder
+        holder = CompressedMatrixHolder(compression_method[0])
+    writer = TableWriter(holder, po.get_arg(2))
+    n = 0
+    for key, mat in SequentialTableReader("matrix", po.get_arg(1)):
+        writer.write(key, mat)
+        n += 1
+    writer.close()
+    log(f"Copied {n} feature matrices.")
+    return 0
+
+
+copy_matrix = copy_feats
+
+
+def compute_cmvn_stats(argv):
+    po = ParseOptions(
+        "Compute cepstral mean and variance normalization statistics\n"
+        "If wspecifier provided: per-utterance by default, or per-speaker if\n"
+        "spk2utt option provided.\n"
+        "Usage: compute-cmvn-stats [options] <feats-rspecifier> <stats-wspecifier>")
+    spk2utt = po.register_value("spk2utt", "", "rspecifier for speaker to utterance-list map")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    writer = TableWriter("matrix", po.get_arg(2))
+    n = 0
+    if spk2utt[0]:
+        from kaldi_tpu.util.table import RandomAccessTableReader
+        feat_reader = RandomAccessTableReader("matrix", po.get_arg(1))
+        for spk, utts in SequentialTableReader("token-vector", spk2utt[0]):
+            stats = None
+            for utt in utts:
+                if utt not in feat_reader:
+                    warn(f"no features for utterance {utt}")
+                    continue
+                stats = ff.acc_cmvn_stats(feat_reader[utt], stats=stats)
+            if stats is None:
+                warn(f"no stats accumulated for speaker {spk}")
+                continue
+            writer.write(spk, stats)
+            n += 1
+    else:
+        for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+            writer.write(key, ff.acc_cmvn_stats(feats))
+            n += 1
+    writer.close()
+    log(f"Wrote {n} CMVN stats.")
+    return 0
+
+
+def apply_cmvn(argv):
+    po = ParseOptions(
+        "Apply cepstral mean and (optionally) variance normalization\n"
+        "Usage: apply-cmvn [options] (<cmvn-stats-rspecifier>|<cmvn-stats-rxfilename>) <feats-rspecifier> <feats-wspecifier>")
+    norm_vars = po.register_value("norm-vars", False, "If true, normalize variances")
+    norm_means = po.register_value("norm-means", True, "You can set this to false to turn off mean normalization")
+    reverse = po.register_value("reverse", False, "If true, apply CMVN in a reverse sense")
+    utt2spk = po.register_value("utt2spk", "", "rspecifier for utterance to speaker map")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    cmvn_reader = RandomAccessTableReaderMapped("matrix", po.get_arg(1),
+                                                utt2spk[0])
+    writer = TableWriter("matrix", po.get_arg(3))
+    n = err = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(2)):
+        if key not in cmvn_reader:
+            warn(f"no cmvn stats for {key}")
+            err += 1
+            continue
+        if not norm_means[0]:
+            writer.write(key, feats)
+        else:
+            writer.write(key, ff.apply_cmvn(feats, cmvn_reader[key],
+                                            norm_vars[0], reverse[0]))
+        n += 1
+    writer.close()
+    log(f"Applied CMVN to {n} utterances; {err} errors.")
+    return 0 if n else 1
+
+
+def apply_cmvn_sliding(argv):
+    po = ParseOptions(
+        "Apply sliding-window cepstral mean (and optionally variance)\n"
+        "normalization per utterance.\n"
+        "Usage: apply-cmvn-sliding [options] <feats-rspecifier> <feats-wspecifier>")
+    opts = ff.SlidingWindowCmnOptions()
+    po.register_struct(opts)
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    writer = TableWriter("matrix", po.get_arg(2))
+    n = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+        writer.write(key, ff.sliding_window_cmn(feats, opts))
+        n += 1
+    writer.close()
+    log(f"Applied sliding-window CMVN to {n} utterances.")
+    return 0
+
+
+def add_deltas(argv):
+    po = ParseOptions("Add deltas (typically to raw mfcc or plp features)\n"
+                      "Usage: add-deltas [options] <feats-rspecifier> <feats-wspecifier>")
+    opts = ff.DeltaFeaturesOptions()
+    po.register_struct(opts)
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    writer = TableWriter("matrix", po.get_arg(2))
+    n = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+        writer.write(key, ff.compute_deltas(feats, opts))
+        n += 1
+    writer.close()
+    log(f"Added deltas to {n} feature matrices.")
+    return 0
+
+
+def splice_feats(argv):
+    po = ParseOptions("Splice features with left and right context\n"
+                      "Usage: splice-feats [options] <feats-rspecifier> <feats-wspecifier>")
+    left = po.register_value("left-context", 4, "Number of frames of left context")
+    right = po.register_value("right-context", 4, "Number of frames of right context")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    writer = TableWriter("matrix", po.get_arg(2))
+    n = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+        writer.write(key, ff.splice_frames(feats, left[0], right[0]))
+        n += 1
+    writer.close()
+    log(f"Spliced {n} feature matrices.")
+    return 0
+
+
+def paste_feats(argv):
+    po = ParseOptions(
+        "Paste feature files (assuming they have about the same durations),\n"
+        "appending the features on each frame\n"
+        "Usage: paste-feats <in-rspecifier1> <in-rspecifier2> [<in-rspecifierN>] <out-wspecifier>")
+    length_tolerance = po.register_value("length-tolerance", 0, "If length is different, trim as shortest up to a frame difference of length-tolerance, otherwise exclude segment")
+    po.read(argv)
+    if po.num_args() < 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.util.table import RandomAccessTableReader
+    first = SequentialTableReader("matrix", po.get_arg(1))
+    others = [RandomAccessTableReader("matrix", po.get_arg(i))
+              for i in range(2, po.num_args())]
+    writer = TableWriter("matrix", po.get_arg(po.num_args()))
+    n = err = 0
+    for key, feats in first:
+        mats = [feats]
+        ok = True
+        for r in others:
+            if key not in r:
+                ok = False
+                break
+            mats.append(r[key])
+        if not ok:
+            err += 1
+            continue
+        lens = [m.shape[0] for m in mats]
+        if max(lens) - min(lens) > length_tolerance[0]:
+            warn(f"{key}: length mismatch {lens}")
+            err += 1
+            continue
+        t = min(lens)
+        writer.write(key, np.concatenate([m[:t] for m in mats], axis=1))
+        n += 1
+    writer.close()
+    log(f"Pasted {n} feature matrices; {err} errors.")
+    return 0 if n else 1
+
+
+def select_feats(argv):
+    po = ParseOptions(
+        "Select certain dimensions of the feature file\n"
+        "Usage: select-feats <selection> <in-rspecifier> <out-wspecifier>\n"
+        "e.g. select-feats 0,24-22,3-12 scp:feats.scp ark,scp:feat-red.ark,feat-red.scp")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    sel = []
+    for part in po.get_arg(1).split(","):
+        if "-" in part[1:]:
+            a, b = part.split("-")
+            a, b = int(a), int(b)
+            sel.extend(range(a, b + 1) if a <= b else range(a, b - 1, -1))
+        else:
+            sel.append(int(part))
+    writer = TableWriter("matrix", po.get_arg(3))
+    for key, feats in SequentialTableReader("matrix", po.get_arg(2)):
+        writer.write(key, feats[:, sel])
+    writer.close()
+    return 0
+
+
+def subset_feats(argv):
+    po = ParseOptions("Copy a subset of features\n"
+                      "Usage: subset-feats [options] <in-rspecifier> <out-wspecifier>")
+    n_opt = po.register_value("n", 10, "If nonnegative, copy the first n feature files")
+    include = po.register_value("include", "", "Text file, the first field of each line being interpreted as an utterance-id whose features will be included")
+    exclude = po.register_value("exclude", "", "Text file, the first field of each line being interpreted as an utterance-id whose features will be excluded")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    inc = exc = None
+    if include[0]:
+        inc = {line.split()[0] for line in open(include[0]) if line.strip()}
+    if exclude[0]:
+        exc = {line.split()[0] for line in open(exclude[0]) if line.strip()}
+    writer = TableWriter("matrix", po.get_arg(2))
+    n = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+        if inc is not None and key not in inc:
+            continue
+        if exc is not None and key in exc:
+            continue
+        if inc is None and exc is None and n >= n_opt[0]:
+            break
+        writer.write(key, feats)
+        n += 1
+    writer.close()
+    log(f"Kept {n} feature matrices.")
+    return 0
+
+
+def feat_to_dim(argv):
+    po = ParseOptions("Reads an archive of features and writes a corresponding archive\n"
+                      "that maps utterance-id to utterance dimension.\n"
+                      "Usage: feat-to-dim [options] <feat-rspecifier> (<dim-wspecifier>|<dim-wxfilename>)")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    out = po.get_arg(2)
+    if ":" in out and out.split(":")[0].split(",")[0] in ("ark", "scp"):
+        writer = TableWriter("int", out)
+        for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+            writer.write(key, feats.shape[1])
+        writer.close()
+    else:
+        for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+            text = f"{feats.shape[1]}\n"
+            if out == "-":
+                sys.stdout.write(text)
+            else:
+                open(out, "w").write(text)
+            break
+    return 0
+
+
+def feat_to_len(argv):
+    po = ParseOptions("Reads an archive of features and writes a corresponding archive\n"
+                      "that maps utterance-id to utterance length in frames.\n"
+                      "Usage: feat-to-len [options] <in-rspecifier> [<out-wspecifier>]")
+    po.read(argv)
+    if po.num_args() not in (1, 2):
+        po.print_usage()
+        return 1
+    if po.num_args() == 2:
+        writer = TableWriter("int", po.get_arg(2))
+        for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+            writer.write(key, feats.shape[0])
+        writer.close()
+    else:
+        for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+            print(f"{key} {feats.shape[0]}")
+    return 0
+
+
+def wav_to_duration(argv):
+    po = ParseOptions("Read wav files and output an archive consisting of a single float:\n"
+                      "the duration of each one in seconds.\n"
+                      "Usage: wav-to-duration [options] <wav-rspecifier> <duration-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    writer = TableWriter("float", po.get_arg(2))
+    for key, wave_data in SequentialTableReader("wave", po.get_arg(1)):
+        writer.write(key, wave_data.duration)
+    writer.close()
+    return 0
+
+
+def extract_segments(argv):
+    po = ParseOptions(
+        "Extract segments from a large audio file in WAV format.\n"
+        "Usage: extract-segments [options] <wav-rspecifier> <segments-file> <wav-wspecifier>\n"
+        "segments-file format: each line is <segment-id> <recording-id> <start-time> <end-time>")
+    min_segment_length = po.register_value("min-segment-length", 0.1, "Minimum segment length in seconds (reject shorter segments)")
+    max_overshoot = po.register_value("max-overshoot", 0.5, "End segments overshooting audio by less than this (in seconds) are truncated, else rejected")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.feat.wave import WaveData
+    from kaldi_tpu.util.table import RandomAccessTableReader
+    wav_reader = RandomAccessTableReader("wave", po.get_arg(1))
+    writer = TableWriter("wave", po.get_arg(3))
+    n = err = 0
+    for line in open(po.get_arg(2)):
+        parts = line.split()
+        if len(parts) not in (4, 5):
+            warn(f"bad segments line: {line.strip()}")
+            err += 1
+            continue
+        seg, reco, start, end = parts[0], parts[1], float(parts[2]), float(parts[3])
+        channel = int(parts[4]) if len(parts) == 5 else 0
+        if reco not in wav_reader:
+            warn(f"no recording {reco}")
+            err += 1
+            continue
+        wav = wav_reader[reco]
+        fs = wav.samp_freq
+        dur = wav.data.shape[1] / fs
+        if end > dur + max_overshoot[0] or end - start < min_segment_length[0]:
+            warn(f"rejecting segment {seg} [{start},{end}] vs duration {dur}")
+            err += 1
+            continue
+        s = int(round(start * fs))
+        e = min(int(round(end * fs)), wav.data.shape[1])
+        writer.write(seg, WaveData(fs, wav.data[channel:channel + 1, s:e]))
+        n += 1
+    writer.close()
+    log(f"Extracted {n} segments; {err} errors.")
+    return 0 if n else 1
