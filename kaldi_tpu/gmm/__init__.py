@@ -1,0 +1,8 @@
+from kaldi_tpu.gmm.diag_gmm import DiagGmm  # noqa: F401
+from kaldi_tpu.gmm.am_diag_gmm import AmDiagGmm  # noqa: F401
+from kaldi_tpu.gmm.mle import (  # noqa: F401
+    AccumAmDiagGmm,
+    AccumDiagGmm,
+    MleDiagGmmOptions,
+    mle_am_diag_gmm_update,
+)
