@@ -1,0 +1,227 @@
+"""CPU Viterbi decoding/alignment over decoding graphs.
+
+Parity: decoder/faster-decoder.h (beam token passing with
+ProcessEmitting/ProcessNonemitting) and bin/align-equal-compiled.
+The acoustic scores arrive as a precomputed (frames × pdfs) matrix —
+computed batched on the TPU by AmDiagGmm.log_likes_batch / the nnet3
+stack — so this host loop only does the data-dependent search the
+reference also keeps scalar. (The device-resident batched decoder is
+the cudadecoder-equivalent milestone.)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from kaldi_tpu.base.logging import KaldiTpuError, warn
+from kaldi_tpu.fstext.fst import EPS, Arc, TropicalWeight, VectorFst
+
+INF = float("inf")
+
+
+@dataclass
+class FasterDecoderOptions:
+    beam: float = field(default=16.0, metadata={"doc": "Decoding beam. Larger->slower, more accurate"})
+    max_active: int = field(default=2147483647, metadata={"doc": "Decoder max active states. Larger->slower; more accurate"})
+    min_active: int = field(default=20, metadata={"doc": "Decoder min active states"})
+    beam_delta: float = 0.5
+    hash_ratio: float = 2.0
+
+
+class _Token:
+    __slots__ = ("cost", "prev", "arc_ilabel", "arc_olabel")
+
+    def __init__(self, cost, prev, ilabel, olabel):
+        self.cost = cost
+        self.prev = prev
+        self.arc_ilabel = ilabel
+        self.arc_olabel = olabel
+
+
+class FasterDecoder:
+    """Beam Viterbi producing the best path (alignment + words)."""
+
+    def __init__(self, fst: VectorFst, opts: Optional[FasterDecoderOptions] = None):
+        self.fst = fst
+        self.opts = opts or FasterDecoderOptions()
+
+    def decode(self, loglikes: np.ndarray, tid_to_pdf: np.ndarray,
+               acoustic_scale: float = 1.0
+               ) -> Optional[Tuple[List[int], List[int], float]]:
+        """loglikes: (T, num_pdfs). Returns (alignment transition-ids,
+        word ids, total cost) for the best path reaching a final state,
+        or None if decoding failed."""
+        fst = self.fst
+        T = loglikes.shape[0]
+        beam = self.opts.beam
+        # active tokens: state -> _Token
+        cur: Dict[int, _Token] = {fst.start: _Token(0.0, None, 0, 0)}
+        cur = self._process_nonemitting(cur, beam)
+        for t in range(T):
+            frame = loglikes[t]
+            nxt: Dict[int, _Token] = {}
+            # adaptive pruning cutoff
+            best = min(tok.cost for tok in cur.values())
+            cutoff = best + beam
+            if len(cur) > self.opts.max_active:
+                costs = sorted(tok.cost for tok in cur.values())
+                cutoff = min(cutoff, costs[self.opts.max_active - 1])
+            next_best = INF
+            for state, tok in cur.items():
+                if tok.cost > cutoff:
+                    continue
+                for a in fst.arcs[state]:
+                    if a.ilabel == EPS:
+                        continue
+                    ac = -acoustic_scale * float(frame[tid_to_pdf[a.ilabel]])
+                    c = tok.cost + a.weight + ac
+                    if c >= next_best + beam:
+                        continue
+                    old = nxt.get(a.nextstate)
+                    if old is None or c < old.cost:
+                        nxt[a.nextstate] = _Token(c, tok, a.ilabel, a.olabel)
+                        next_best = min(next_best, c)
+            if not nxt:
+                warn(f"no tokens survived at frame {t}")
+                return None
+            # prune against updated best
+            cutoff2 = next_best + beam
+            nxt = {s: tok for s, tok in nxt.items() if tok.cost <= cutoff2}
+            cur = self._process_nonemitting(nxt, beam)
+        # final
+        best_tok: Optional[_Token] = None
+        best_cost = INF
+        for state, tok in cur.items():
+            fw = fst.finals[state]
+            if fw == TropicalWeight.zero:
+                continue
+            c = tok.cost + fw
+            if c < best_cost:
+                best_cost = c
+                best_tok = tok
+        if best_tok is None:
+            warn("no final state reached")
+            return None
+        alignment: List[int] = []
+        words: List[int] = []
+        tok = best_tok
+        while tok is not None:
+            if tok.arc_ilabel != EPS:
+                alignment.append(tok.arc_ilabel)
+            if tok.arc_olabel != EPS:
+                words.append(tok.arc_olabel)
+            tok = tok.prev
+        alignment.reverse()
+        words.reverse()
+        return alignment, words, best_cost
+
+    def _process_nonemitting(self, tokens: Dict[int, _Token],
+                             beam: float) -> Dict[int, _Token]:
+        """Epsilon-closure of the token set (ProcessNonemitting)."""
+        fst = self.fst
+        queue = list(tokens.keys())
+        best = min((t.cost for t in tokens.values()), default=0.0)
+        cutoff = best + beam
+        while queue:
+            state = queue.pop()
+            tok = tokens[state]
+            if tok.cost > cutoff:
+                continue
+            for a in fst.arcs[state]:
+                if a.ilabel != EPS:
+                    continue
+                c = tok.cost + a.weight
+                old = tokens.get(a.nextstate)
+                if old is None or c < old.cost - 1e-9:
+                    tokens[a.nextstate] = _Token(c, tok, EPS, a.olabel)
+                    queue.append(a.nextstate)
+        return tokens
+
+
+def best_path_through(fst: VectorFst, loglikes: np.ndarray,
+                      tid_to_pdf: np.ndarray, acoustic_scale: float = 1.0
+                      ) -> Optional[Tuple[List[int], List[int], float]]:
+    """Exact Viterbi (no beam) — reference SimpleDecoder equivalent."""
+    dec = FasterDecoder(fst, FasterDecoderOptions(beam=1e9))
+    return dec.decode(loglikes, tid_to_pdf, acoustic_scale)
+
+
+def align_equal(graph: VectorFst, num_frames: int, tm) -> Optional[List[int]]:
+    """Equal alignment (align-equal-compiled / EqualAlign,
+    hmm-utils.cc): pick a forward path through the training graph, then
+    distribute the remaining frames *evenly* as self-loops across the
+    path's states — the unbiased flat-start initialization EM needs
+    (a zero-acoustics Viterbi would instead dump all slack into the
+    single cheapest self-loop, typically silence)."""
+    # BFS for the path with fewest emitting arcs from start to a final
+    # state, tracking (prev_idx, arc); eps arcs consume no frames.
+    from collections import deque
+    start = graph.start
+    if start < 0:
+        return None
+    # nodes: (state); keep first-found predecessor (BFS over arcs where
+    # self-loops are excluded)
+    prev: Dict[int, Tuple[int, Arc]] = {}
+    seen = {start}
+    queue = deque([start])
+    final_state = None
+    while queue:
+        s = queue.popleft()
+        if graph.finals[s] != TropicalWeight.zero:
+            final_state = s
+            break
+        for a in graph.arcs[s]:
+            if a.nextstate == s:
+                continue
+            if a.nextstate not in seen:
+                seen.add(a.nextstate)
+                prev[a.nextstate] = (s, a)
+                queue.append(a.nextstate)
+    if final_state is None:
+        return None
+    path: List[Arc] = []
+    s = final_state
+    while s != start:
+        p, a = prev[s]
+        path.append(a)
+        s = p
+    path.reverse()
+    emitting = [a for a in path if a.ilabel != EPS]
+    n = len(emitting)
+    if n > num_frames:
+        warn(f"align_equal: path needs {n} frames but only "
+             f"{num_frames} available")
+        return None
+    # states (arc destinations) that can absorb self-loops
+    def self_loop_arc(state: int) -> Optional[Arc]:
+        for a in graph.arcs[state]:
+            if a.nextstate == state and a.ilabel != EPS:
+                return a
+        return None
+
+    loopable = [a for a in path if a.ilabel != EPS
+                and self_loop_arc(a.nextstate) is not None]
+    extra = num_frames - n
+    if extra > 0 and not loopable:
+        warn("align_equal: no self-loops available to fill frames")
+        return None
+    shares = {}
+    if loopable:
+        base, rem = divmod(extra, len(loopable))
+        for i, a in enumerate(loopable):
+            shares[id(a)] = base + (1 if i < rem else 0)
+    alignment: List[int] = []
+    for a in path:
+        if a.ilabel == EPS:
+            continue
+        alignment.append(a.ilabel)
+        k = shares.get(id(a), 0)
+        if k:
+            sl = self_loop_arc(a.nextstate)
+            alignment.extend([sl.ilabel] * k)
+    assert len(alignment) == num_frames
+    return alignment
