@@ -50,7 +50,8 @@ class FasterDecoder:
         self.opts = opts or FasterDecoderOptions()
 
     def decode(self, loglikes: np.ndarray, tid_to_pdf: np.ndarray,
-               acoustic_scale: float = 1.0
+               acoustic_scale: float = 1.0,
+               word_ins_penalty: float = 0.0
                ) -> Optional[Tuple[List[int], List[int], float]]:
         """loglikes: (T, num_pdfs). Returns (alignment transition-ids,
         word ids, total cost) for the best path reaching a final state,
@@ -60,7 +61,7 @@ class FasterDecoder:
         beam = self.opts.beam
         # active tokens: state -> _Token
         cur: Dict[int, _Token] = {fst.start: _Token(0.0, None, 0, 0)}
-        cur = self._process_nonemitting(cur, beam)
+        cur = self._process_nonemitting(cur, beam, word_ins_penalty)
         for t in range(T):
             frame = loglikes[t]
             nxt: Dict[int, _Token] = {}
@@ -79,6 +80,8 @@ class FasterDecoder:
                         continue
                     ac = -acoustic_scale * float(frame[tid_to_pdf[a.ilabel]])
                     c = tok.cost + a.weight + ac
+                    if word_ins_penalty and a.olabel != EPS:
+                        c += word_ins_penalty
                     if c >= next_best + beam:
                         continue
                     old = nxt.get(a.nextstate)
@@ -91,7 +94,7 @@ class FasterDecoder:
             # prune against updated best
             cutoff2 = next_best + beam
             nxt = {s: tok for s, tok in nxt.items() if tok.cost <= cutoff2}
-            cur = self._process_nonemitting(nxt, beam)
+            cur = self._process_nonemitting(nxt, beam, word_ins_penalty)
         # final
         best_tok: Optional[_Token] = None
         best_cost = INF
@@ -120,7 +123,9 @@ class FasterDecoder:
         return alignment, words, best_cost
 
     def _process_nonemitting(self, tokens: Dict[int, _Token],
-                             beam: float) -> Dict[int, _Token]:
+                             beam: float,
+                             word_ins_penalty: float = 0.0
+                             ) -> Dict[int, _Token]:
         """Epsilon-closure of the token set (ProcessNonemitting)."""
         fst = self.fst
         queue = list(tokens.keys())
@@ -135,6 +140,8 @@ class FasterDecoder:
                 if a.ilabel != EPS:
                     continue
                 c = tok.cost + a.weight
+                if word_ins_penalty and a.olabel != EPS:
+                    c += word_ins_penalty
                 old = tokens.get(a.nextstate)
                 if old is None or c < old.cost - 1e-9:
                     tokens[a.nextstate] = _Token(c, tok, EPS, a.olabel)

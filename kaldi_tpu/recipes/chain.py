@@ -1,0 +1,179 @@
+"""Chain (LF-MMI) training driver.
+
+Parity: steps/chain/train.py (SURVEY.md §3.4) — den graph from
+alignment phone LM, numerators from alignments, SGD with the chain
+objective — re-expressed as a single-process pjit-able training loop
+(the reference's parallel-jobs + nnet3-average outer loop becomes
+data-parallel psum, §2.13).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from kaldi_tpu.base.logging import log, warn
+from kaldi_tpu.chain.graphs import DenominatorGraph, batch_pack
+from kaldi_tpu.chain.objective import ChainTrainingOptions, chain_loss
+from kaldi_tpu.chain.supervision import (alignment_to_numerator_graph,
+                                         make_denominator_graph)
+from kaldi_tpu.nnet3.components import constrain_orthonormal
+from kaldi_tpu.nnet3.models import ChainTdnnf, ChainTdnnfConfig
+from kaldi_tpu.recipes.mono import MonoSystem
+
+
+@dataclass
+class ChainTrainOptions:
+    num_epochs: int = 10
+    learning_rate: float = 1e-3
+    final_learning_rate: float = 1e-4
+    minibatch_size: int = 8
+    chunk_width: int = 60          # input frames per chunk
+    chain: ChainTrainingOptions = field(
+        default_factory=lambda: ChainTrainingOptions(
+            l2_regularize=5e-5, leaky_hmm_coefficient=0.1,
+            xent_regularize=0.0))
+    max_param_change: float = 2.0
+    orthonormal_interval: int = 4  # apply semi-orthogonal constraint
+    seed: int = 0
+
+
+def make_chunks(feats: Dict[str, np.ndarray],
+                alignments: Dict[str, List[int]],
+                chunk_width: int, subsample: int
+                ) -> List[Tuple[np.ndarray, List[int]]]:
+    """Cut utterances into fixed-width chunks with matching alignment
+    slices (the egs-generation equivalent, chain-supervision.h:448
+    SplitIntoRanges — simple non-overlapping version)."""
+    chunks = []
+    for utt, f in feats.items():
+        if utt not in alignments:
+            continue
+        ali = alignments[utt]
+        T = min(f.shape[0], len(ali))
+        for start in range(0, T - chunk_width + 1, chunk_width):
+            chunks.append((f[start:start + chunk_width],
+                           ali[start:start + chunk_width]))
+    return chunks
+
+
+def train_chain(sys_: MonoSystem, feats: Dict[str, np.ndarray],
+                alignments: Dict[str, List[int]],
+                cfg: Optional[ChainTdnnfConfig] = None,
+                opts: Optional[ChainTrainOptions] = None):
+    """Returns (model, params_dict, den_graph)."""
+    if opts is None:
+        opts = ChainTrainOptions()
+    tm, tree = sys_.tm, sys_.tree
+    dim = next(iter(feats.values())).shape[1]
+    if cfg is None:
+        cfg = ChainTdnnfConfig(feat_dim=dim, num_pdfs=tm.num_pdfs,
+                               hidden_dim=128, bottleneck_dim=32,
+                               prefinal_dim=64, num_layers=5,
+                               subsample_layer=3,
+                               frame_subsampling_factor=1)
+    sub = cfg.frame_subsampling_factor
+
+    # denominator graph from training phone sequences
+    phone_seqs = []
+    for utt, ali in alignments.items():
+        phones = []
+        for tid in ali:
+            # a phone starts at a non-self-loop transition out of state 0
+            if (tm.transition_id_to_hmm_state(tid) == 0
+                    and not tm.is_self_loop(tid)):
+                phones.append(tm.transition_id_to_phone(tid))
+        if phones:
+            phone_seqs.append(phones)
+    den_graph = make_denominator_graph(phone_seqs, tm, tree)
+
+    chunks = make_chunks(feats, alignments, opts.chunk_width, sub)
+    if not chunks:
+        raise ValueError("no training chunks")
+    log(f"chain training: {len(chunks)} chunks of {opts.chunk_width} frames")
+
+    model = ChainTdnnf(cfg, train=True)
+    rng = jax.random.PRNGKey(opts.seed)
+    variables = model.init(rng, jnp.zeros((2, opts.chunk_width, dim)))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    steps_per_epoch = max(1, len(chunks) // opts.minibatch_size)
+    total_steps = steps_per_epoch * opts.num_epochs
+    sched = optax.linear_schedule(opts.learning_rate,
+                                  opts.final_learning_rate, total_steps)
+    tx = optax.chain(optax.clip_by_global_norm(opts.max_param_change),
+                     optax.adam(sched))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, feats_b, num_arrays):
+        def loss_fn(p, bs):
+            (chain_out, xent_out), upd = model.apply(
+                {"params": p, "batch_stats": bs}, feats_b,
+                mutable=["batch_stats"])
+            objf, aux = chain_loss(opts.chain, den_graph, num_arrays,
+                                   chain_out, xent_out)
+            return -objf, (aux, upd["batch_stats"])
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bs, new_opt, -loss, aux
+
+    def apply_orthonormal(params):
+        def walk(tree):
+            if isinstance(tree, dict):
+                return {k: (jnp.asarray(constrain_orthonormal(v))
+                            if k == "linear" and hasattr(v, "ndim")
+                            and v.ndim == 2 else walk(v))
+                        for k, v in tree.items()}
+            return tree
+        return walk(params)
+
+    rng_np = np.random.default_rng(opts.seed)
+    order = np.arange(len(chunks))
+    it = 0
+    for epoch in range(opts.num_epochs):
+        rng_np.shuffle(order)
+        objfs = []
+        for start in range(0, len(order) - opts.minibatch_size + 1,
+                           opts.minibatch_size):
+            idx = order[start:start + opts.minibatch_size]
+            feats_b = jnp.asarray(np.stack([chunks[i][0] for i in idx]))
+            nums = [alignment_to_numerator_graph(chunks[i][1], tm, sub)
+                    for i in idx]
+            num_arrays = tuple(jnp.asarray(a) for a in batch_pack(nums))
+            params, batch_stats, opt_state, objf, aux = step(
+                params, batch_stats, opt_state, feats_b, num_arrays)
+            objfs.append(float(objf))
+            it += 1
+            if it % opts.orthonormal_interval == 0:
+                params = apply_orthonormal(params)
+        log(f"chain epoch {epoch}: objf/frame "
+            f"{np.mean(objfs):.4f}")
+    return model, {"params": params, "batch_stats": batch_stats}, den_graph
+
+
+def nnet_log_likes(model: ChainTdnnf, variables: dict,
+                   feats: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Batched AM scores for decoding (pseudo-loglikes; chain models
+    need no prior division)."""
+    eval_model = ChainTdnnf(model.cfg, train=False)
+    utts = list(feats)
+    lens = [feats[u].shape[0] for u in utts]
+    Tmax = max(lens)
+    dim = feats[utts[0]].shape[1]
+    batch = np.zeros((len(utts), Tmax, dim), np.float32)
+    for i, u in enumerate(utts):
+        batch[i, :lens[i]] = feats[u]
+    out, _ = eval_model.apply(variables, jnp.asarray(batch))
+    out = np.asarray(out)
+    sub = model.cfg.frame_subsampling_factor
+    return {u: out[i, : (lens[i] + sub - 1) // sub]
+            for i, u in enumerate(utts)}

@@ -1,0 +1,72 @@
+"""Chain DNN end-to-end: GMM bootstrap -> alignments -> LF-MMI TDNN-F
+training -> neural decode — the mini_librispeech chain-recipe
+equivalent at toy scale (SURVEY.md §3.4, BASELINE config 4)."""
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.decoder.graph import Lang
+from kaldi_tpu.feat.frontend import MfccOptions, OfflineFeature
+from kaldi_tpu.feat.window import FrameExtractionOptions
+from kaldi_tpu.nnet3.models import ChainTdnnfConfig
+from kaldi_tpu.recipes.chain import nnet_log_likes, train_chain
+from kaldi_tpu.recipes.mono import (TrainMonoOptions, _align_all, decode,
+                                    make_hclg, train_mono)
+from kaldi_tpu.decoder.graph import TrainingGraphCompiler
+from kaldi_tpu.decoder.viterbi import FasterDecoder, FasterDecoderOptions
+from kaldi_tpu.util.edit_distance import WerStats
+
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))
+from test_mono_e2e import FS, make_corpus, unigram_g
+
+
+@pytest.mark.slow
+def test_chain_training_end_to_end():
+    train_txt, train_wav, test_txt, test_wav = make_corpus(
+        num_train=12, num_test=4)
+    comp = OfflineFeature(MfccOptions(
+        frame_opts=FrameExtractionOptions(samp_freq=FS, dither=0.0)))
+    tf = dict(zip(train_wav, comp.compute_batch(list(train_wav.values()))))
+    sf = dict(zip(test_wav, comp.compute_batch(list(test_wav.values()))))
+
+    lang = Lang({"YES": [["Y"]], "NO": [["N"]]}, sil_phone="SIL",
+                sil_prob=0.5)
+    lang.make_topology()
+    gmm_sys = train_mono(lang, tf, train_txt,
+                         TrainMonoOptions(num_iters=6, totgauss=30,
+                                          realign_iters=(1, 2, 3, 4, 5)))
+
+    # final GMM alignments as chain supervision
+    compiler = TrainingGraphCompiler(gmm_sys.tm, gmm_sys.tree, lang)
+    graphs = {u: compiler.compile(train_txt[u]) for u in tf}
+    alignments = _align_all(gmm_sys, graphs, tf, beam=10.0,
+                            acoustic_scale=0.1, transition_scale=1.0)
+    assert len(alignments) == len(tf)
+
+    from kaldi_tpu.recipes.chain import ChainTrainOptions
+    cfg = ChainTdnnfConfig(feat_dim=13, num_pdfs=gmm_sys.tm.num_pdfs,
+                           hidden_dim=64, bottleneck_dim=16,
+                           prefinal_dim=32, num_layers=4,
+                           subsample_layer=2, frame_subsampling_factor=1)
+    opts = ChainTrainOptions(num_epochs=6, learning_rate=2e-3,
+                             minibatch_size=4, chunk_width=50)
+    model, variables, den = train_chain(gmm_sys, tf, alignments, cfg, opts)
+
+    # decode with neural AM scores through the same HCLG, sweeping
+    # acoustic-scale/word-insertion-penalty like steps/score_kaldi.sh
+    hclg = make_hclg(gmm_sys, unigram_g(lang))
+    scores = nnet_log_likes(model, variables, sf)
+    dec = FasterDecoder(hclg, FasterDecoderOptions(beam=24.0))
+    best = None
+    for ac, wip in [(0.3, 4.0), (0.5, 5.0), (1.0, 10.0)]:
+        stats = WerStats()
+        for utt, ref in test_txt.items():
+            res = dec.decode(scores[utt], gmm_sys.tm.id2pdf_id,
+                             acoustic_scale=ac, word_ins_penalty=wip)
+            hyp = [] if res is None else [lang.word_names[w] for w in res[1]]
+            stats.add(ref, hyp)
+        if best is None or stats.wer < best.wer:
+            best = stats
+    print(best.report())
+    assert best.wer <= 7.0, best.report()
