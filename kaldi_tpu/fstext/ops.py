@@ -228,11 +228,21 @@ def remove_eps_local(fst: VectorFst) -> VectorFst:
 # than one are spread over chains of new states.
 
 def determinize_star(fst: VectorFst, delta: float = 1e-4,
-                     max_states: int = 10_000_000) -> VectorFst:
+                     max_states: int = 10_000_000,
+                     functional: bool = True) -> VectorFst:
+    """functional=True: the classic DeterminizeStar contract (errors on
+    non-functional input). functional=False: lattice-determinization
+    semantics — when two paths with the same input sequence carry
+    different output strings, keep the better-weight one (the
+    CompactLatticeWeight Plus of lattice-weight.h:424)."""
     sr = fst.semiring
     out = VectorFst(sr)
     if fst.start < 0:
         return out
+
+    def better(w1, w2) -> bool:
+        """True if w1 strictly preferred over w2 by the semiring plus."""
+        return sr.plus(w1, w2) == w1 and w1 != w2
 
     def quant(w):
         if sr is LatticeWeight:
@@ -248,31 +258,56 @@ def determinize_star(fst: VectorFst, delta: float = 1e-4,
 
     def eps_expand(pairs: List[Tuple[int, Tuple[int, ...], object]]):
         """Expand epsilon-input arcs: returns dict {(state, out_string): weight}."""
-        dist: Dict[Tuple[int, Tuple[int, ...]], object] = {}
+        if functional:
+            dist: Dict[Tuple[int, Tuple[int, ...]], object] = {}
+            queue = deque()
+            for s, strg, w in pairs:
+                k = (s, strg)
+                old = dist.get(k, sr.zero)
+                dist[k] = sr.plus(old, w)
+                queue.append(k)
+            while queue:
+                s, strg = queue.popleft()
+                w = dist[(s, strg)]
+                for a in fst.arcs[s]:
+                    if a.ilabel == EPS:
+                        nstr = strg if a.olabel == EPS else strg + (a.olabel,)
+                        if len(nstr) > 5000:
+                            raise RuntimeError(
+                                "determinize_star: output-string blowup "
+                                "(epsilon cycle with output?)")
+                        k = (a.nextstate, nstr)
+                        nw = sr.times(w, a.weight)
+                        old = dist.get(k, sr.zero)
+                        new = sr.plus(old, nw)
+                        if new != old:
+                            dist[k] = new
+                            queue.append(k)
+            return dist
+        # non-functional: key by state; keep (weight, string) with the
+        # preferred weight
+        best: Dict[int, Tuple[object, Tuple[int, ...]]] = {}
         queue = deque()
         for s, strg, w in pairs:
-            k = (s, strg)
-            old = dist.get(k, sr.zero)
-            dist[k] = sr.plus(old, w)
-            queue.append(k)
+            cur = best.get(s)
+            if cur is None or better(w, cur[0]):
+                best[s] = (w, strg)
+                queue.append(s)
         while queue:
-            s, strg = queue.popleft()
-            w = dist[(s, strg)]
+            s = queue.popleft()
+            w, strg = best[s]
             for a in fst.arcs[s]:
                 if a.ilabel == EPS:
                     nstr = strg if a.olabel == EPS else strg + (a.olabel,)
-                    if len(nstr) > 100:
+                    if len(nstr) > 5000:
                         raise RuntimeError(
-                            "determinize_star: output-string blowup "
-                            "(epsilon cycle with output?)")
-                    k = (a.nextstate, nstr)
+                            "determinize_star: output-string blowup")
                     nw = sr.times(w, a.weight)
-                    old = dist.get(k, sr.zero)
-                    new = sr.plus(old, nw)
-                    if new != old:
-                        dist[k] = new
-                        queue.append(k)
-        return dist
+                    cur = best.get(a.nextstate)
+                    if cur is None or better(nw, cur[0]):
+                        best[a.nextstate] = (nw, nstr)
+                        queue.append(a.nextstate)
+        return {(s, strg): w for s, (w, strg) in best.items()}
 
     subset_map: Dict[Tuple, int] = {}
     work: deque = deque()
@@ -343,14 +378,22 @@ def determinize_star(fst: VectorFst, delta: float = 1e-4,
         # final weight: sum over final states; final strings must agree
         final_w = sr.zero
         final_strings = set()
+        best_final: Optional[Tuple[object, Tuple[int, ...]]] = None
         for (s, strg), w in subset.items():
             if fst.is_final(s):
                 final_strings.add(strg)
-                final_w = sr.plus(final_w, sr.times(w, fst.finals[s]))
+                fw = sr.times(w, fst.finals[s])
+                final_w = sr.plus(final_w, fw)
+                if best_final is None or better(fw, best_final[0]):
+                    best_final = (fw, strg)
         if len(final_strings) > 1:
-            raise RuntimeError(
-                "determinize_star: FST is not functional (conflicting "
-                "output strings at final states)")
+            if functional:
+                raise RuntimeError(
+                    "determinize_star: FST is not functional (conflicting "
+                    "output strings at final states)")
+            # lattice semantics: keep the best final (weight, string)
+            final_w, only = best_final
+            final_strings = {only}
         if final_strings and next(iter(final_strings)):
             # residual output string at final state: append via eps arcs
             fstate = out.add_state()
