@@ -9,32 +9,72 @@ where they would invoke the reference binary.
 from __future__ import annotations
 
 import importlib
-from typing import Callable, Dict, List
+from typing import Callable, Dict, List, Tuple
 
-# tool-name -> module path (module must define main(argv) -> int)
-TOOLS: Dict[str, str] = {
-    # featbin equivalents
-    "compute-mfcc-feats": "kaldi_tpu.cli.feat_tools",
-    "compute-fbank-feats": "kaldi_tpu.cli.feat_tools",
-    "compute-spectrogram-feats": "kaldi_tpu.cli.feat_tools",
-    "copy-feats": "kaldi_tpu.cli.feat_tools",
-    "copy-matrix": "kaldi_tpu.cli.feat_tools",
-    "compute-cmvn-stats": "kaldi_tpu.cli.feat_tools",
-    "apply-cmvn": "kaldi_tpu.cli.feat_tools",
-    "apply-cmvn-sliding": "kaldi_tpu.cli.feat_tools",
-    "add-deltas": "kaldi_tpu.cli.feat_tools",
-    "splice-feats": "kaldi_tpu.cli.feat_tools",
-    "paste-feats": "kaldi_tpu.cli.feat_tools",
-    "select-feats": "kaldi_tpu.cli.feat_tools",
-    "subset-feats": "kaldi_tpu.cli.feat_tools",
-    "feat-to-dim": "kaldi_tpu.cli.feat_tools",
-    "feat-to-len": "kaldi_tpu.cli.feat_tools",
-    "wav-to-duration": "kaldi_tpu.cli.feat_tools",
-    "extract-segments": "kaldi_tpu.cli.feat_tools",
-}
+# tool-name -> (module path, function name)
+TOOLS: Dict[str, Tuple[str, str]] = {}
+
+
+def _register(module: str, mapping: Dict[str, str]) -> None:
+    for tool, func in mapping.items():
+        TOOLS[tool] = (module, func)
+
+
+_register("kaldi_tpu.cli.feat_tools", {
+    "compute-mfcc-feats": "compute_mfcc_feats",
+    "compute-fbank-feats": "compute_fbank_feats",
+    "compute-spectrogram-feats": "compute_spectrogram_feats",
+    "copy-feats": "copy_feats",
+    "copy-matrix": "copy_matrix",
+    "compute-cmvn-stats": "compute_cmvn_stats",
+    "apply-cmvn": "apply_cmvn",
+    "apply-cmvn-sliding": "apply_cmvn_sliding",
+    "add-deltas": "add_deltas",
+    "splice-feats": "splice_feats",
+    "paste-feats": "paste_feats",
+    "select-feats": "select_feats",
+    "subset-feats": "subset_feats",
+    "feat-to-dim": "feat_to_dim",
+    "feat-to-len": "feat_to_len",
+    "wav-to-duration": "wav_to_duration",
+    "extract-segments": "extract_segments",
+})
+
+_register("kaldi_tpu.cli.gmm_tools", {
+    "gmm-init-mono": "gmm_init_mono",
+    "compile-train-graphs": "compile_train_graphs",
+    "gmm-align-compiled": "gmm_align_compiled",
+    "gmm-acc-stats-ali": "gmm_acc_stats_ali",
+    "gmm-sum-accs": "gmm_sum_accs",
+    "gmm-est": "gmm_est",
+    "gmm-latgen-faster": "gmm_latgen_faster",
+    "gmm-info": "gmm_info",
+})
+
+_register("kaldi_tpu.cli.ali_tools", {
+    "align-equal-compiled": "align_equal_compiled",
+    "ali-to-phones": "ali_to_phones",
+    "ali-to-pdf": "ali_to_pdf",
+    "copy-int-vector": "copy_int_vector",
+    "compute-wer": "compute_wer",
+    "align-text": "align_text",
+})
+
+_register("kaldi_tpu.cli.lat_tools", {
+    "lattice-copy": "lattice_copy",
+    "lattice-scale": "lattice_scale_cli",
+    "lattice-add-penalty": "lattice_add_penalty",
+    "lattice-prune": "lattice_prune_cli",
+    "lattice-determinize": "lattice_determinize_cli",
+    "lattice-best-path": "lattice_best_path_cli",
+    "lattice-1best": "lattice_1best",
+    "lattice-to-nbest": "lattice_to_nbest",
+    "nbest-to-linear": "nbest_to_linear",
+    "lattice-to-post": "lattice_to_post",
+})
 
 
 def get_tool(name: str) -> Callable[[List[str]], int]:
-    module = importlib.import_module(TOOLS[name])
-    func_name = name.replace("-", "_")
-    return getattr(module, func_name)
+    module_name, func = TOOLS[name]
+    module = importlib.import_module(module_name)
+    return getattr(module, func)

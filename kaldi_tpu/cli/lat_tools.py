@@ -1,0 +1,242 @@
+"""latbin-equivalent CLIs: lattice-best-path, lattice-scale,
+lattice-prune, lattice-add-penalty, lattice-determinize,
+lattice-to-nbest, nbest-to-linear, lattice-1best, lattice-copy,
+lattice-to-post."""
+
+from __future__ import annotations
+
+from typing import List
+
+from kaldi_tpu.base.logging import log, warn
+from kaldi_tpu.lat.functions import (add_word_ins_penalty,
+                                     determinize_lattice, lattice_best_path,
+                                     lattice_forward_backward_post,
+                                     lattice_nbest, lattice_prune,
+                                     lattice_scale)
+from kaldi_tpu.lat.kaldi_lattice import Lattice, LatticeHolder
+from kaldi_tpu.fstext.fst import EPS, Arc, LatticeWeight, VectorFst
+from kaldi_tpu.util.parse_options import ParseOptions
+from kaldi_tpu.util.table import SequentialTableReader, TableWriter
+
+
+def _each(rspec, wspec, fn, name):
+    reader = SequentialTableReader(LatticeHolder(), rspec)
+    writer = TableWriter(LatticeHolder(), wspec)
+    n = 0
+    for key, lat in reader:
+        out = fn(key, lat)
+        if out is not None:
+            writer.write(key, out)
+            n += 1
+    writer.close()
+    log(f"{name}: processed {n} lattices")
+    return 0 if n else 1
+
+
+def lattice_copy(argv: List[str]) -> int:
+    po = ParseOptions("Copy lattices (e.g. useful for changing to text mode)\n"
+                      "Usage: lattice-copy [options] <lattice-rspecifier> <lattice-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    return _each(po.get_arg(1), po.get_arg(2), lambda k, l: l, "lattice-copy")
+
+
+def lattice_scale_cli(argv: List[str]) -> int:
+    po = ParseOptions("Apply scaling to lattice weights\n"
+                      "Usage: lattice-scale [options] <lattice-rspecifier> <lattice-wspecifier>")
+    lm_scale = po.register_value("lm-scale", 1.0, "Scaling factor for graph/lm costs")
+    acoustic_scale = po.register_value("acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    inv_acoustic_scale = po.register_value("inv-acoustic-scale", 1.0, "An alternative way of setting the acoustic scale: you can set its inverse")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    ac = acoustic_scale[0]
+    if inv_acoustic_scale[0] != 1.0:
+        ac = 1.0 / inv_acoustic_scale[0]
+    return _each(po.get_arg(1), po.get_arg(2),
+                 lambda k, l: lattice_scale(l, lm_scale[0], ac),
+                 "lattice-scale")
+
+
+def lattice_add_penalty(argv: List[str]) -> int:
+    po = ParseOptions("Add word insertion penalty to the lattice.\n"
+                      "Usage: lattice-add-penalty [options] <lattice-rspecifier> <lattice-wspecifier>")
+    word_ins_penalty = po.register_value("word-ins-penalty", 0.0, "Word insertion penalty")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    return _each(po.get_arg(1), po.get_arg(2),
+                 lambda k, l: add_word_ins_penalty(l, word_ins_penalty[0]),
+                 "lattice-add-penalty")
+
+
+def lattice_prune_cli(argv: List[str]) -> int:
+    po = ParseOptions("Prune lattices, keeping only best paths within beam\n"
+                      "Usage: lattice-prune [options] <lattice-rspecifier> <lattice-wspecifier>")
+    beam = po.register_value("beam", 4.0, "Pruning beam [applied after acoustic scaling]")
+    acoustic_scale = po.register_value("acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+
+    def fn(k, lat):
+        scaled = lattice_scale(lat, 1.0, acoustic_scale[0])
+        pruned = lattice_prune(scaled, beam[0])
+        return lattice_scale(pruned, 1.0, 1.0 / acoustic_scale[0])
+    return _each(po.get_arg(1), po.get_arg(2), fn, "lattice-prune")
+
+
+def lattice_determinize_cli(argv: List[str]) -> int:
+    po = ParseOptions("Determinize lattices, keeping only the best path (sequence of acoustic states) for each input-symbol sequence.\n"
+                      "Usage: lattice-determinize [options] <lattice-rspecifier> <lattice-wspecifier>")
+    po.register_value("acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    return _each(po.get_arg(1), po.get_arg(2),
+                 lambda k, l: determinize_lattice(l), "lattice-determinize")
+
+
+def lattice_best_path_cli(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Generate 1-best path through lattices; output as transcriptions and alignments\n"
+        "Usage: lattice-best-path [options] <lattice-rspecifier> "
+        "[<transcriptions-wspecifier> [<alignments-wspecifier>]]")
+    lm_scale = po.register_value("lm-scale", 1.0, "Scaling factor for graph/lm costs")
+    acoustic_scale = po.register_value("acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    word_symbol_table = po.register_value("word-symbol-table", "", "Symbol table for words [for debug output]")
+    po.read(argv)
+    if po.num_args() < 1:
+        po.print_usage()
+        return 1
+    words_writer = (TableWriter("int-vector", po.get_arg(2))
+                    if po.num_args() >= 2 else None)
+    ali_writer = (TableWriter("int-vector", po.get_arg(3))
+                  if po.num_args() >= 3 else None)
+    n = 0
+    for key, lat in SequentialTableReader(LatticeHolder(), po.get_arg(1)):
+        scaled = lattice_scale(lat, lm_scale[0], acoustic_scale[0])
+        ali, words, cost = lattice_best_path(scaled)
+        if words_writer:
+            words_writer.write(key, words)
+        if ali_writer:
+            ali_writer.write(key, ali)
+        n += 1
+    if words_writer:
+        words_writer.close()
+    if ali_writer:
+        ali_writer.close()
+    log(f"found best paths for {n} lattices")
+    return 0 if n else 1
+
+
+lattice_1best = lattice_best_path_cli
+
+
+def lattice_to_nbest(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Work out N-best paths in lattices and write out as FSTs\n"
+        "Usage: lattice-to-nbest [options] <lattice-rspecifier> <nbest-wspecifier>")
+    n_opt = po.register_value("n", 1, "Number of distinct paths")
+    lm_scale = po.register_value("lm-scale", 1.0, "Scaling factor for graph/lm costs")
+    acoustic_scale = po.register_value("acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    writer = TableWriter(LatticeHolder(), po.get_arg(2))
+    for key, lat in SequentialTableReader(LatticeHolder(), po.get_arg(1)):
+        scaled = lattice_scale(lat, lm_scale[0], acoustic_scale[0])
+        for i, (ali, words, cost) in enumerate(
+                lattice_nbest(scaled, n_opt[0]), 1):
+            linear = VectorFst(LatticeWeight)
+            cur = linear.add_state()
+            linear.set_start(cur)
+            L = max(len(ali), len(words))
+            for j in range(L):
+                ns = linear.add_state()
+                il = ali[j] if j < len(ali) else EPS
+                ol = words[j] if j < len(words) else EPS
+                w = (cost, 0.0) if j == 0 else (0.0, 0.0)
+                linear.add_arc(cur, Arc(il, ol, w, ns))
+                cur = ns
+            linear.set_final(cur, (0.0, 0.0))
+            writer.write(f"{key}-{i}", linear)
+    writer.close()
+    return 0
+
+
+def nbest_to_linear(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Takes as input lattices/n-bests which must be linear (single path);\n"
+        "convert from lattice to up to 4 archives containing transcriptions, alignments,\n"
+        "and acoustic and LM costs\n"
+        "Usage: nbest-to-linear [options] <nbest-rspecifier> <alignments-wspecifier> "
+        "[<transcriptions-wspecifier> [<lm-cost-wspecifier> [<ac-cost-wspecifier>]]]")
+    po.read(argv)
+    if po.num_args() < 2:
+        po.print_usage()
+        return 1
+    ali_writer = TableWriter("int-vector", po.get_arg(2))
+    words_writer = (TableWriter("int-vector", po.get_arg(3))
+                    if po.num_args() >= 3 else None)
+    lm_writer = (TableWriter("float", po.get_arg(4))
+                 if po.num_args() >= 4 else None)
+    ac_writer = (TableWriter("float", po.get_arg(5))
+                 if po.num_args() >= 5 else None)
+    for key, lat in SequentialTableReader(LatticeHolder(), po.get_arg(1)):
+        ali, words, cost = lattice_best_path(lat)
+        ali_writer.write(key, ali)
+        if words_writer:
+            words_writer.write(key, words)
+        # total lm/ac costs along best path
+        if lm_writer or ac_writer:
+            g = a = 0.0
+            # recompute by walking arcs of the linear fst
+            s = lat.start
+            while s >= 0:
+                if lat.finals[s] != LatticeWeight.zero:
+                    g += lat.finals[s][0]
+                    a += lat.finals[s][1]
+                    break
+                if not lat.arcs[s]:
+                    break
+                arc = lat.arcs[s][0]
+                g += arc.weight[0]
+                a += arc.weight[1]
+                s = arc.nextstate
+            if lm_writer:
+                lm_writer.write(key, g)
+            if ac_writer:
+                ac_writer.write(key, a)
+    ali_writer.close()
+    for w in (words_writer, lm_writer, ac_writer):
+        if w:
+            w.close()
+    return 0
+
+
+def lattice_to_post(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Do forward-backward and collect posteriors over lattices.\n"
+        "Usage: lattice-to-post [options] lats-rspecifier posts-wspecifier")
+    acoustic_scale = po.register_value("acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    writer = TableWriter("posterior", po.get_arg(2))
+    n = 0
+    for key, lat in SequentialTableReader(LatticeHolder(), po.get_arg(1)):
+        post = lattice_forward_backward_post(lat, acoustic_scale[0])
+        writer.write(key, post)
+        n += 1
+    writer.close()
+    log(f"posteriors for {n} lattices")
+    return 0

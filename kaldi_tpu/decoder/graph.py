@@ -216,6 +216,33 @@ def make_decoding_graph(lang: Lang, g_fst: VectorFst,
     return hclg
 
 
+def compile_graph_from_lexicon_fst(lex_fst: VectorFst,
+                                   word_ids: Sequence[int],
+                                   tm: TransitionModel,
+                                   tree: ContextDependency,
+                                   transition_scale: float = 1.0,
+                                   self_loop_scale: float = 0.1
+                                   ) -> VectorFst:
+    """compile-train-graphs body: prebuilt L(_disambig) + integer
+    transcript -> HCLG-style training graph. Input labels of L that are
+    not known phones are treated as disambiguation symbols."""
+    phones = set(tm.get_phones())
+    g = make_linear_word_acceptor(word_ids)
+    lg = compose(lex_fst, arcsort(g, "ilabel"))
+    lg = determinize_star(lg)
+    dmap = {}
+    for arcs in lg.arcs:
+        for a in arcs:
+            if a.ilabel != EPS and a.ilabel not in phones:
+                dmap[a.ilabel] = EPS
+    relabel(lg, ilabel_map=dmap)
+    lg = rm_epsilon(lg)
+    graph = expand_hmm(lg, tm, tree, transition_scale, self_loop_scale)
+    if graph.num_states == 0:
+        raise KaldiTpuError("empty training graph")
+    return graph
+
+
 class TrainingGraphCompiler:
     """Per-utterance graphs from transcripts
     (decoder/training-graph-compiler.h:59)."""

@@ -19,7 +19,9 @@ from kaldi_tpu.feat.window import FrameExtractionOptions
 
 @dataclass
 class MelBanksOptions:
-    num_bins: int = field(default=25, metadata={"doc": "Number of triangular mel-frequency bins"})
+    num_bins: int = field(default=25, metadata={
+        "name": "num-mel-bins",
+        "doc": "Number of triangular mel-frequency bins"})
     low_freq: float = field(default=20.0, metadata={"doc": "Low cutoff frequency for mel bins"})
     high_freq: float = field(default=0.0, metadata={"doc": "High cutoff frequency for mel bins (if <= 0, offset from Nyquist)"})
     vtln_low: float = field(default=100.0, metadata={"doc": "Low inflection point in piecewise linear VTLN warping function"})

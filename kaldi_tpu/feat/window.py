@@ -30,11 +30,17 @@ def round_up_to_nearest_power_of_two(n: int) -> int:
 
 @dataclass
 class FrameExtractionOptions:
-    samp_freq: float = 16000.0
-    frame_shift_ms: float = field(default=10.0, metadata={"doc": "Frame shift in milliseconds"})
-    frame_length_ms: float = field(default=25.0, metadata={"doc": "Frame length in milliseconds"})
+    samp_freq: float = field(default=16000.0, metadata={
+        "name": "sample-frequency",
+        "doc": "Waveform data sample frequency"})
+    frame_shift_ms: float = field(default=10.0, metadata={
+        "name": "frame-shift", "doc": "Frame shift in milliseconds"})
+    frame_length_ms: float = field(default=25.0, metadata={
+        "name": "frame-length", "doc": "Frame length in milliseconds"})
     dither: float = field(default=1.0, metadata={"doc": "Dithering constant (0.0 means no dither)"})
-    preemph_coeff: float = field(default=0.97, metadata={"doc": "Coefficient for signal preemphasis"})
+    preemph_coeff: float = field(default=0.97, metadata={
+        "name": "preemphasis-coefficient",
+        "doc": "Coefficient for use in signal preemphasis"})
     remove_dc_offset: bool = field(default=True, metadata={"doc": "Subtract mean from waveform on each frame"})
     window_type: str = field(default="povey", metadata={"doc": "Type of window (hamming|hanning|povey|rectangular|sine|blackman)"})
     round_to_power_of_two: bool = field(default=True, metadata={"doc": "Round window size to power of two by zero-padding input to FFT"})

@@ -187,7 +187,10 @@ def read_lattice_text(stream: BinaryIO) -> Optional[Lattice]:
     return lat if saw_any else None
 
 
-class LatticeHolder:
+from kaldi_tpu.util.table import Holder as _TableHolder
+
+
+class LatticeHolder(_TableHolder):
     """Table holder for Lattice entries (text or KtFst binary)."""
     binary_container = True
 

@@ -66,7 +66,7 @@ class ParseOptions:
                 self.register_struct(getattr(opts_obj, f.name),
                                      prefix=prefix or sub_prefix)
                 continue
-            name = f.name.replace("_", "-")
+            name = f.metadata.get("name", f.name.replace("_", "-"))
             if prefix:
                 name = f"{prefix}.{name}"
             doc = f.metadata.get("doc", "")

@@ -340,6 +340,12 @@ def _make_holder(holder) -> Holder:
     if isinstance(holder, Holder):
         return holder
     if isinstance(holder, str):
+        if holder == "posterior":  # lazy: avoids an import cycle
+            from kaldi_tpu.hmm.posterior import PosteriorHolder
+            return PosteriorHolder()
+        if holder == "lattice":
+            from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+            return LatticeHolder()
         return _HOLDERS[holder]()
     if isinstance(holder, type) and issubclass(holder, Holder):
         return holder()

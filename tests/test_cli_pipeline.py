@@ -1,0 +1,140 @@
+"""Shell-workflow test: the train_mono.sh / decode.sh command sequence
+driven through the actual CLI entry points (in-process for speed) —
+gmm-init-mono .. compile-train-graphs .. align/acc/est iterations ..
+gmm-latgen-faster .. lattice-best-path .. compute-wer."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.cli import get_tool
+from kaldi_tpu.decoder.graph import Lang, make_lexicon_fst
+from kaldi_tpu.feat.wave import WaveData
+from kaldi_tpu.util import kaldi_io
+from kaldi_tpu.util.table import SequentialTableReader, TableWriter
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_mono_e2e import FS, make_corpus, unigram_g
+
+
+def run(tool, *args):
+    rc = get_tool(tool)([tool] + [str(a) for a in args])
+    assert rc == 0, f"{tool} failed with {rc}"
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mono_cli")
+    train_txt, train_wav, test_txt, test_wav = make_corpus(
+        num_train=10, num_test=3)
+    # wav.scp files
+    for name, wavs in (("train", train_wav), ("test", test_wav)):
+        scp = []
+        for utt, wav in wavs.items():
+            p = d / f"{utt}.wav"
+            with open(p, "wb") as f:
+                WaveData(FS, wav[None, :]).write(f)
+            scp.append(f"{utt} {p}")
+        (d / f"wav_{name}.scp").write_text("\n".join(scp) + "\n")
+    # lang resources
+    lang = Lang({"YES": [["Y"]], "NO": [["N"]]}, sil_phone="SIL",
+                sil_prob=0.5)
+    topo = lang.make_topology()
+    kaldi_io.write_kaldi_object(topo.write, str(d / "topo"), binary=False)
+    L = make_lexicon_fst(lang, with_disambig=True)
+    kaldi_io.write_kaldi_object(L.write, str(d / "L.fst"))
+    # transcripts as word-ids
+    with TableWriter("int-vector", f"ark:{d}/train_text.int") as w:
+        for utt, words in train_txt.items():
+            w.write(utt, lang.word_ids(words))
+    # reference text for scoring
+    with TableWriter("token-vector", f"ark:{d}/test_text") as w:
+        for utt, words in test_txt.items():
+            w.write(utt, words)
+    g = unigram_g(lang)
+    kaldi_io.write_kaldi_object(g.write, str(d / "G.fst"))
+    return d, lang, test_txt
+
+
+def test_full_cli_pipeline(workdir):
+    d, lang, test_txt = workdir
+    # features
+    run("compute-mfcc-feats", f"--sample-frequency={FS}", "--dither=0",
+        f"scp:{d}/wav_train.scp", f"ark,scp:{d}/train.ark,{d}/train.scp")
+    run("compute-mfcc-feats", f"--sample-frequency={FS}", "--dither=0",
+        f"scp:{d}/wav_test.scp", f"ark:{d}/test.ark")
+    # init
+    run("gmm-init-mono", f"--train-feats=ark:{d}/train.ark",
+        f"{d}/topo", 13, f"{d}/0.mdl", f"{d}/tree")
+    run("gmm-info", f"{d}/0.mdl")
+    # graphs
+    run("compile-train-graphs", "--self-loop-scale=0.1",
+        f"{d}/tree", f"{d}/0.mdl", f"{d}/L.fst",
+        f"ark:{d}/train_text.int", f"ark:{d}/graphs.ark")
+    # iteration 0: equal align
+    run("align-equal-compiled", f"ark:{d}/graphs.ark", f"ark:{d}/train.ark",
+        f"ark:{d}/ali.0.ark")
+    run("gmm-acc-stats-ali", f"{d}/0.mdl", f"ark:{d}/train.ark",
+        f"ark:{d}/ali.0.ark", f"{d}/0.acc")
+    run("gmm-est", "--min-gaussian-occupancy=3", "--mix-up=20",
+        f"{d}/0.mdl", f"{d}/0.acc", f"{d}/1.mdl")
+    # EM iterations
+    mdl = "1.mdl"
+    for it in range(1, 5):
+        run("gmm-align-compiled", "--beam=10", "--acoustic-scale=0.1",
+            f"{d}/{mdl}", f"ark:{d}/graphs.ark", f"ark:{d}/train.ark",
+            f"ark:{d}/ali.{it}.ark")
+        run("gmm-acc-stats-ali", f"{d}/{mdl}", f"ark:{d}/train.ark",
+            f"ark:{d}/ali.{it}.ark", f"{d}/{it}.acc")
+        nxt = f"{it + 1}.mdl"
+        run("gmm-est", "--min-gaussian-occupancy=3", "--mix-up=30",
+            f"{d}/{mdl}", f"{d}/{it}.acc", f"{d}/{nxt}")
+        mdl = nxt
+    # alignment sanity through ali-to-phones
+    run("ali-to-phones", "--per-frame=true", f"{d}/{mdl}",
+        f"ark:{d}/ali.4.ark", f"ark:{d}/phones.ark")
+    # build HCLG in-process (mkgraph equivalent) and decode via CLI
+    from kaldi_tpu.cli.gmm_tools import read_am_gmm
+    from kaldi_tpu.fstext.fst import VectorFst
+    from kaldi_tpu.recipes.mono import make_hclg
+    from kaldi_tpu.tree import ContextDependency
+
+    tm, am = read_am_gmm(str(d / mdl))
+    tree = kaldi_io.read_kaldi_object(ContextDependency.read, str(d / "tree"))
+
+    class _S:  # minimal MonoSystem shim for make_hclg
+        pass
+    s = _S()
+    s.lang, s.tree, s.tm = lang, tree, tm
+    g = kaldi_io.read_kaldi_object(VectorFst.read, str(d / "G.fst"))
+    from kaldi_tpu.decoder.graph import make_decoding_graph
+    hclg = make_decoding_graph(lang, g, tree, tm)
+    kaldi_io.write_kaldi_object(hclg.write, str(d / "HCLG.fst"))
+
+    run("gmm-latgen-faster", "--acoustic-scale=0.1", "--beam=16",
+        f"{d}/{mdl}", f"{d}/HCLG.fst", f"ark:{d}/test.ark",
+        f"ark:{d}/lat.ark", f"ark:{d}/words.ark")
+    # lattice ops through CLIs
+    run("lattice-scale", "--lm-scale=1.0", "--acoustic-scale=1.0",
+        f"ark:{d}/lat.ark", f"ark:{d}/lat_scaled.ark")
+    run("lattice-best-path", f"ark:{d}/lat_scaled.ark",
+        f"ark:{d}/best_words.ark")
+    run("lattice-to-nbest", "--n=3", f"ark:{d}/lat.ark",
+        f"ark:{d}/nbest.ark")
+    run("lattice-to-post", f"ark:{d}/lat.ark", f"ark:{d}/post.ark")
+    # hypotheses to text + WER
+    hyps = dict(SequentialTableReader("int-vector", f"ark:{d}/best_words.ark"))
+    with TableWriter("token-vector", f"ark:{d}/hyp_text") as w:
+        for utt, ids in hyps.items():
+            w.write(utt, [lang.word_names[i] for i in ids])
+    run("compute-wer", "--mode=present", f"ark:{d}/test_text",
+        f"ark:{d}/hyp_text")
+    # assert accuracy directly
+    from kaldi_tpu.util.edit_distance import WerStats
+    stats = WerStats()
+    hyp_txt = dict(SequentialTableReader("token-vector", f"ark:{d}/hyp_text"))
+    for utt, ref in test_txt.items():
+        stats.add(ref, hyp_txt.get(utt, []))
+    assert stats.wer <= 10.0, stats.report()
