@@ -208,10 +208,13 @@ def make_decoding_graph(lang: Lang, g_fst: VectorFst,
     lg = minimize_encoded(lg)
     lg = _remove_disambig(lg, lang)
     lg = rm_epsilon(lg)
+    ilabel_info = None
     if tree.context_width() != 1:
-        raise KaldiTpuError("context-dependent graphs arrive with the "
-                            "triphone milestone")
-    hclg = expand_hmm(lg, tm, tree, transition_scale, self_loop_scale)
+        from kaldi_tpu.fstext.context import context_expand
+        lg, ilabel_info = context_expand(lg, tree.context_width(),
+                                         tree.central_position())
+    hclg = expand_hmm(lg, tm, tree, transition_scale, self_loop_scale,
+                      ilabel_info=ilabel_info)
     log(f"HCLG: {hclg.num_states} states, {hclg.num_arcs()} arcs")
     return hclg
 
@@ -267,8 +270,14 @@ class TrainingGraphCompiler:
         lg = determinize_star(lg)
         lg = _remove_disambig(lg, self.lang)
         lg = rm_epsilon(lg)
+        ilabel_info = None
+        if self.tree.context_width() != 1:
+            from kaldi_tpu.fstext.context import context_expand
+            lg, ilabel_info = context_expand(lg, self.tree.context_width(),
+                                             self.tree.central_position())
         graph = expand_hmm(lg, self.tm, self.tree,
-                           self.transition_scale, self.self_loop_scale)
+                           self.transition_scale, self.self_loop_scale,
+                           ilabel_info=ilabel_info)
         if graph.num_states == 0:
             raise KaldiTpuError("empty training graph (bad transcript?)")
         return graph

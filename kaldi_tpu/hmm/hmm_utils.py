@@ -38,13 +38,18 @@ def _non_self_loop_log_prob(tm: TransitionModel, ts: int) -> float:
 def expand_hmm(clg: VectorFst, tm: TransitionModel, ctx_dep,
                transition_scale: float = 1.0,
                self_loop_scale: float = 0.1,
-               disambig_syms: Sequence[int] = ()) -> VectorFst:
-    """CLG (ilabels = phones for monophone systems; context-window ids
-    would map through ilabel_info for wider context) -> HCLG with
-    transition-ids on the input side, including self-loops.
+               disambig_syms: Sequence[int] = (),
+               ilabel_info: Optional[List[Tuple[int, ...]]] = None
+               ) -> VectorFst:
+    """CLG -> HCLG with transition-ids on the input side, including
+    self-loops. For monophone systems CLG ilabels are phone ids; for
+    context-dependent systems pass `ilabel_info` mapping each CLG
+    ilabel to its phone window (fstext/context-fst.h ilabel_info
+    convention; entry 0 unused/eps).
 
     Returns a connected tropical FST ready for decoding/alignment."""
     disambig = set(disambig_syms)
+    P = ctx_dep.central_position()
     out = VectorFst(TropicalWeight)
     out.add_states(clg.num_states)
     out.start = clg.start
@@ -56,14 +61,17 @@ def expand_hmm(clg: VectorFst, tm: TransitionModel, ctx_dep,
 
     for s in range(clg.num_states):
         for arc in clg.arcs[s]:
-            phone = arc.ilabel
-            if phone == EPS or phone in disambig:
+            label = arc.ilabel
+            if label == EPS or label in disambig:
                 # pass through (disambig symbols are epsilon-like here)
-                il = EPS if phone in disambig else phone
+                il = EPS if label in disambig else label
                 out.add_arc(s, Arc(il, arc.olabel, arc.weight, arc.nextstate))
                 continue
+            window = (ilabel_info[label] if ilabel_info is not None
+                      else (label,))
+            phone = window[P]
             entry = tm.topo.topology_for_phone(phone)
-            pdfs = [ctx_dep.compute([phone], pc)
+            pdfs = [ctx_dep.compute(list(window), pc)
                     for pc in range(tm.topo.num_pdf_classes(phone))]
             # graph state per non-self-loop HMM transition (j -> k)
             trans_states: Dict[Tuple[int, int], int] = {}
