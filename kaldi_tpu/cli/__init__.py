@@ -24,6 +24,7 @@ _register("kaldi_tpu.cli.feat_tools", {
     "compute-mfcc-feats": "compute_mfcc_feats",
     "compute-fbank-feats": "compute_fbank_feats",
     "compute-spectrogram-feats": "compute_spectrogram_feats",
+    "compute-plp-feats": "compute_plp_feats",
     "copy-feats": "copy_feats",
     "copy-matrix": "copy_matrix",
     "compute-cmvn-stats": "compute_cmvn_stats",

@@ -125,6 +125,11 @@ def compute_fbank_feats(argv):
     return _run_feature_tool("compute-fbank-feats", FbankOptions, argv)
 
 
+def compute_plp_feats(argv):
+    from kaldi_tpu.feat.plp import PlpOptions
+    return _run_feature_tool("compute-plp-feats", PlpOptions, argv)
+
+
 def compute_spectrogram_feats(argv):
     return _run_feature_tool("compute-spectrogram-feats", SpectrogramOptions, argv)
 

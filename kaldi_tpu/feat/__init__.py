@@ -6,3 +6,4 @@ from kaldi_tpu.feat.frontend import (  # noqa: F401
     SpectrogramOptions,
     OfflineFeature,
 )
+from kaldi_tpu.feat.plp import PlpOptions  # noqa: F401

@@ -100,13 +100,21 @@ class OfflineFeature:
         fo = opts.frame_opts
         self.window_fn = win.feature_window_function(fo)
         self.type = opts.feature_type
-        if self.type in ("mfcc", "fbank"):
-            self.mel_cache: Dict[float, np.ndarray] = {}
+        if self.type in ("mfcc", "fbank", "plp"):
+            self.mel_cache: Dict[float, tuple] = {}
         if self.type == "mfcc":
             nb = opts.mel_opts.num_bins
             if opts.num_ceps > nb:
                 raise ValueError("num-ceps cannot be larger than num-mel-bins")
             self.dct = melmod.compute_dct_matrix(opts.num_ceps, nb)
+            self.lifter = (melmod.compute_lifter_coeffs(opts.cepstral_lifter,
+                                                        opts.num_ceps)
+                           if opts.cepstral_lifter != 0.0 else None)
+        if self.type == "plp":
+            from kaldi_tpu.feat.plp import idft_bases
+            assert opts.num_ceps <= opts.lpc_order + 1
+            self.idft = idft_bases(opts.lpc_order + 1,
+                                   opts.mel_opts.num_bins + 2)
             self.lifter = (melmod.compute_lifter_coeffs(opts.cepstral_lifter,
                                                         opts.num_ceps)
                            if opts.cepstral_lifter != 0.0 else None)
@@ -118,8 +126,11 @@ class OfflineFeature:
     # -- host-side helpers ---------------------------------------------------
 
     def _mel_weights(self, vtln_warp: float) -> np.ndarray:
+        return self._mel_pair(vtln_warp)[0]
+
+    def _mel_pair(self, vtln_warp: float):
         if vtln_warp not in self.mel_cache:
-            self.mel_cache[vtln_warp], _ = melmod.mel_banks_matrix(
+            self.mel_cache[vtln_warp] = melmod.mel_banks_matrix(
                 self.opts.mel_opts, self.opts.frame_opts, vtln_warp)
         return self.mel_cache[vtln_warp]
 
@@ -180,6 +191,37 @@ class OfflineFeature:
         mel_energies = jnp.einsum("...f,mf->...m", ps, params["mel"],
                                   precision=jax.lax.Precision.HIGHEST,
                                   preferred_element_type=jnp.float32)
+
+        if self.type == "plp":
+            from kaldi_tpu.feat.plp import durbin_batch, lpc_to_cepstrum_batch
+            order = opts.lpc_order
+            m = mel_energies * params["equal_loudness"]
+            m = jnp.power(jnp.maximum(m, _FLT_EPS), opts.compress_factor)
+            # duplicate first and last bins (feature-plp.cc:152)
+            dup = jnp.concatenate([m[..., :1], m, m[..., -1:]], axis=-1)
+            autocorr = jnp.einsum("...d,od->...o", dup, params["idft"],
+                                  precision=jax.lax.Precision.HIGHEST)
+            lpc, resid = durbin_batch(autocorr, order)
+            # quirk preserved from feature-plp.cc:162: the residual LOG
+            # energy is floored at FLT_MIN (≈0), not at log of a floor
+            resid_log = jnp.maximum(jnp.log(jnp.maximum(resid, 1e-37)),
+                                    float(np.finfo(np.float32).tiny))
+            ceps = lpc_to_cepstrum_batch(lpc, order)
+            feat = jnp.concatenate([resid_log[..., None],
+                                    ceps[..., :opts.num_ceps - 1]], axis=-1)
+            if self.lifter is not None:
+                feat = feat * params["lifter"]
+            if opts.cepstral_scale != 1.0:
+                feat = feat * opts.cepstral_scale
+            if opts.use_energy:
+                if opts.energy_floor > 0.0:
+                    log_energy = jnp.maximum(log_energy,
+                                             float(np.log(opts.energy_floor)))
+                feat = feat.at[..., 0].set(log_energy)
+            if opts.htk_compat:
+                feat = jnp.concatenate([feat[..., 1:], feat[..., :1]],
+                                       axis=-1)
+            return feat
 
         if self.type == "fbank":
             if opts.use_log_fbank:
@@ -254,10 +296,18 @@ class OfflineFeature:
             batch[i, :len(w)] = np.asarray(w, dtype=np.float32)
 
         params = {"window_fn": jnp.asarray(self.window_fn)}
-        if self.type in ("mfcc", "fbank"):
+        if self.type in ("mfcc", "fbank", "plp"):
             params["mel"] = jnp.asarray(self._mel_weights(vtln_warp))
         if self.type == "mfcc":
             params["dct"] = jnp.asarray(self.dct)
+            if self.lifter is not None:
+                params["lifter"] = jnp.asarray(self.lifter)
+        if self.type == "plp":
+            from kaldi_tpu.feat.plp import equal_loudness_vector
+            _, center = self._mel_pair(vtln_warp)
+            params["equal_loudness"] = jnp.asarray(
+                equal_loudness_vector(center))
+            params["idft"] = jnp.asarray(self.idft)
             if self.lifter is not None:
                 params["lifter"] = jnp.asarray(self.lifter)
         use_dither = fo.dither != 0.0
@@ -274,6 +324,8 @@ class OfflineFeature:
 
 def make_feature_computer(feature_type: str, opts=None) -> OfflineFeature:
     if opts is None:
+        from kaldi_tpu.feat.plp import PlpOptions
         opts = {"mfcc": MfccOptions, "fbank": FbankOptions,
-                "spectrogram": SpectrogramOptions}[feature_type]()
+                "spectrogram": SpectrogramOptions,
+                "plp": PlpOptions}[feature_type]()
     return OfflineFeature(opts)
