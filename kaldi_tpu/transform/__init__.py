@@ -1,0 +1,7 @@
+from kaldi_tpu.transform.lda import LdaEstimate, LdaOptions  # noqa: F401
+from kaldi_tpu.transform.mllt import MlltAccs  # noqa: F401
+from kaldi_tpu.transform.fmllr import (  # noqa: F401
+    FmllrDiagGmmAccs,
+    estimate_fmllr,
+    apply_affine_transform,
+)
