@@ -136,16 +136,26 @@ def _align_all(sys_: MonoSystem, graphs: Dict[str, VectorFst],
     for i, u in enumerate(utts):
         batch[i, :lens[i]] = feats[u]
     loglikes = sys_.am.log_likes_batch(batch)  # (B, Tmax, P)
+    from kaldi_tpu.native import get_lib, NativeViterbi
+    use_native = get_lib() is not None
     for i, utt in enumerate(utts):
-        dec = FasterDecoder(graphs[utt], FasterDecoderOptions(beam=beam))
-        res = dec.decode(loglikes[i, :lens[i]], sys_.tm.id2pdf_id,
-                         acoustic_scale)
-        if res is None:
-            # retry with wide beam like steps' retry-beam
-            dec = FasterDecoder(graphs[utt],
-                                FasterDecoderOptions(beam=beam * 4))
+        if use_native:
+            nat = NativeViterbi(graphs[utt])
+            res = nat.decode(loglikes[i, :lens[i]], sys_.tm.id2pdf_id,
+                             acoustic_scale, beam=beam)
+            if res is None:
+                res = nat.decode(loglikes[i, :lens[i]], sys_.tm.id2pdf_id,
+                                 acoustic_scale, beam=beam * 4)
+        else:
+            dec = FasterDecoder(graphs[utt], FasterDecoderOptions(beam=beam))
             res = dec.decode(loglikes[i, :lens[i]], sys_.tm.id2pdf_id,
                              acoustic_scale)
+            if res is None:
+                # retry with wide beam like steps' retry-beam
+                dec = FasterDecoder(graphs[utt],
+                                    FasterDecoderOptions(beam=beam * 4))
+                res = dec.decode(loglikes[i, :lens[i]], sys_.tm.id2pdf_id,
+                                 acoustic_scale)
         if res is None:
             warn(f"alignment failed for {utt}")
             if prev and utt in prev:
@@ -187,10 +197,16 @@ def decode(sys_: MonoSystem, hclg: VectorFst, feats: Dict[str, np.ndarray],
     for i, u in enumerate(utts):
         batch[i, :lens[i]] = feats[u]
     loglikes = sys_.am.log_likes_batch(batch)
+    from kaldi_tpu.native import NativeViterbi, get_lib
+    nat = NativeViterbi(hclg) if get_lib() is not None else None
     dec = FasterDecoder(hclg, FasterDecoderOptions(beam=beam))
     for i, utt in enumerate(utts):
-        res = dec.decode(loglikes[i, :lens[i]], sys_.tm.id2pdf_id,
-                         acoustic_scale)
+        if nat is not None:
+            res = nat.decode(loglikes[i, :lens[i]], sys_.tm.id2pdf_id,
+                             acoustic_scale, beam=beam)
+        else:
+            res = dec.decode(loglikes[i, :lens[i]], sys_.tm.id2pdf_id,
+                             acoustic_scale)
         if res is None:
             warn(f"decode failed for {utt}")
             out[utt] = []
