@@ -1,0 +1,117 @@
+"""Keyword search over lattices (capability parity: src/kws —
+kws-functions.h factor-transducer inverted index + search).
+
+The index maps word -> postings of (utterance, start_frame, end_frame,
+posterior); multi-word keywords are found by joining adjacent postings.
+Posteriors and times come from lattice forward-backward over word arcs
+(the reference's timed factor transducer stores the same tuple; the
+lexicographic-semiring machinery is an encoding of it)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from kaldi_tpu.fstext.fst import EPS, LatticeWeight
+from kaldi_tpu.lat.functions import (_topsort, lattice_state_times)
+from kaldi_tpu.lat.kaldi_lattice import Lattice
+
+
+@dataclass
+class KwsHit:
+    utt: str
+    start_frame: int
+    end_frame: int
+    score: float  # posterior
+
+
+class KwsIndex:
+    def __init__(self, frame_shift: float = 0.01,
+                 min_posterior: float = 1e-3):
+        self.postings: Dict[int, List[Tuple[str, int, int, float]]] = \
+            defaultdict(list)
+        self.frame_shift = frame_shift
+        self.min_posterior = min_posterior
+
+    # -- indexing ----------------------------------------------------------------
+
+    def add_lattice(self, utt: str, lat: Lattice,
+                    acoustic_scale: float = 1.0) -> None:
+        """Index every word arc with its posterior and time span."""
+        n = lat.num_states
+        order = _topsort(lat)
+        times = lattice_state_times(lat)
+
+        def arc_ll(a):
+            return -(a.weight[0] + acoustic_scale * a.weight[1])
+
+        alpha = np.full(n, -np.inf)
+        alpha[lat.start] = 0.0
+        for s in order:
+            if alpha[s] == -np.inf:
+                continue
+            for a in lat.arcs[s]:
+                v = alpha[s] + arc_ll(a)
+                alpha[a.nextstate] = np.logaddexp(alpha[a.nextstate], v)
+        beta = np.full(n, -np.inf)
+        for s in range(n):
+            if lat.finals[s] != LatticeWeight.zero:
+                beta[s] = -(lat.finals[s][0]
+                            + acoustic_scale * lat.finals[s][1])
+        for s in reversed(order):
+            for a in lat.arcs[s]:
+                beta[s] = np.logaddexp(beta[s], arc_ll(a) + beta[a.nextstate])
+        total = beta[lat.start]
+        if not np.isfinite(total):
+            return
+        # word spans: a word token on arc (s -> d) spans from time(s) to
+        # the next word boundary; approximate with the arc's target time
+        # extended until a frame advances (fine-grained spans come from
+        # word-aligned lattices)
+        for s in order:
+            if alpha[s] == -np.inf:
+                continue
+            for a in lat.arcs[s]:
+                if a.olabel == EPS:
+                    continue
+                post = float(np.exp(alpha[s] + arc_ll(a)
+                                    + beta[a.nextstate] - total))
+                if post < self.min_posterior:
+                    continue
+                t0 = times[s]
+                t1 = max(times[a.nextstate], t0 + 1)
+                self.postings[a.olabel].append((utt, t0, t1, post))
+
+    # -- search -------------------------------------------------------------------
+
+    def search(self, keyword: Sequence[int],
+               max_gap_frames: int = 50) -> List[KwsHit]:
+        """Find occurrences of a (multi-)word keyword; score = product
+        of word posteriors."""
+        if not keyword:
+            return []
+        hits: List[KwsHit] = []
+        first = self.postings.get(keyword[0], [])
+        for utt, t0, t1, p in first:
+            chains = [(t1, p)]
+            ok = True
+            end, score = t1, p
+            cur_end = t1
+            for w in keyword[1:]:
+                nxt = [e for e in self.postings.get(w, [])
+                       if e[0] == utt and cur_end <= e[1]
+                       <= cur_end + max_gap_frames]
+                if not nxt:
+                    ok = False
+                    break
+                best = max(nxt, key=lambda e: e[3])
+                cur_end = best[2]
+                score *= best[3]
+                end = best[2]
+            if ok:
+                hits.append(KwsHit(utt, t0, end, score))
+        hits.sort(key=lambda h: -h.score)
+        return hits

@@ -1,0 +1,112 @@
+"""Auxiliary subsystems: CTM/word times, KWS index, NG preconditioner,
+orbax checkpointing, objective logging."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from kaldi_tpu.fstext.fst import Arc, LatticeWeight, VectorFst
+from kaldi_tpu.kws import KwsIndex
+from kaldi_tpu.lat.word_align import (best_path_word_times, format_ctm,
+                                      lattice_to_ctm)
+from kaldi_tpu.nnet3.natural_gradient import online_natural_gradient
+from kaldi_tpu.parallel.checkpoint import (ObjectiveInfo, restore_checkpoint,
+                                           save_checkpoint)
+
+
+def timed_lattice():
+    """Linear lattice: word 1 over frames 0-2, word 2 over frames 2-5."""
+    lat = VectorFst(LatticeWeight)
+    s = [lat.add_state() for _ in range(6)]
+    lat.set_start(s[0])
+    lat.add_arc(s[0], Arc(101, 1, (0.1, 0.2), s[1]))
+    lat.add_arc(s[1], Arc(102, 0, (0.0, 0.1), s[2]))
+    lat.add_arc(s[2], Arc(103, 2, (0.1, 0.1), s[3]))
+    lat.add_arc(s[3], Arc(104, 0, (0.0, 0.1), s[4]))
+    lat.add_arc(s[4], Arc(105, 0, (0.0, 0.1), s[5]))
+    lat.set_final(s[5], (0.0, 0.0))
+    return lat
+
+
+class TestCtm:
+    def test_word_times(self):
+        times = best_path_word_times(timed_lattice(), None)
+        assert times == [(1, 0, 2), (2, 2, 5)]
+
+    def test_ctm_output(self):
+        entries = lattice_to_ctm(timed_lattice(), None, "utt1")
+        assert len(entries) == 2
+        assert entries[0].start == pytest.approx(0.0)
+        assert entries[0].duration == pytest.approx(0.02)
+        assert entries[1].start == pytest.approx(0.02)
+        text = format_ctm(entries, {1: "YES", 2: "NO"})
+        assert "YES" in text and "NO" in text
+
+
+class TestKws:
+    def test_index_and_search(self):
+        idx = KwsIndex()
+        idx.add_lattice("utt1", timed_lattice())
+        hits = idx.search([1])
+        assert hits and hits[0].utt == "utt1"
+        assert hits[0].score == pytest.approx(1.0, abs=1e-5)
+        # multiword
+        hits2 = idx.search([1, 2])
+        assert hits2 and hits2[0].end_frame >= hits2[0].start_frame
+        assert idx.search([999]) == []
+
+
+class TestNaturalGradient:
+    def test_preconditions_and_preserves_norm(self):
+        rng = np.random.default_rng(0)
+        params = {"w": jnp.asarray(rng.normal(size=(16, 32)), jnp.float32),
+                  "b": jnp.zeros(32)}
+        tx = online_natural_gradient()
+        state = tx.init(params)
+        # correlated gradient: rank-deficient covariance
+        g = jnp.asarray(np.outer(rng.normal(size=16),
+                                 rng.normal(size=32)), jnp.float32)
+        grads = {"w": g, "b": jnp.ones(32)}
+        new_grads, state = tx.update(grads, state)
+        # norm preserved for w, b untouched
+        assert float(jnp.linalg.norm(new_grads["w"])) == pytest.approx(
+            float(jnp.linalg.norm(g)), rel=1e-3)
+        np.testing.assert_array_equal(np.asarray(new_grads["b"]),
+                                      np.ones(32))
+        # second call with same grad: whitening spreads the spectrum
+        new2, state = tx.update(grads, state)
+        s_orig = np.linalg.svd(np.asarray(g), compute_uv=False)
+        s_new = np.linalg.svd(np.asarray(new2["w"]), compute_uv=False)
+        ratio_orig = s_orig[0] / max(s_orig[1], 1e-6)
+        ratio_new = s_new[0] / max(s_new[1], 1e-6)
+        assert ratio_new <= ratio_orig + 1e-3
+
+    def test_composes_with_sgd(self):
+        params = {"w": jnp.ones((4, 8))}
+        tx = optax.chain(online_natural_gradient(), optax.sgd(0.1))
+        state = tx.init(params)
+        updates, state = tx.update({"w": jnp.ones((4, 8))}, state)
+        assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+class TestCheckpoint:
+    def test_save_restore(self, tmp_path):
+        state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+                 "step": jnp.asarray(7)}
+        save_checkpoint(str(tmp_path), state, 7, extra={"egs_pos": 123})
+        template = jax.tree.map(np.zeros_like, state)
+        got, extra, step = restore_checkpoint(str(tmp_path), template)
+        assert step == 7
+        assert extra == {"egs_pos": 123}
+        np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                      np.arange(6.0).reshape(2, 3))
+
+    def test_objective_info(self, capsys):
+        info = ObjectiveInfo("output", interval=2)
+        for _ in range(4):
+            info.update(-0.5, 100)
+        avg = info.print_total()
+        assert avg == pytest.approx(-0.5)
