@@ -61,6 +61,22 @@ _register("kaldi_tpu.cli.ali_tools", {
     "align-text": "align_text",
 })
 
+_register("kaldi_tpu.cli.misc_tools", {
+    "transform-feats": "transform_feats",
+    "est-lda": "est_lda",
+    "acc-lda": "acc_lda",
+    "gmm-est-fmllr": "gmm_est_fmllr",
+    "compute-vad": "compute_vad",
+    "ivector-extract": "ivector_extract",
+    "ivector-compute-plda": "ivector_compute_plda",
+    "lattice-lmrescore": "lattice_lmrescore_cli",
+    "lattice-mbr-decode": "lattice_mbr_decode",
+    "lattice-to-ctm-conf": "lattice_to_ctm_conf",
+    "nnet3-init": "nnet3_init",
+    "nnet3-compute": "nnet3_compute",
+    "copy-vector": "copy_vector",
+})
+
 _register("kaldi_tpu.cli.lat_tools", {
     "lattice-copy": "lattice_copy",
     "lattice-scale": "lattice_scale_cli",

@@ -1,0 +1,407 @@
+"""Additional CLI families: transform estimation (est-lda, est-mllt,
+gmm-est-fmllr, transform-feats), VAD + i-vectors (compute-vad,
+ivector-extract, ivector-compute-plda, ivector-plda-scoring), LM
+rescoring (lattice-lmrescore), MBR/CTM (lattice-mbr-decode,
+lattice-to-ctm-conf), nnet3 (nnet3-init, nnet3-info, nnet3-compute),
+misc (copy-vector, sum-matrices)."""
+
+from __future__ import annotations
+
+import sys
+from typing import List
+
+import numpy as np
+
+from kaldi_tpu.base import io_funcs as iof
+from kaldi_tpu.base.logging import log, warn
+from kaldi_tpu.util import kaldi_io
+from kaldi_tpu.util.parse_options import ParseOptions
+from kaldi_tpu.util.table import (RandomAccessTableReader,
+                                  RandomAccessTableReaderMapped,
+                                  SequentialTableReader, TableWriter)
+
+
+# ---------------------------------------------------------------------------
+# transforms
+
+def transform_feats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Apply transform (e.g. LDA; fMLLR) to features\n"
+        "Usage: transform-feats [options] (<transform-rspecifier>|<transform-rxfilename>) <feats-rspecifier> <feats-wspecifier>")
+    utt2spk = po.register_value("utt2spk", "", "rspecifier for utterance to speaker map")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.transform.fmllr import apply_affine_transform
+    t_arg = po.get_arg(1)
+    is_table = ":" in t_arg and t_arg.split(":")[0].split(",")[0] in \
+        ("ark", "scp")
+    reader = (RandomAccessTableReaderMapped("matrix", t_arg, utt2spk[0])
+              if is_table else None)
+    global_t = (None if is_table
+                else kaldi_io.read_kaldi_object(iof.read_matrix, t_arg))
+    writer = TableWriter("matrix", po.get_arg(3))
+    n = err = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(2)):
+        t = global_t
+        if reader is not None:
+            if key not in reader:
+                warn(f"no transform for {key}")
+                err += 1
+                continue
+            t = reader[key]
+        D = feats.shape[1]
+        if t.shape[1] == D + 1:
+            out = apply_affine_transform(feats, t)
+        elif t.shape[1] == D:
+            out = feats @ t.T
+        else:
+            warn(f"{key}: transform shape {t.shape} vs dim {D}")
+            err += 1
+            continue
+        writer.write(key, out)
+        n += 1
+    writer.close()
+    log(f"transformed {n} feature matrices ({err} errors)")
+    return 0 if n else 1
+
+
+def est_lda(argv: List[str]) -> int:
+    po = ParseOptions("Estimate LDA transform using stats obtained with acc-lda.\n"
+                      "Usage: est-lda [options] <lda-matrix-out> <lda-acc-1> <lda-acc-2> ...")
+    from kaldi_tpu.transform.lda import LdaEstimate, LdaOptions
+    opts = LdaOptions()
+    po.register_struct(opts)
+    po.read(argv)
+    if po.num_args() < 2:
+        po.print_usage()
+        return 1
+    total = None
+    for i in range(2, po.num_args() + 1):
+        acc = kaldi_io.read_kaldi_object(LdaEstimate.read, po.get_arg(i))
+        if total is None:
+            total = acc
+        else:
+            total.add(acc)
+    lda, _ = total.estimate(opts)
+    kaldi_io.write_kaldi_object(
+        lambda s, b: iof.write_matrix(s, b, lda), po.get_arg(1))
+    return 0
+
+
+def acc_lda(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Accumulate LDA statistics based on pdf-ids.\n"
+        "Usage: acc-lda [options] <transition-model> <features-rspecifier> "
+        "<posteriors-rspecifier> <lda-acc-out>")
+    rand_prune = po.register_value("rand-prune", 0.0, "Randomized pruning threshold for posteriors")
+    po.read(argv)
+    if po.num_args() != 4:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.cli.gmm_tools import read_am_gmm
+    from kaldi_tpu.transform.lda import LdaEstimate
+    tm, am = read_am_gmm(po.get_arg(1))
+    ali_reader = RandomAccessTableReader("int-vector", po.get_arg(3))
+    est = None
+    for key, feats in SequentialTableReader("matrix", po.get_arg(2)):
+        if key not in ali_reader:
+            continue
+        ali = ali_reader[key]
+        if est is None:
+            est = LdaEstimate(tm.num_pdfs, feats.shape[1])
+        pdfs = tm.transition_ids_to_pdfs(ali)
+        for pdf in np.unique(pdfs):
+            est.accumulate(feats[pdfs == pdf], int(pdf))
+    kaldi_io.write_kaldi_object(est.write, po.get_arg(4))
+    return 0
+
+
+def gmm_est_fmllr(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Estimate global fMLLR transforms, either per utterance or for "
+        "the supplied set of speakers (spk2utt option).\n"
+        "Usage: gmm-est-fmllr [options] <model-in> <feature-rspecifier> "
+        "<post-rspecifier> <transform-wspecifier>")
+    spk2utt = po.register_value("spk2utt", "", "rspecifier for speaker to utterance-list map")
+    po.read(argv)
+    if po.num_args() != 4:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.cli.gmm_tools import read_am_gmm
+    from kaldi_tpu.transform.fmllr import FmllrDiagGmmAccs
+    tm, am = read_am_gmm(po.get_arg(1))
+    ali_reader = RandomAccessTableReader("int-vector", po.get_arg(3))
+    writer = TableWriter("matrix", po.get_arg(4))
+    n = 0
+    if spk2utt[0]:
+        feat_reader = RandomAccessTableReader("matrix", po.get_arg(2))
+        for spk, utts in SequentialTableReader("token-vector", spk2utt[0]):
+            accs = None
+            for utt in utts:
+                if utt not in feat_reader or utt not in ali_reader:
+                    continue
+                feats = feat_reader[utt]
+                if accs is None:
+                    accs = FmllrDiagGmmAccs(feats.shape[1])
+                accs.accumulate_from_alignment(am, tm, feats,
+                                               ali_reader[utt])
+            if accs is None:
+                continue
+            W, impr = accs.update()
+            writer.write(spk, W)
+            n += 1
+    else:
+        for utt, feats in SequentialTableReader("matrix", po.get_arg(2)):
+            if utt not in ali_reader:
+                continue
+            accs = FmllrDiagGmmAccs(feats.shape[1])
+            accs.accumulate_from_alignment(am, tm, feats, ali_reader[utt])
+            W, impr = accs.update()
+            writer.write(utt, W)
+            n += 1
+    writer.close()
+    log(f"estimated {n} fMLLR transforms")
+    return 0 if n else 1
+
+
+# ---------------------------------------------------------------------------
+# VAD / ivectors
+
+def compute_vad(argv: List[str]) -> int:
+    po = ParseOptions("Apply energy-based voice activity detection\n"
+                      "Usage: compute-vad [options] <feats-rspecifier> <vad-wspecifier>")
+    from kaldi_tpu.ivector.vad import VadEnergyOptions, compute_vad_energy
+    opts = VadEnergyOptions()
+    po.register_struct(opts)
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    writer = TableWriter("vector", po.get_arg(2))
+    for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+        writer.write(key, compute_vad_energy(opts, feats))
+    writer.close()
+    return 0
+
+
+def ivector_extract(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Extract iVectors for utterances\n"
+        "Usage: ivector-extract [options] <model-in> <feature-rspecifier> "
+        "<ivector-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.ivector import IvectorExtractor
+    ex = kaldi_io.read_kaldi_object(IvectorExtractor.read, po.get_arg(1))
+    writer = TableWriter("vector", po.get_arg(3))
+    n = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(2)):
+        writer.write(key, ex.extract_offset_removed(feats))
+        n += 1
+    writer.close()
+    log(f"extracted {n} ivectors")
+    return 0
+
+
+def ivector_compute_plda(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Computes a Plda object from a set of iVectors.\n"
+        "Usage: ivector-compute-plda [options] <spk2utt-rspecifier> "
+        "<ivector-rspecifier> <plda-out>")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.ivector.plda import train_plda
+    iv_reader = RandomAccessTableReader("vector", po.get_arg(2))
+    classes = {}
+    for spk, utts in SequentialTableReader("token-vector", po.get_arg(1)):
+        vecs = [iv_reader[u] for u in utts if u in iv_reader]
+        if vecs:
+            classes[spk] = vecs
+    plda = train_plda(classes)
+    kaldi_io.write_kaldi_object(plda.write, po.get_arg(3))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# lattice rescoring / MBR / CTM
+
+def lattice_lmrescore_cli(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Add lm_scale * [cost of best path through LM FST] to graph "
+        "costs of the lattice.\n"
+        "Usage: lattice-lmrescore [options] <lattice-rspecifier> "
+        "<arpa-lm-rxfilename> <words-txt> <lattice-wspecifier>")
+    lm_scale = po.register_value("lm-scale", 1.0, "Scaling factor for language model costs; frequently 1.0 or -1.0")
+    po.read(argv)
+    if po.num_args() != 4:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+    from kaldi_tpu.lm.arpa import parse_arpa
+    from kaldi_tpu.lm.rescore import DeterministicLm, lattice_lmrescore
+    with kaldi_io.input_stream(po.get_arg(2)) as f:
+        lm = parse_arpa(f.read().decode("utf-8"))
+    word_names = {}
+    with open(po.get_arg(3)) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                word_names[int(parts[1])] = parts[0]
+    det = DeterministicLm(lm, word_names)
+    writer = TableWriter(LatticeHolder(), po.get_arg(4))
+    n = 0
+    for key, lat in SequentialTableReader(LatticeHolder(), po.get_arg(1)):
+        writer.write(key, lattice_lmrescore(lat, det, lm_scale[0]))
+        n += 1
+    writer.close()
+    log(f"rescored {n} lattices")
+    return 0
+
+
+def lattice_mbr_decode(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Do Minimum Bayes Risk decoding (decoding that aims to minimize the "
+        "expected word error rate).\n"
+        "Usage: lattice-mbr-decode [options] <lattice-rspecifier> "
+        "<transcriptions-wspecifier> [<bayes-risk-wspecifier> [<sausage-stats-wspecifier>]]")
+    lm_scale = po.register_value("lm-scale", 1.0, "Scaling factor for graph/lm costs")
+    acoustic_scale = po.register_value("acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    po.read(argv)
+    if po.num_args() < 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.lat.functions import lattice_scale
+    from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+    from kaldi_tpu.lat.sausages import MinimumBayesRisk
+    writer = TableWriter("int-vector", po.get_arg(2))
+    risk_writer = (TableWriter("float", po.get_arg(3))
+                   if po.num_args() >= 3 else None)
+    for key, lat in SequentialTableReader(LatticeHolder(), po.get_arg(1)):
+        scaled = lattice_scale(lat, lm_scale[0], acoustic_scale[0])
+        mbr = MinimumBayesRisk(scaled)
+        writer.write(key, mbr.get_one_best())
+        if risk_writer:
+            risk_writer.write(key, mbr.get_bayes_risk())
+    writer.close()
+    if risk_writer:
+        risk_writer.close()
+    return 0
+
+
+def lattice_to_ctm_conf(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Generate 1-best path through lattices; output as CTM with "
+        "confidences.\n"
+        "Usage: lattice-to-ctm-conf [options] <lattice-rspecifier> <ctm-wxfilename>")
+    acoustic_scale = po.register_value("acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    lm_scale = po.register_value("lm-scale", 1.0, "Scaling factor for LM probabilities")
+    frame_shift = po.register_value("frame-shift", 0.01, "Time in seconds between frames")
+    decode_mbr = po.register_value("decode-mbr", True, "If true, do Minimum Bayes Risk decoding")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.lat.functions import lattice_scale
+    from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+    from kaldi_tpu.lat.word_align import format_ctm, lattice_to_ctm
+    entries = []
+    for key, lat in SequentialTableReader(LatticeHolder(), po.get_arg(1)):
+        scaled = lattice_scale(lat, lm_scale[0], acoustic_scale[0])
+        entries.extend(lattice_to_ctm(scaled, None, key, frame_shift[0],
+                                      decode_mbr=decode_mbr[0]))
+    with kaldi_io.output_stream(po.get_arg(2)) as f:
+        f.write(format_ctm(entries).encode())
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# nnet3
+
+def nnet3_init(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Initialize nnet3 neural network from a config file (xconfig "
+        "subset); writes the model (params + config) with orbax.\n"
+        "Usage: nnet3-init [options] <config-in> <raw-nnet-out>")
+    srand = po.register_value("srand", 0, "Seed for random number generator")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    import jax
+    import jax.numpy as jnp
+    from kaldi_tpu.nnet3.xconfig import build_xconfig_model, parse_xconfig
+    with open(po.get_arg(1)) as f:
+        text = f.read()
+    layers = parse_xconfig(text)
+    model = build_xconfig_model(text)
+    dims = {l.name: l.get_int("dim") for l in layers
+            if l.layer_type == "input"}
+    inputs = {name: jnp.zeros((1, 21, d)) for name, d in dims.items()}
+    variables = model.init(jax.random.PRNGKey(srand[0]), inputs)
+    from kaldi_tpu.parallel.checkpoint import save_checkpoint
+    import os
+    out = po.get_arg(2)
+    save_checkpoint(out, variables, 0, extra={"xconfig": text})
+    log(f"initialized model at {out}")
+    return 0
+
+
+def nnet3_compute(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Propagate the features through raw neural network model.\n"
+        "Usage: nnet3-compute [options] <nnet-dir> <features-rspecifier> "
+        "<matrix-wspecifier>")
+    use_xent = po.register_value("use-xent-output", False, "Use the output-xent head instead of output")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    import jax
+    import jax.numpy as jnp
+    from kaldi_tpu.nnet3.xconfig import build_xconfig_model
+    from kaldi_tpu.parallel.checkpoint import restore_checkpoint
+    import json
+    import os
+    base = os.path.abspath(po.get_arg(1))
+    meta = json.load(open(os.path.join(base, "step_0.meta.json")))
+    text = meta["xconfig"]
+    model = build_xconfig_model(text, train=False)
+    # restore with a fresh-init template
+    from kaldi_tpu.nnet3.xconfig import parse_xconfig
+    layers = parse_xconfig(text)
+    dims = {l.name: l.get_int("dim") for l in layers
+            if l.layer_type == "input"}
+    inputs0 = {name: jnp.zeros((1, 21, d)) for name, d in dims.items()}
+    template = model.init(jax.random.PRNGKey(0), inputs0)
+    variables, _, _ = restore_checkpoint(base, template)
+    writer = TableWriter("matrix", po.get_arg(3))
+    head = "output-xent" if use_xent[0] else "output"
+    n = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(2)):
+        inputs = {"input": jnp.asarray(feats[None])}
+        out = model.apply(variables, inputs)
+        writer.write(key, np.asarray(out[head][0]))
+        n += 1
+    writer.close()
+    log(f"computed outputs for {n} utterances")
+    return 0
+
+
+def copy_vector(argv: List[str]) -> int:
+    po = ParseOptions("Copy vectors, or archives of vectors\n"
+                      "Usage: copy-vector [options] <vector-rspecifier> <vector-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    writer = TableWriter("vector", po.get_arg(2))
+    for key, vec in SequentialTableReader("vector", po.get_arg(1)):
+        writer.write(key, vec)
+    writer.close()
+    return 0
