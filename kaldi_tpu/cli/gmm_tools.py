@@ -114,7 +114,8 @@ def compile_train_graphs(argv: List[str]) -> int:
         return 1
     tree = kaldi_io.read_kaldi_object(ContextDependency.read, po.get_arg(1))
     tm, _ = read_am_gmm(po.get_arg(2))
-    lex = kaldi_io.read_kaldi_object(VectorFst.read, po.get_arg(3))
+    from kaldi_tpu.fstext.openfst_io import read_fst_file
+    lex = read_fst_file(po.get_arg(3))
     from kaldi_tpu.decoder.graph import compile_graph_from_lexicon_fst
     writer = TableWriter(VectorFst, po.get_arg(5))
     n = err = 0
@@ -276,7 +277,8 @@ def gmm_latgen_faster(argv: List[str]) -> int:
         po.print_usage()
         return 1
     tm, am = read_am_gmm(po.get_arg(1))
-    hclg = kaldi_io.read_kaldi_object(VectorFst.read, po.get_arg(2))
+    from kaldi_tpu.fstext.openfst_io import read_fst_file
+    hclg = read_fst_file(po.get_arg(2))
     lat_writer = TableWriter(LatticeHolder(), po.get_arg(4))
     word_writer = (TableWriter("int-vector", po.get_arg(5))
                    if po.num_args() >= 5 and po.get_arg(5) else None)

@@ -197,6 +197,10 @@ class LatticeHolder(_TableHolder):
     def read(self, stream):
         binary = iof.init_input_stream(stream)
         if binary:
+            from kaldi_tpu.fstext.openfst_io import (peek_is_openfst,
+                                                     read_fst)
+            if peek_is_openfst(stream):
+                return read_fst(stream)  # reference binary lattices
             return VectorFst.read(stream, True)
         return read_lattice_text(stream)
 
