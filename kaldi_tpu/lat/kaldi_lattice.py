@@ -206,7 +206,9 @@ class LatticeHolder(_TableHolder):
 
     def write(self, stream, binary, value):
         if binary:
-            value.write(stream, True)
+            # reference-compatible binary lattices (compactlattice44)
+            from kaldi_tpu.fstext.openfst_io import write_fst
+            write_fst(stream, value, as_compact_lattice=True)
         else:
             write_lattice_text(stream, value)
 

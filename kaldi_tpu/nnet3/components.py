@@ -47,7 +47,15 @@ def constrain_orthonormal(m: jnp.ndarray, scale: float = 1.0,
         scale2 = trace_pp / jnp.maximum(trace_p, 1e-20)
     else:
         scale2 = jnp.asarray(scale * scale, m.dtype)
-    eye = jnp.eye(p.shape[0], dtype=m.dtype) * scale2
+    # rescale so trace(P)/rows == scale2 first — keeps the fixed-point
+    # update stable from arbitrary initializations (the reference
+    # adapts update_speed for the same reason)
+    rows = p.shape[0]
+    ratio = jnp.trace(p) / jnp.maximum(rows * scale2, 1e-20)
+    ratio = jnp.maximum(ratio, 1e-10)
+    m = m * jax.lax.rsqrt(ratio)
+    p = p / ratio
+    eye = jnp.eye(rows, dtype=m.dtype) * scale2
     m = m - (4.0 * update_speed / scale2) * ((p - eye) @ m)
     return m.T if transposed else m
 
@@ -194,3 +202,115 @@ class StatisticsPooling(nn.Module):
             var = x.var(axis=1)
         std = jnp.sqrt(jnp.maximum(var, self.epsilon))
         return jnp.concatenate([mean, std], axis=-1)
+
+
+class GruLayer(nn.Module):
+    """Projected GRU (the reference's norm-OGRU family,
+    nnet-combined-component.h:713/979): standard GRU cell via lax.scan
+    with an output projection."""
+    cell_dim: int = 512
+    projection_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x, init_state=None):
+        B, T, D = x.shape
+        cd = self.cell_dim
+        w_zr = self.param("w_zr", nn.initializers.glorot_uniform(),
+                          (2 * cd, D + cd))
+        b_zr = self.param("b_zr", nn.initializers.zeros, (2 * cd,))
+        w_h = self.param("w_h", nn.initializers.glorot_uniform(),
+                         (cd, D + cd))
+        b_h = self.param("b_h", nn.initializers.zeros, (cd,))
+        w_proj = self.param("w_proj", nn.initializers.glorot_uniform(),
+                            (self.projection_dim, cd))
+        h0 = (jnp.zeros((B, cd), x.dtype) if init_state is None
+              else init_state)
+
+        def step(h, xt):
+            zr = jnp.concatenate([xt, h], axis=-1) @ w_zr.T + b_zr
+            z, r = jnp.split(jax.nn.sigmoid(zr), 2, axis=-1)
+            hb = jnp.tanh(jnp.concatenate([xt, r * h], axis=-1)
+                          @ w_h.T + b_h)
+            h_new = (1 - z) * h + z * hb
+            return h_new, h_new @ w_proj.T
+
+        h_fin, ys = jax.lax.scan(step, h0, jnp.swapaxes(x, 0, 1))
+        return jnp.swapaxes(ys, 0, 1), h_fin
+
+
+class RestrictedAttention(nn.Module):
+    """Restricted self-attention (nnet-attention-component.h:106):
+    dot-product attention where each frame attends to a bounded window
+    [t - num_left_inputs, t + num_right_inputs], realized with static
+    shifts (no data-dependent shapes)."""
+    num_heads: int = 4
+    key_dim: int = 40
+    value_dim: int = 40
+    num_left_inputs: int = 5
+    num_right_inputs: int = 2
+    time_stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, D = x.shape
+        H, K, V = self.num_heads, self.key_dim, self.value_dim
+        q = nn.Dense(H * K, name="query")(x).reshape(B, T, H, K)
+        k = nn.Dense(H * K, name="key")(x).reshape(B, T, H, K)
+        v = nn.Dense(H * V, name="value")(x).reshape(B, T, H, V)
+        offsets = [o * self.time_stride
+                   for o in range(-self.num_left_inputs,
+                                  self.num_right_inputs + 1)]
+        logits = []
+        values = []
+        for off in offsets:
+            if off == 0:
+                ks, vs = k, v
+            elif off > 0:
+                pad_k = jnp.repeat(k[:, -1:], off, axis=1)
+                ks = jnp.concatenate([k[:, off:], pad_k], axis=1)
+                pad_v = jnp.repeat(v[:, -1:], off, axis=1)
+                vs = jnp.concatenate([v[:, off:], pad_v], axis=1)
+            else:
+                o = -off
+                pad_k = jnp.repeat(k[:, :1], o, axis=1)
+                ks = jnp.concatenate([pad_k, k[:, :-o]], axis=1)
+                pad_v = jnp.repeat(v[:, :1], o, axis=1)
+                vs = jnp.concatenate([pad_v, v[:, :-o]], axis=1)
+            logits.append(jnp.einsum("bthk,bthk->bth", q, ks)
+                          / jnp.sqrt(K).astype(x.dtype))
+            values.append(vs)
+        att = jax.nn.softmax(jnp.stack(logits, axis=-1), axis=-1)  # B,T,H,W
+        stacked = jnp.stack(values, axis=3)                        # B,T,H,W,V
+        out = jnp.einsum("bthw,bthwv->bthv", att, stacked)
+        return out.reshape(B, T, H * V)
+
+
+def spec_augment(feats, rng_key, freq_mask_width: int = 10,
+                 num_freq_masks: int = 2, time_mask_frac: float = 0.1,
+                 num_time_masks: int = 2):
+    """SpecAugment-style masking (the reference's
+    SpecAugmentTimeMaskComponent + GeneralDropout freq masking,
+    nnet-general-component.h:1017): zero random frequency bands and
+    time spans. feats (B, T, D)."""
+    B, T, D = feats.shape
+    keys = jax.random.split(rng_key, 4)
+    out = feats
+    # frequency masks
+    f0 = jax.random.randint(keys[0], (B, num_freq_masks), 0,
+                            max(D - freq_mask_width, 1))
+    widths = jax.random.randint(keys[1], (B, num_freq_masks), 0,
+                                freq_mask_width + 1)
+    d_idx = jnp.arange(D)[None, None, :]
+    fmask = ((d_idx >= f0[..., None]) &
+             (d_idx < (f0 + widths)[..., None])).any(axis=1)  # (B, D)
+    out = out * (1.0 - fmask[:, None, :].astype(feats.dtype))
+    # time masks
+    max_w = max(int(T * time_mask_frac), 1)
+    t0 = jax.random.randint(keys[2], (B, num_time_masks), 0,
+                            max(T - max_w, 1))
+    tw = jax.random.randint(keys[3], (B, num_time_masks), 0, max_w + 1)
+    t_idx = jnp.arange(T)[None, None, :]
+    tmask = ((t_idx >= t0[..., None]) &
+             (t_idx < (t0 + tw)[..., None])).any(axis=1)  # (B, T)
+    out = out * (1.0 - tmask[:, :, None].astype(feats.dtype))
+    return out
