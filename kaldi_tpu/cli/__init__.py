@@ -77,6 +77,14 @@ _register("kaldi_tpu.cli.misc_tools", {
     "copy-vector": "copy_vector",
 })
 
+_register("kaldi_tpu.cli.nnet3_tools", {
+    "nnet3-latgen-faster": "nnet3_latgen_faster",
+    "acc-tree-stats": "acc_tree_stats",
+    "sum-tree-stats": "sum_tree_stats",
+    "cluster-phones": "cluster_phones_cli",
+    "build-tree": "build_tree_cli",
+})
+
 _register("kaldi_tpu.cli.lat_tools", {
     "lattice-copy": "lattice_copy",
     "lattice-scale": "lattice_scale_cli",
