@@ -75,6 +75,10 @@ _register("kaldi_tpu.cli.misc_tools", {
     "nnet3-init": "nnet3_init",
     "nnet3-compute": "nnet3_compute",
     "copy-vector": "copy_vector",
+    "gmm-boost-silence": "gmm_boost_silence",
+    "tree-info": "tree_info",
+    "am-info": "am_info",
+    "lattice-depth": "lattice_depth",
 })
 
 _register("kaldi_tpu.cli.nnet3_tools", {

@@ -405,3 +405,86 @@ def copy_vector(argv: List[str]) -> int:
         writer.write(key, vec)
     writer.close()
     return 0
+
+
+def gmm_boost_silence(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Modify GMM-based model to boost (by a certain factor) all\n"
+        "probabilities associated with the specified phones (could be "
+        "all silence phones)\n"
+        "Usage: gmm-boost-silence [options] <silence-phones-list> <model-in> <model-out>")
+    boost = po.register_value("boost", 1.5, "Factor by which to boost silence probs")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.cli.gmm_tools import read_am_gmm, write_am_gmm
+    phones = [int(p) for p in po.get_arg(1).split(":") if p]
+    tm, am = read_am_gmm(po.get_arg(2))
+    pdfs = set()
+    for ts in range(1, tm.num_transition_states + 1):
+        if tm.transition_state_to_phone(ts) in phones:
+            pdfs.add(tm.transition_state_to_forward_pdf(ts))
+            pdfs.add(tm.transition_state_to_self_loop_pdf(ts))
+    for pdf in pdfs:
+        g = am.get_pdf(pdf)
+        g.gconsts = g.gconsts + np.float32(np.log(boost[0]))
+    am.invalidate_pack()
+    write_am_gmm(po.get_arg(3), tm, am)
+    log(f"boosted {len(pdfs)} pdfs by factor {boost[0]}")
+    return 0
+
+
+def tree_info(argv: List[str]) -> int:
+    po = ParseOptions("Print information about decision tree\n"
+                      "Usage: tree-info <tree-in>")
+    po.read(argv)
+    if po.num_args() != 1:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.tree import ContextDependency
+    tree = kaldi_io.read_kaldi_object(ContextDependency.read, po.get_arg(1))
+    print(f"num-pdfs {tree.num_pdfs}")
+    print(f"context-width {tree.context_width()}")
+    print(f"central-position {tree.central_position()}")
+    return 0
+
+
+def am_info(argv: List[str]) -> int:
+    po = ParseOptions("Write to stdout various properties of a model\n"
+                      "Usage: am-info [options] <model-in>")
+    po.read(argv)
+    if po.num_args() != 1:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.cli.gmm_tools import gmm_info
+    return gmm_info(["gmm-info", po.get_arg(1)])
+
+
+def lattice_depth(argv: List[str]) -> int:
+    po = ParseOptions("Compute the lattice depths in terms of the average number of arcs that\n"
+                      "cross a frame.  See also lattice-depth-per-frame\n"
+                      "Usage: lattice-depth <lattice-rspecifier> [<depth-wspecifier>]")
+    po.read(argv)
+    if po.num_args() < 1:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.lat.functions import lattice_state_times
+    from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+    writer = (TableWriter("float", po.get_arg(2))
+              if po.num_args() >= 2 else None)
+    total_arcs = total_frames = 0
+    for key, lat in SequentialTableReader(LatticeHolder(), po.get_arg(1)):
+        times = lattice_state_times(lat)
+        T = max((t for t in times if t >= 0), default=0)
+        n_emitting = sum(1 for arcs in lat.arcs for a in arcs
+                         if a.ilabel != 0)
+        depth = n_emitting / max(T, 1)
+        if writer:
+            writer.write(key, depth)
+        total_arcs += n_emitting
+        total_frames += T
+    if writer:
+        writer.close()
+    log(f"overall density {total_arcs / max(total_frames, 1):.2f}")
+    return 0

@@ -87,6 +87,20 @@ class HmmTopology:
         topo.phones = sorted(topo.phone2idx)
         return topo
 
+    @classmethod
+    def chain_topology(cls, phones: List[int]) -> "HmmTopology":
+        """The 'chain' topology (steps/nnet3/chain/gen_topo.py): one
+        emitting state whose first frame uses pdf-class 0 and whose
+        self-loop uses pdf-class 1 — so a phone can be traversed in a
+        single frame at the subsampled rate."""
+        topo = cls()
+        entry = [HmmState(0, 1, [(0, 0.5), (1, 0.5)]), HmmState()]
+        topo.entries.append(entry)
+        for p in phones:
+            topo.phone2idx[p] = 0
+        topo.phones = sorted(topo.phone2idx)
+        return topo
+
     # -- queries -------------------------------------------------------------
 
     def topology_for_phone(self, phone: int) -> List[HmmState]:
