@@ -20,4 +20,5 @@ from kaldi_tpu.fstext.ops import (  # noqa: F401
     invert,
     relabel,
     equal_paths,
+    replace_fst,
 )

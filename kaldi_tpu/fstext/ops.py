@@ -639,3 +639,40 @@ def equal_paths(fst1: VectorFst, fst2: VectorFst, max_len: int = 8,
         if not sr.approx_equal(a, b, delta):
             return False
     return True
+
+
+def replace_fst(root: VectorFst, replacements: Dict[int, VectorFst]
+                ) -> VectorFst:
+    """FST replacement (the GrammarFst capability, decoder/grammar-fst.h:101,
+    realized eagerly like fstreplace): arcs whose ilabel is a
+    nonterminal key in `replacements` are spliced with a copy of the
+    corresponding sub-FST (entering at its start, exiting to the arc's
+    destination from its final states). The reference defers this to
+    decode time; graphs at our scale can be expanded up front, and the
+    on-demand variant remains an optimization."""
+    sr = root.semiring
+    out = VectorFst(sr)
+    out.add_states(root.num_states)
+    out.start = root.start
+    for s in range(root.num_states):
+        out.finals[s] = root.finals[s]
+    for s in range(root.num_states):
+        for a in root.arcs[s]:
+            if a.ilabel not in replacements:
+                out.add_arc(s, Arc(a.ilabel, a.olabel, a.weight, a.nextstate))
+                continue
+            sub = replacements[a.ilabel]
+            if sub.start < 0:
+                continue
+            offset = out.num_states
+            out.add_states(sub.num_states)
+            # enter the sub-FST, carrying the arc's weight and olabel
+            out.add_arc(s, Arc(EPS, a.olabel, a.weight, offset + sub.start))
+            for t in range(sub.num_states):
+                for b in sub.arcs[t]:
+                    out.add_arc(offset + t, Arc(b.ilabel, b.olabel, b.weight,
+                                                offset + b.nextstate))
+                if sub.finals[t] != sr.zero:
+                    out.add_arc(offset + t, Arc(EPS, EPS, sub.finals[t],
+                                                a.nextstate))
+    return connect(out)

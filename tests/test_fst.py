@@ -247,3 +247,21 @@ class TestRmEpsilonMinimize:
         m = minimize_encoded(f.copy())
         assert m.num_states == 3
         assert equal_paths(f, m)
+
+
+class TestReplace:
+    def test_grammar_splicing(self):
+        from kaldi_tpu.fstext import replace_fst
+        # top-level: 1 <NT=99> 2 ; sub: 5 | 6
+        top = linear_fst([1, 99, 2])
+        sub = VectorFst()
+        s0, s1 = sub.add_state(), sub.add_state()
+        sub.set_start(s0)
+        sub.add_arc(s0, Arc(5, 5, 0.5, s1))
+        sub.add_arc(s0, Arc(6, 6, 0.7, s1))
+        sub.set_final(s1)
+        out = replace_fst(top, {99: sub})
+        from kaldi_tpu.fstext.ops import _all_paths
+        paths = _all_paths(out)
+        ils = sorted(k[0] for k in paths)
+        assert ils == [(1, 5, 2), (1, 6, 2)]
