@@ -89,6 +89,10 @@ _register("kaldi_tpu.cli.nnet3_tools", {
     "build-tree": "build_tree_cli",
 })
 
+_register("kaldi_tpu.cli.online_tools", {
+    "online2-wav-gmm-latgen-faster": "online2_wav_gmm_latgen_faster",
+})
+
 _register("kaldi_tpu.cli.lat_tools", {
     "lattice-copy": "lattice_copy",
     "lattice-scale": "lattice_scale_cli",

@@ -138,3 +138,22 @@ def test_full_cli_pipeline(workdir):
     for utt, ref in test_txt.items():
         stats.add(ref, hyp_txt.get(utt, []))
     assert stats.wer <= 10.0, stats.report()
+
+
+def test_online_cli_decode(workdir):
+    d, lang, test_txt = workdir
+    if not (d / "HCLG.fst").exists():
+        pytest.skip("needs test_full_cli_pipeline artifacts")
+    run("online2-wav-gmm-latgen-faster", f"--sample-frequency={FS}",
+        "--dither=0", "--chunk-length=0.2", "--acoustic-scale=0.1",
+        f"{d}/5.mdl", f"{d}/HCLG.fst", f"scp:{d}/wav_test.scp",
+        f"ark:{d}/online_words.ark")
+    got = dict(SequentialTableReader("int-vector",
+                                     f"ark:{d}/online_words.ark"))
+    assert len(got) == len(test_txt)
+    from kaldi_tpu.util.edit_distance import WerStats
+    stats = WerStats()
+    for utt, ref in test_txt.items():
+        hyp = [lang.word_names[w] for w in got.get(utt, [])]
+        stats.add(ref, hyp)
+    assert stats.wer <= 10.0, stats.report()
