@@ -83,3 +83,35 @@ class OnlineTimer:
     def real_time_factor(self) -> float:
         elapsed = time.perf_counter() - self._start
         return elapsed / max(self.audio_seconds, 1e-9)
+
+
+class TaskSequencer:
+    """Ordered parallel task execution (util/kaldi-thread.h:175): tasks
+    run concurrently but results are consumed in submission order."""
+
+    def __init__(self, num_threads: int = 4):
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(max_workers=max(num_threads, 1))
+        self._queue = []
+
+    def run(self, fn, *args, callback=None):
+        fut = self._pool.submit(fn, *args)
+        self._queue.append((fut, callback))
+
+    def wait(self):
+        """Drain in order, invoking callbacks; returns ordered results."""
+        out = []
+        for fut, cb in self._queue:
+            res = fut.result()
+            if cb is not None:
+                cb(res)
+            out.append(res)
+        self._queue.clear()
+        return out
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.wait()
+        self._pool.shutdown()

@@ -110,3 +110,53 @@ class TestCheckpoint:
             info.update(-0.5, 100)
         avg = info.print_total()
         assert avg == pytest.approx(-0.5)
+
+
+class TestClusteringAndOnlineIvector:
+    def test_agglomerative_clustering(self):
+        from kaldi_tpu.ivector.cluster import cluster_embeddings
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=8) ; b = rng.normal(size=8)
+        embs = np.stack([a + 0.05 * rng.normal(size=8) for _ in range(3)]
+                        + [b + 0.05 * rng.normal(size=8) for _ in range(3)])
+        ids = cluster_embeddings(embs, num_clusters=2)
+        assert len(set(ids[:3])) == 1 and len(set(ids[3:])) == 1
+        assert ids[0] != ids[3]
+
+    def test_online_ivector_feature(self):
+        from kaldi_tpu.gmm.diag_gmm import DiagGmm
+        from kaldi_tpu.ivector import IvectorExtractor
+        from kaldi_tpu.online.ivector_feature import (
+            OnlineIvectorAdaptationState, OnlineIvectorFeature)
+        rng = np.random.default_rng(1)
+        ubm = DiagGmm(2, 4)
+        ubm.set_from_means_and_vars([0.5, 0.5], rng.normal(size=(2, 4)),
+                                    np.ones((2, 4)))
+        ex = IvectorExtractor(ubm, 3)
+
+        class FakeSrc:
+            feats = rng.normal(size=(40, 4)).astype(np.float32)
+            def dim(self): return 4
+            def num_frames_ready(self): return 40
+            def is_last_frame(self, f): return f == 39
+            def get_frame(self, t): return self.feats[t]
+
+        feat = OnlineIvectorFeature(ex, FakeSrc())
+        iv0 = feat.get_frame(0)
+        iv_late = feat.get_frame(39)
+        assert iv0.shape == (3,)
+        assert not np.allclose(iv0, iv_late)  # stats accumulate
+        state = feat.get_adaptation_state()
+        # next utterance starts from carried stats
+        feat2 = OnlineIvectorFeature(ex, FakeSrc(), adaptation_state=state)
+        assert feat2.stats.num_frames > 0
+
+    def test_task_sequencer(self):
+        from kaldi_tpu.util.profile import TaskSequencer
+        import time as _time
+        order = []
+        with TaskSequencer(num_threads=3) as seq:
+            for i in range(5):
+                seq.run(lambda x=i: (_time.sleep(0.01 * (5 - x)), x)[1],
+                        callback=order.append)
+        assert order == [0, 1, 2, 3, 4]  # results in submission order
