@@ -7,6 +7,12 @@ vs_baseline is relative to the reference's closest published number —
 (arXiv:1910.10032, see BASELINE.md); our number covers the AM forward
 (features+decoder pipeline lands in later rounds, see README).
 
+Methodology: 10 data-dependent forward passes fused into one jitted
+lax.scan with a single host sync at the end — this measures device
+compute (the experimental axon platform's block_until_ready does not
+reliably synchronize, and per-step host syncs would measure tunnel
+latency instead).
+
 Usage: python bench.py [--quick]  (--quick = tiny shapes for smoke
 tests on CPU; the driver runs the default on the real chip).
 """
@@ -29,15 +35,14 @@ def main():
                                bottleneck_dim=32, prefinal_dim=64,
                                num_layers=4, subsample_layer=2)
         B, T = 4, 90
-        iters = 3
     else:
         # production librispeech chain TDNN-F shape (run_tdnn_1d.sh:
         # 17 layers x 1536, bottleneck 160, ~23M params)
         cfg = ChainTdnnfConfig(feat_dim=40, num_pdfs=3456, hidden_dim=1536,
                                bottleneck_dim=160, prefinal_dim=256,
                                num_layers=17, subsample_layer=8)
-        B, T = 64, 300  # 64 x 3s chunks per step
-        iters = 10
+        B, T = 256, 300  # 256 x 3s chunks per step
+    ITERS = 10
 
     model = ChainTdnnf(cfg, train=False)
     rng = jax.random.PRNGKey(0)
@@ -50,25 +55,27 @@ def main():
     batch_stats = variables.get("batch_stats", {})
 
     @jax.jit
-    def forward(params, batch_stats, feats):
-        out, _ = model.apply({"params": params, "batch_stats": batch_stats},
-                             feats)
-        return out
+    def forward_chain(params, batch_stats, feats):
+        def body(carry, _):
+            out, _xent = model.apply(
+                {"params": params, "batch_stats": batch_stats}, carry)
+            # data dependency so the scan iterations are sequential
+            carry = feats + (out.mean() * 0).astype(feats.dtype)
+            return carry, out.mean()
+        _, means = jax.lax.scan(body, feats, None, length=ITERS)
+        return means.sum()
 
     x = jnp.asarray(np.random.default_rng(0)
                     .normal(size=(B, T, cfg.feat_dim)), jnp.bfloat16)
-    out = forward(params, batch_stats, x)
-    out.block_until_ready()
+    v = float(forward_chain(params, batch_stats, x))  # compile + warmup
     compile_s = time.time() - t0
-    print(f"# compile+init: {compile_s:.1f}s, out {out.shape}",
+    print(f"# compile+init+warmup: {compile_s:.1f}s (out {v:.3f})",
           file=sys.stderr)
 
     t0 = time.time()
-    for _ in range(iters):
-        out = forward(params, batch_stats, x)
-    out.block_until_ready()
+    v = float(forward_chain(params, batch_stats, x))
     elapsed = time.time() - t0
-    audio_seconds = B * T * 0.01 * iters  # 10ms frames
+    audio_seconds = B * T * 0.01 * ITERS  # 10ms frames
     xrt = audio_seconds / elapsed
     baseline = 3524.0  # V100 full-pipeline RTF from arXiv:1910.10032
     print(json.dumps({
