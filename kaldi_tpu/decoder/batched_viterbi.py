@@ -112,30 +112,39 @@ def _eps_depth(fst: VectorFst, cap: int = 10) -> int:
 
 @functools.partial(jax.jit, static_argnames=("num_states", "eps_iters"))
 def _viterbi_device(loglikes, acoustic_scale,
-                    e_src, e_dst, e_pdf, e_w,
-                    ne_src, ne_dst, ne_w,
+                    e_in_src, e_in_w, e_in_pdf,
+                    ne_in_src, ne_in_w,
                     init_cost, num_states: int, eps_iters: int):
-    """loglikes: (B, T, P); per-sequence graph arrays are (B, A) (use
-    broadcast_to for a shared graph). Returns (B, T+1, S) post-closure
-    cost tables."""
+    """loglikes: (B, T, P); padded incoming-arc tables are (B, S, K)
+    (scatter-free gather+min relaxation — see ops/pallas_viterbi).
+    Cost rows carry a dead state at index S kept at +inf. Returns
+    (B, T+1, S+1) post-closure cost tables."""
+    B, S1 = init_cost.shape
+
+    def gather_state(cost, idx):
+        # cost (B, S+1), idx (B, S, K) -> (B, S, K)
+        flat = jnp.take_along_axis(
+            cost, idx.reshape(B, -1), axis=1)
+        return flat.reshape(idx.shape)
 
     def eps_close(cost):
         def one(cost, _):
-            contrib = jnp.take_along_axis(cost, ne_src, axis=1) + ne_w
-            upd = jax.vmap(lambda c, d: jax.ops.segment_min(
-                c, d, num_segments=num_states))(contrib, ne_dst)
-            return jnp.minimum(cost, upd), None
+            cand = gather_state(cost, ne_in_src) + ne_in_w
+            upd = jnp.min(cand, axis=-1)
+            new = jnp.minimum(cost[:, :-1], upd)
+            return jnp.concatenate([new, cost[:, -1:]], axis=1), None
         cost, _ = jax.lax.scan(one, cost, None, length=eps_iters)
         return cost
 
     cost0 = eps_close(init_cost)
 
     def step(cost, ll_t):
-        ac = -acoustic_scale * jnp.take_along_axis(ll_t, e_pdf, axis=1)
-        contrib = jnp.take_along_axis(cost, e_src, axis=1) + e_w + ac
-        new = jax.vmap(lambda c, d: jax.ops.segment_min(
-            c, d, num_segments=num_states))(contrib, e_dst)
-        new = jnp.minimum(new, INF)
+        ac = jnp.take_along_axis(ll_t, e_in_pdf.reshape(B, -1),
+                                 axis=1).reshape(e_in_pdf.shape)
+        cand = gather_state(cost, e_in_src) + e_in_w - acoustic_scale * ac
+        new = jnp.min(cand, axis=-1)
+        new = jnp.concatenate([new, jnp.full((B, 1), INF, new.dtype)],
+                              axis=1)
         new = eps_close(new)
         return new, new
 
@@ -160,26 +169,47 @@ class BatchedViterbi:
         self.acoustic_scale = acoustic_scale
 
     def _prepare(self, B: int):
+        from kaldi_tpu.ops.pallas_viterbi import build_incoming_table
         gs = self.packed if not self.shared else self.packed * B
         gs = gs[:B]
-        S = max(g.num_states for g in gs) + 1
-        EA = max(1, max(len(g.e_src) for g in gs))
-        NA = max(1, max(len(g.ne_src) for g in gs))
-        padded = [g.padded(S, EA, NA) for g in gs]
-        stack = lambda f: np.stack([f(g) for g in padded])
-        e_pdf = stack(lambda g: self.tid_to_pdf[
-            np.clip(g.e_ilabel, 0, len(self.tid_to_pdf) - 1)]).astype(np.int32)
-        init = np.full((B, S), INF, np.float32)
+        S = max(g.num_states for g in gs) + 1  # +1 dead state
+        padded = [g.padded(S, max(1, max(len(g.e_src) for g in gs)),
+                           max(1, max(len(g.ne_src) for g in gs)))
+                  for g in gs]
+        # padded incoming-arc tables per lane (common K across lanes)
+        tables = []
+        for g in padded:
+            e_pdf = self.tid_to_pdf[np.clip(g.e_ilabel, 0,
+                                            len(self.tid_to_pdf) - 1)]
+            e_tab = build_incoming_table(S, g.e_src, g.e_dst, g.e_weight,
+                                         e_pdf.astype(np.int32))
+            ne_tab = build_incoming_table(S, g.ne_src, g.ne_dst,
+                                          g.ne_weight,
+                                          np.zeros_like(g.ne_src))
+            tables.append((e_tab, ne_tab))
+        KE = max(t[0][3] for t in tables)
+        KN = max(t[1][3] for t in tables)
+
+        def pad_k(arr, K, fill):
+            S_, k = arr.shape
+            if k == K:
+                return arr
+            out = np.full((S_, K), fill, arr.dtype)
+            out[:, :k] = arr
+            return out
+
+        e_in_src = np.stack([pad_k(t[0][0], KE, S) for t in tables])
+        e_in_w = np.stack([pad_k(t[0][1], KE, INF) for t in tables])
+        e_in_pdf = np.stack([pad_k(t[0][2], KE, 0) for t in tables])
+        ne_in_src = np.stack([pad_k(t[1][0], KN, S) for t in tables])
+        ne_in_w = np.stack([pad_k(t[1][1], KN, INF) for t in tables])
+
+        init = np.full((B, S + 1), INF, np.float32)
         for b, g in enumerate(padded):
             init[b, g.start] = 0.0
         eps_iters = max(g.eps_depth for g in padded)
-        arrays = dict(
-            e_src=stack(lambda g: g.e_src), e_dst=stack(lambda g: g.e_dst),
-            e_pdf=e_pdf, e_w=stack(lambda g: g.e_weight),
-            ne_src=stack(lambda g: g.ne_src),
-            ne_dst=stack(lambda g: g.ne_dst),
-            ne_w=stack(lambda g: g.ne_weight),
-            init_cost=init)
+        arrays = dict(e_in_src=e_in_src, e_in_w=e_in_w, e_in_pdf=e_in_pdf,
+                      ne_in_src=ne_in_src, ne_in_w=ne_in_w, init_cost=init)
         return padded, arrays, S, eps_iters
 
     def run(self, loglikes: np.ndarray, lengths: Optional[Sequence[int]] = None
@@ -194,7 +224,7 @@ class BatchedViterbi:
         costs = np.asarray(_viterbi_device(
             jnp.asarray(loglikes), self.acoustic_scale,
             **{k: jnp.asarray(v) for k, v in arrays.items()},
-            num_states=S, eps_iters=eps_iters))
+            num_states=S, eps_iters=eps_iters))[:, :, :S]
         out = []
         for b in range(B):
             out.append(self._traceback(padded[b], costs[b],
