@@ -79,6 +79,9 @@ _register("kaldi_tpu.cli.misc_tools", {
     "tree-info": "tree_info",
     "am-info": "am_info",
     "lattice-depth": "lattice_depth",
+    "lattice-oracle": "lattice_oracle",
+    "wav-reverberate": "wav_reverberate",
+    "nnet3-xvector-compute": "nnet3_xvector_compute",
 })
 
 _register("kaldi_tpu.cli.nnet3_tools", {

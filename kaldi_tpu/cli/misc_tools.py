@@ -488,3 +488,109 @@ def lattice_depth(argv: List[str]) -> int:
         writer.close()
     log(f"overall density {total_arcs / max(total_frames, 1):.2f}")
     return 0
+
+
+def lattice_oracle(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Finds the path having the smallest edit-distance between a lattice\n"
+        "and a reference string.\n"
+        "Usage: lattice-oracle [options] <test-lattice-rspecifier> "
+        "<reference-rspecifier> <transcriptions-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.lat.functions import lattice_nbest
+    from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+    from kaldi_tpu.util.edit_distance import edit_distance_counts
+    ref_reader = RandomAccessTableReader("int-vector", po.get_arg(2))
+    writer = TableWriter("int-vector", po.get_arg(3))
+    tot_err = tot_words = 0
+    for key, lat in SequentialTableReader(LatticeHolder(), po.get_arg(1)):
+        if key not in ref_reader:
+            continue
+        ref = ref_reader[key]
+        best_err, best_words = None, []
+        for _, words, _ in lattice_nbest(lat, 50):
+            i, d, s = edit_distance_counts(ref, words)
+            if best_err is None or i + d + s < best_err:
+                best_err, best_words = i + d + s, words
+        writer.write(key, best_words)
+        tot_err += best_err or 0
+        tot_words += len(ref)
+    writer.close()
+    log(f"%WER (oracle, nbest-approx) "
+        f"{100.0 * tot_err / max(tot_words, 1):.2f} "
+        f"[ {tot_err} / {tot_words} ]")
+    return 0
+
+
+def wav_reverberate(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Corrupts the wave files supplied via input pipe with the specified\n"
+        "room-impulse response and additive noise distortions.\n"
+        "Usage: wav-reverberate [options] <wav-in-rxfilename> <wav-out-wxfilename>")
+    impulse_response = po.register_value("impulse-response", "", "rxfilename of the impulse response wav")
+    additive_signals = po.register_value("additive-signals", "", "rxfilename of additive noise wav")
+    snrs = po.register_value("snrs", "20", "SNR(dB) for the additive noise")
+    volume = po.register_value("volume", 0.0, "If nonzero, scale the output wave by this factor")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.feat.perturb import add_noise, reverberate, volume_perturb
+    from kaldi_tpu.feat.wave import WaveData
+    with kaldi_io.input_stream(po.get_arg(1)) as f:
+        wav = WaveData.read(f)
+    out = wav.channel(0)
+    if impulse_response[0]:
+        with kaldi_io.input_stream(impulse_response[0]) as f:
+            rir = WaveData.read(f).channel(0)
+        out = reverberate(out, rir)
+    if additive_signals[0]:
+        with kaldi_io.input_stream(additive_signals[0]) as f:
+            noise = WaveData.read(f).channel(0)
+        out = add_noise(out, noise, float(snrs[0].split(":")[0]))
+    if volume[0]:
+        out = volume_perturb(out, volume[0])
+    with kaldi_io.output_stream(po.get_arg(2)) as f:
+        WaveData(wav.samp_freq, out[None, :]).write(f)
+    return 0
+
+
+def nnet3_xvector_compute(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Propagate features through an xvector neural network model and write\n"
+        "the output vectors (embeddings from the stats-pooling layer).\n"
+        "Usage: nnet3-xvector-compute [options] <model-dir> "
+        "<features-rspecifier> <vector-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from kaldi_tpu.nnet3.xvector import (XvectorConfig, XvectorModel,
+                                         extract_xvectors)
+    from kaldi_tpu.parallel.checkpoint import restore_checkpoint
+    base = os.path.abspath(po.get_arg(1))
+    meta = json.load(open(os.path.join(base, "step_0.meta.json")))
+    cfg = XvectorConfig(**meta["config"])
+    model = XvectorModel(cfg, train=False)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 30, cfg.feat_dim)))
+    variables, _, _ = restore_checkpoint(base, template)
+    keys, feats = [], []
+    for key, f in SequentialTableReader("matrix", po.get_arg(2)):
+        keys.append(key)
+        feats.append(f)
+    embs = extract_xvectors(model, variables, feats)
+    with TableWriter("vector", po.get_arg(3)) as w:
+        for k, e in zip(keys, embs):
+            w.write(k, e)
+    log(f"extracted {len(keys)} xvectors")
+    return 0
