@@ -82,6 +82,7 @@ _register("kaldi_tpu.cli.misc_tools", {
     "lattice-oracle": "lattice_oracle",
     "wav-reverberate": "wav_reverberate",
     "nnet3-xvector-compute": "nnet3_xvector_compute",
+    "prepare-lang": "prepare_lang",
 })
 
 _register("kaldi_tpu.cli.nnet3_tools", {

@@ -594,3 +594,21 @@ def nnet3_xvector_compute(argv: List[str]) -> int:
             w.write(k, e)
     log(f"extracted {len(keys)} xvectors")
     return 0
+
+
+def prepare_lang(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Prepare a lang directory from a lexicon file "
+        "(utils/prepare_lang.sh equivalent).\n"
+        "Usage: prepare-lang [options] <lexicon-file> <lang-dir>")
+    sil_phone = po.register_value("sil-phone", "SIL", "Silence phone symbol")
+    sil_prob = po.register_value("sil-prob", 0.5, "Probability of optional silence")
+    oov_word = po.register_value("oov-word", "", "Word mapped to out-of-vocabulary words")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.decoder.lang_dir import prepare_lang as _prep
+    _prep(po.get_arg(1), po.get_arg(2), sil_phone=sil_phone[0],
+          sil_prob=sil_prob[0], oov_word=oov_word[0] or None)
+    return 0

@@ -160,3 +160,26 @@ class TestClusteringAndOnlineIvector:
                 seq.run(lambda x=i: (_time.sleep(0.01 * (5 - x)), x)[1],
                         callback=order.append)
         assert order == [0, 1, 2, 3, 4]  # results in submission order
+
+
+class TestLangDir:
+    def test_write_read_roundtrip(self, tmp_path):
+        from kaldi_tpu.decoder.graph import Lang
+        from kaldi_tpu.decoder.lang_dir import (read_lang_dir,
+                                                write_lang_dir)
+        lang = Lang({"YES": [["Y"]], "NO": [["N"]], "MAYBE": [["M", "B"]]},
+                    sil_phone="SIL", sil_prob=0.5)
+        lang.make_topology()
+        d = str(tmp_path / "lang")
+        write_lang_dir(lang, d)
+        phones, words, topo, L, disambig = read_lang_dir(d)
+        assert words["YES"] == lang.words["YES"]
+        assert phones["SIL"] == lang.phones["SIL"]
+        assert topo.num_pdf_classes(lang.phones["SIL"]) == 5
+        assert L.num_states > 0
+        assert disambig  # at least #0
+        # L_disambig.fst is raw OpenFst binary
+        import struct
+        from kaldi_tpu.fstext.openfst_io import FST_MAGIC
+        with open(f"{d}/L_disambig.fst", "rb") as f:
+            assert struct.unpack("<i", f.read(4))[0] == FST_MAGIC
