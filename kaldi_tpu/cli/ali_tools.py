@@ -36,7 +36,7 @@ def align_equal_compiled(argv: List[str]) -> int:
             warn(f"no graph for {key}")
             err += 1
             continue
-        ali = align_equal(graphs[key], feats.shape[0], None)
+        ali = align_equal(graphs[key], feats.shape[0], None, seed=n + err)
         if ali is None:
             err += 1
             continue

@@ -157,46 +157,97 @@ def best_path_through(fst: VectorFst, loglikes: np.ndarray,
     return dec.decode(loglikes, tid_to_pdf, acoustic_scale)
 
 
-def align_equal(graph: VectorFst, num_frames: int, tm) -> Optional[List[int]]:
+def _random_feasible_path(graph: VectorFst, num_frames: int,
+                          seed: int = 0) -> Optional[List[Arc]]:
+    """Random forward path (self-loops excluded) from start to a final
+    state whose emitting-arc count fits in num_frames.
+
+    Feasibility: mn[s] = min #emitting arcs from s to any final state
+    (multi-source BFS on the reversed graph, 0/1 weights); an arc is
+    admissible iff used + cost + mn[next] <= num_frames.  Among
+    admissible arcs we choose uniformly at random, seeded per
+    utterance by the caller — a CORPUS-level constant seed would give
+    every same-length utterance the same junction decisions and bias
+    the flat-start stats systematically.  Random choice at the
+    optional-silence junctions is what seeds the silence GMM with
+    flat-start stats — a shortest path would skip every silence branch
+    and EM could never latch onto SIL."""
+    from collections import deque
+    start = graph.start
+    if start < 0:
+        return None
+    n_states = graph.num_states
+    INF = 1 << 30
+    # reversed adjacency (non-self-loop arcs only)
+    radj: List[List[Tuple[int, int]]] = [[] for _ in range(n_states)]
+    for s in range(n_states):
+        for a in graph.arcs[s]:
+            if a.nextstate != s:
+                radj[a.nextstate].append(
+                    (s, 0 if a.ilabel == EPS else 1))
+    mn = [INF] * n_states
+    dq = deque()
+    for s in range(n_states):
+        if graph.finals[s] != TropicalWeight.zero:
+            mn[s] = 0
+            dq.append(s)
+    while dq:  # 0/1-BFS (deque Dijkstra)
+        s = dq.popleft()
+        for p, c in radj[s]:
+            if mn[s] + c < mn[p]:
+                mn[p] = mn[s] + c
+                if c == 0:
+                    dq.appendleft(p)
+                else:
+                    dq.append(p)
+    if mn[start] > num_frames:
+        warn(f"align_equal: graph needs >= {mn[start]} frames but the "
+             f"utterance has only {num_frames}")
+        return None
+    rng = np.random.default_rng((0x5EED ^ (num_frames * 2654435761
+                                           % (1 << 31)) ^ n_states)
+                                + 1000003 * (seed & 0xFFFFFFFF))
+    path: List[Arc] = []
+    s, used = start, 0
+    max_steps = 10 * (num_frames + n_states) + 100
+    for _ in range(max_steps):
+        cands = []
+        for a in graph.arcs[s]:
+            if a.nextstate == s or mn[a.nextstate] >= INF:
+                continue
+            c = 0 if a.ilabel == EPS else 1
+            if used + c + mn[a.nextstate] <= num_frames:
+                cands.append(a)
+        is_final = graph.finals[s] != TropicalWeight.zero
+        if is_final and (not cands or rng.random() < 0.5):
+            return path
+        if not cands:
+            return None
+        a = cands[rng.integers(len(cands))]
+        path.append(a)
+        used += 0 if a.ilabel == EPS else 1
+        s = a.nextstate
+    warn("align_equal: random walk did not terminate (eps cycle?)")
+    return None
+
+
+def align_equal(graph: VectorFst, num_frames: int, tm,
+                seed: int = 0) -> Optional[List[int]]:
     """Equal alignment (align-equal-compiled / EqualAlign,
     hmm-utils.cc): pick a forward path through the training graph, then
     distribute the remaining frames *evenly* as self-loops across the
     path's states — the unbiased flat-start initialization EM needs
     (a zero-acoustics Viterbi would instead dump all slack into the
-    single cheapest self-loop, typically silence)."""
-    # BFS for the path with fewest emitting arcs from start to a final
-    # state, tracking (prev_idx, arc); eps arcs consume no frames.
-    from collections import deque
-    start = graph.start
-    if start < 0:
+    single cheapest self-loop, typically silence).
+
+    The forward path is chosen RANDOMLY among feasible ones (like the
+    reference's EqualAlign): random choice at the optional-silence
+    junctions is what gives the silence model flat-start stats — a
+    shortest path would skip every silence branch and EM could never
+    latch onto SIL."""
+    path = _random_feasible_path(graph, num_frames, seed)
+    if path is None:
         return None
-    # nodes: (state); keep first-found predecessor (BFS over arcs where
-    # self-loops are excluded)
-    prev: Dict[int, Tuple[int, Arc]] = {}
-    seen = {start}
-    queue = deque([start])
-    final_state = None
-    while queue:
-        s = queue.popleft()
-        if graph.finals[s] != TropicalWeight.zero:
-            final_state = s
-            break
-        for a in graph.arcs[s]:
-            if a.nextstate == s:
-                continue
-            if a.nextstate not in seen:
-                seen.add(a.nextstate)
-                prev[a.nextstate] = (s, a)
-                queue.append(a.nextstate)
-    if final_state is None:
-        return None
-    path: List[Arc] = []
-    s = final_state
-    while s != start:
-        p, a = prev[s]
-        path.append(a)
-        s = p
-    path.reverse()
     emitting = [a for a in path if a.ilabel != EPS]
     n = len(emitting)
     if n > num_frames:

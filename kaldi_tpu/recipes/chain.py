@@ -177,3 +177,168 @@ def nnet_log_likes(model: ChainTdnnf, variables: dict,
     sub = model.cfg.frame_subsampling_factor
     return {u: out[i, : (lens[i] + sub - 1) // sub]
             for i, u in enumerate(utts)}
+
+
+def make_chain_system(lang, mono_tm) -> Tuple:
+    """Build the chain-topology system (1-state HMMs, forward/self pdf
+    split) over the same phone set (steps/nnet3/chain/gen_topo.py +
+    build-tree stage of the chain recipe, monophone version).
+    Returns (chain_tm, chain_tree)."""
+    from kaldi_tpu.hmm.topology import HmmTopology
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.tree import monophone_context_dependency
+    phones = mono_tm.get_phones()
+    topo = HmmTopology.chain_topology(list(phones))
+    npc = {p: 2 for p in phones}
+    tree = monophone_context_dependency(list(phones), npc)
+    tm = TransitionModel(topo, tree)
+    return tm, tree
+
+
+def mono_ali_to_chain_ali(ali: Sequence[int], mono_tm, chain_tm,
+                          subsample: int = 3) -> List[int]:
+    """Convert a frame-level alignment to chain transition-ids at the
+    subsampled output rate: each phone segment of d input frames
+    becomes ceil(d/subsample) output frames = [forward, self-loop...]."""
+    # phone segments
+    segs: List[Tuple[int, int]] = []  # (phone, num_frames)
+    for tid in ali:
+        phone = mono_tm.transition_id_to_phone(tid)
+        is_start = (mono_tm.transition_id_to_hmm_state(tid) == 0
+                    and not mono_tm.is_self_loop(tid))
+        if is_start or not segs:
+            segs.append((phone, 1))
+        else:
+            segs[-1] = (segs[-1][0], segs[-1][1] + 1)
+    # boundary-preserving conversion: input segment [s, e) maps to
+    # output frames [round(s/sub), round(e/sub)) with minimum 1 frame
+    target = len(ali) // subsample
+
+    def tids_for(phone):
+        ts = None
+        for cand in range(1, chain_tm.num_transition_states + 1):
+            if chain_tm.transition_state_to_phone(cand) == phone:
+                ts = cand
+                break
+        sl = chain_tm.self_loop_of(ts)
+        fwd = None
+        for idx in range(chain_tm.num_transition_indices(ts)):
+            tid = chain_tm.pair_to_transition_id(ts, idx)
+            if not chain_tm.is_self_loop(tid):
+                fwd = tid
+                break
+        return fwd, sl
+
+    out: List[int] = []
+    pos = 0
+    out_pos = 0
+    for phone, dur in segs:
+        end = pos + dur
+        o_end = max(out_pos + 1, int(round(end / subsample)))
+        o_end = min(o_end, target) if target else o_end
+        fwd, sl = tids_for(phone)
+        d_out = o_end - out_pos
+        if d_out >= 1:
+            out.extend([fwd] + [sl] * (d_out - 1))
+            out_pos = o_end
+        pos = end
+    # pad/trim tail to exactly the target length
+    if target > 0:
+        while len(out) < target:
+            out.append(out[-1] if out else 1)
+        del out[target:]
+    return out
+
+
+def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
+                     mono_alignments: Dict[str, List[int]],
+                     cfg: Optional[ChainTdnnfConfig] = None,
+                     opts: Optional[ChainTrainOptions] = None):
+    """Chain training with the proper chain topology + frame
+    subsampling. Returns (model, variables, den_graph, chain_tm,
+    chain_tree)."""
+    if opts is None:
+        opts = ChainTrainOptions()
+    chain_tm, chain_tree = make_chain_system(sys_mono.lang, sys_mono.tm)
+    sub = 3 if cfg is None else cfg.frame_subsampling_factor
+    dim = next(iter(feats.values())).shape[1]
+    if cfg is None:
+        cfg = ChainTdnnfConfig(feat_dim=dim, num_pdfs=chain_tm.num_pdfs,
+                               hidden_dim=128, bottleneck_dim=32,
+                               prefinal_dim=64, num_layers=5,
+                               subsample_layer=3,
+                               frame_subsampling_factor=3)
+        sub = 3
+    # chain alignments at the output rate
+    chain_ali = {u: mono_ali_to_chain_ali(a, sys_mono.tm, chain_tm, sub)
+                 for u, a in mono_alignments.items()}
+    phone_seqs = []
+    for u, a in chain_ali.items():
+        seq = []
+        for tid in a:
+            if not chain_tm.is_self_loop(tid):
+                seq.append(chain_tm.transition_id_to_phone(tid))
+        if seq:
+            phone_seqs.append(seq)
+    den_graph = make_denominator_graph(phone_seqs, chain_tm, chain_tree)
+
+    # chunks: input frames multiple of sub; numerators already at
+    # output rate
+    chunks = []
+    cw = (opts.chunk_width // sub) * sub
+    for u, f in feats.items():
+        if u not in chain_ali:
+            continue
+        ca = chain_ali[u]
+        T_in = min(f.shape[0], len(ca) * sub)
+        for start in range(0, T_in - cw + 1, cw):
+            o_start, o_end = start // sub, (start + cw) // sub
+            chunks.append((f[start:start + cw], ca[o_start:o_end]))
+    if not chunks:
+        raise ValueError("no chain chunks")
+    log(f"chain-topo training: {len(chunks)} chunks of {cw} frames "
+        f"({cw // sub} outputs)")
+
+    model = ChainTdnnf(cfg, train=True)
+    rng = jax.random.PRNGKey(opts.seed)
+    variables = model.init(rng, jnp.zeros((2, cw, dim)))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.chain(optax.clip_by_global_norm(opts.max_param_change),
+                     optax.adam(opts.learning_rate))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, feats_b, num_arrays):
+        def loss_fn(p, bs):
+            (chain_out, xent_out), upd = model.apply(
+                {"params": p, "batch_stats": bs}, feats_b,
+                mutable=["batch_stats"])
+            objf, aux = chain_loss(opts.chain, den_graph, num_arrays,
+                                   chain_out, xent_out)
+            return -objf, (aux, upd["batch_stats"])
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_bs, new_opt,
+                -loss)
+
+    rng_np = np.random.default_rng(opts.seed)
+    order = np.arange(len(chunks))
+    for epoch in range(opts.num_epochs):
+        rng_np.shuffle(order)
+        objfs = []
+        for i in range(0, len(order) - opts.minibatch_size + 1,
+                       opts.minibatch_size):
+            idx = order[i:i + opts.minibatch_size]
+            feats_b = jnp.asarray(np.stack([chunks[j][0] for j in idx]))
+            nums = [alignment_to_numerator_graph(chunks[j][1], chain_tm,
+                                                 subsample=1)
+                    for j in idx]
+            num_arrays = tuple(jnp.asarray(a) for a in batch_pack(nums))
+            params, batch_stats, opt_state, objf = step(
+                params, batch_stats, opt_state, feats_b, num_arrays)
+            objfs.append(float(objf))
+        log(f"chain-topo epoch {epoch}: objf/frame {np.mean(objfs):.4f}")
+    return (model, {"params": params, "batch_stats": batch_stats},
+            den_graph, chain_tm, chain_tree)

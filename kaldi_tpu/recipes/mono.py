@@ -92,8 +92,8 @@ def train_mono(lang: Lang, feats: Dict[str, np.ndarray],
 
     # iteration 0: equal alignment + first estimate
     alignments: Dict[str, List[int]] = {}
-    for utt, f in feats.items():
-        ali = align_equal(graphs[utt], f.shape[0], tm)
+    for i, (utt, f) in enumerate(feats.items()):
+        ali = align_equal(graphs[utt], f.shape[0], tm, seed=i)
         if ali is None:
             warn(f"could not equal-align {utt} "
                  f"({f.shape[0]} frames); skipping")

