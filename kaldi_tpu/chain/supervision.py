@@ -123,6 +123,212 @@ def make_denominator_graph(phone_seqs: Sequence[Sequence[int]],
     return DenominatorGraph(pg)
 
 
+def alignment_to_phone_segments(alignment: Sequence[int],
+                                tm: TransitionModel
+                                ) -> List[Tuple[int, int, int]]:
+    """Frame-level transition-id alignment -> [(phone, start, end)),
+    half-open at the alignment's frame rate."""
+    segs: List[Tuple[int, int, int]] = []
+    for t, tid in enumerate(alignment):
+        phone = tm.transition_id_to_phone(tid)
+        is_start = (tm.transition_id_to_hmm_state(tid) == 0
+                    and not tm.is_self_loop(tid))
+        if segs and segs[-1][0] == phone and not is_start:
+            segs[-1] = (phone, segs[-1][1], t + 1)
+        else:
+            segs.append((phone, t, t + 1))
+    return segs
+
+
+def _chain_pdfs_for_phone(chain_tm: TransitionModel,
+                          phone: int) -> Tuple[int, int]:
+    """(forward_pdf, self_loop_pdf) of a phone in the chain topology."""
+    for ts in range(1, chain_tm.num_transition_states + 1):
+        if chain_tm.transition_state_to_phone(ts) != phone:
+            continue
+        fwd_pdf = self_pdf = None
+        for idx in range(chain_tm.num_transition_indices(ts)):
+            tid = chain_tm.pair_to_transition_id(ts, idx)
+            pdf = int(chain_tm.id2pdf_id[tid])
+            if chain_tm.is_self_loop(tid):
+                self_pdf = pdf
+            else:
+                fwd_pdf = pdf
+        if self_pdf is None:
+            self_pdf = int(chain_tm.id2pdf_id[chain_tm.self_loop_of(ts)])
+        return fwd_pdf, self_pdf
+    raise ValueError(f"phone {phone} not in chain transition model")
+
+
+def make_tolerance_supervision(segments: Sequence[Tuple[int, int, int]],
+                               num_frames: int,
+                               chain_tm: TransitionModel,
+                               subsample: int = 3,
+                               left_tolerance: int = 5,
+                               right_tolerance: int = 5) -> PackedGraph:
+    """Time-tolerant numerator (chain-supervision.cc
+    AlignmentToProtoSupervision + TimeEnforcerFst, built directly as a
+    packed DAG): each phone boundary may move within
+    [-left_tolerance, +right_tolerance) input frames of its aligned
+    position; every output frame emits exactly one pdf (forward pdf on
+    the phone's first frame, self-loop pdf after), so the graph stays
+    time-synchronous for the scan-based FB.
+
+    States are (segment i, output frames consumed t); arcs consume one
+    output frame each. Unweighted (the normalization-FST composition of
+    the reference is folded into the denominator term)."""
+    T_out = max(1, num_frames // subsample)
+    N = len(segments)
+    if N == 0:
+        raise ValueError("empty supervision")
+    lo = np.empty(N, np.int64)
+    hi = np.empty(N, np.int64)
+    for i, (_, s, e) in enumerate(segments):
+        lo[i] = max(0, (s - left_tolerance) // subsample)
+        hi[i] = min(T_out, -((e + right_tolerance) // -subsample))
+    lo[0] = 0
+    # monotonic feasibility: starts strictly increase; each segment and
+    # all its successors must fit before T_out
+    for i in range(1, N):
+        lo[i] = max(lo[i], lo[i - 1] + 1)
+    for i in range(N - 1, -1, -1):
+        hi[i] = min(hi[i], T_out - (N - 1 - i))
+        if i + 1 < N:
+            hi[i] = min(hi[i], hi[i + 1] - 1 + 1)  # start_{i+1} < hi_{i+1}
+    if np.any(lo >= hi):
+        # degenerate window (very short segments / tight chunk): fall
+        # back to the exact zero-tolerance boundaries
+        pos = 0
+        for i, (_, s, e) in enumerate(segments):
+            lo[i] = max(pos, int(round(s / subsample)))
+            pos = lo[i] + 1
+        hi[:-1] = lo[1:]
+        hi[-1] = T_out
+        hi = np.maximum(hi, lo + 1)
+        hi = np.minimum(hi, T_out)
+        if np.any(lo >= hi):
+            raise ValueError("infeasible supervision windows")
+    pdfs = [_chain_pdfs_for_phone(chain_tm, p) for p, _, _ in segments]
+
+    # state ids: 0 = start; (i, t) for t in (lo[i], hi[i]] means "in
+    # segment i, t output frames consumed"
+    state_of: Dict[Tuple[int, int], int] = {}
+    n_states = 1
+    for i in range(N):
+        for t in range(int(lo[i]) + 1, int(hi[i]) + 1):
+            state_of[(i, t)] = n_states
+            n_states += 1
+    src: List[int] = []
+    dst: List[int] = []
+    pdf: List[int] = []
+    if (0, 1) in state_of:
+        src.append(0)
+        dst.append(state_of[(0, 1)])
+        pdf.append(pdfs[0][0])
+    for (i, t), sid in state_of.items():
+        if t < hi[i] and t < T_out:  # stay: self-loop pdf
+            src.append(sid)
+            dst.append(state_of[(i, t + 1)])
+            pdf.append(pdfs[i][1])
+        if (i + 1 < N and lo[i + 1] <= t < hi[i + 1] and t < T_out):
+            src.append(sid)
+            dst.append(state_of[(i + 1, t + 1)])
+            pdf.append(pdfs[i + 1][0])
+    ninf = np.float32(-1e30)
+    final = np.full(n_states, ninf, np.float32)
+    end_state = state_of.get((N - 1, T_out))
+    if end_state is None:
+        raise ValueError("tolerance supervision: final state unreachable")
+    final[end_state] = 0.0
+    # co-accessibility prune (keep arcs on paths reaching the end)
+    src_a = np.asarray(src, np.int32)
+    dst_a = np.asarray(dst, np.int32)
+    pdf_a = np.asarray(pdf, np.int32)
+    keep_state = np.zeros(n_states, bool)
+    keep_state[end_state] = True
+    changed = True
+    while changed:
+        live = keep_state[dst_a] & ~keep_state[src_a]
+        changed = bool(live.any())
+        keep_state[src_a[live]] = True
+    keep_arc = keep_state[dst_a]
+    initial = np.full(n_states, ninf, np.float32)
+    initial[0] = 0.0
+    return PackedGraph(src_a[keep_arc], dst_a[keep_arc], pdf_a[keep_arc],
+                       np.zeros(int(keep_arc.sum()), np.float32),
+                       initial, final)
+
+
+def alignment_to_tolerance_numerator(alignment: Sequence[int],
+                                     ali_tm: TransitionModel,
+                                     chain_tm: TransitionModel,
+                                     subsample: int = 3,
+                                     left_tolerance: int = 5,
+                                     right_tolerance: int = 5
+                                     ) -> PackedGraph:
+    """Frame-level alignment (in ali_tm's topology) -> time-tolerant
+    chain numerator over chain_tm's pdfs."""
+    segs = alignment_to_phone_segments(alignment, ali_tm)
+    return make_tolerance_supervision(segs, len(alignment), chain_tm,
+                                      subsample, left_tolerance,
+                                      right_tolerance)
+
+
+def union_graphs(graphs: Sequence[PackedGraph],
+                 log_weights: Optional[Sequence[float]] = None
+                 ) -> PackedGraph:
+    """Union of numerator graphs (alternative supervision paths), with
+    optional per-path initial log-weights (lattice posteriors)."""
+    if len(graphs) == 1 and not log_weights:
+        return graphs[0]
+    offs = np.cumsum([0] + [g.num_states for g in graphs])
+    if log_weights is None:
+        log_weights = [0.0] * len(graphs)
+    return PackedGraph(
+        np.concatenate([g.src + offs[i] for i, g in enumerate(graphs)]),
+        np.concatenate([g.dst + offs[i] for i, g in enumerate(graphs)]),
+        np.concatenate([g.pdf for g in graphs]),
+        np.concatenate([g.log_prob for g in graphs]),
+        np.concatenate([g.initial + np.float32(log_weights[i])
+                        for i, g in enumerate(graphs)]),
+        np.concatenate([g.final for g in graphs]))
+
+
+def lattice_to_tolerance_numerator(lat, ali_tm: TransitionModel,
+                                   chain_tm: TransitionModel,
+                                   subsample: int = 3,
+                                   left_tolerance: int = 5,
+                                   right_tolerance: int = 5,
+                                   num_paths: int = 4,
+                                   acoustic_scale: float = 0.1
+                                   ) -> PackedGraph:
+    """Lattice-derived chain supervision (chain-supervision.cc
+    PhoneLatticeToProtoSupervision): the n best alignment paths of the
+    lattice become alternative numerator paths, weighted by their
+    normalized posteriors."""
+    from kaldi_tpu.lat.functions import lattice_nbest, lattice_scale
+    scaled = lattice_scale(lat, lm_scale=1.0, acoustic_scale=acoustic_scale)
+    paths = lattice_nbest(scaled, num_paths)
+    if not paths:
+        raise ValueError("empty lattice")
+    seen = {}
+    for ali, _words, cost in paths:
+        if not ali:
+            continue
+        segs = tuple(alignment_to_phone_segments(ali, ali_tm))
+        if segs not in seen or cost < seen[segs][1]:
+            seen[segs] = (ali, cost)
+    graphs, costs = [], []
+    for segs, (ali, cost) in seen.items():
+        graphs.append(make_tolerance_supervision(
+            list(segs), len(ali), chain_tm, subsample,
+            left_tolerance, right_tolerance))
+        costs.append(-cost)
+    w = np.asarray(costs, np.float64)
+    w = w - (np.max(w) + np.log(np.sum(np.exp(w - np.max(w)))))
+    return union_graphs(graphs, list(w))
+
+
 def alignment_to_numerator_graph(alignment: Sequence[int],
                                  tm: TransitionModel,
                                  subsample: int = 3) -> PackedGraph:

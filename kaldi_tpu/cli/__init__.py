@@ -50,6 +50,9 @@ _register("kaldi_tpu.cli.gmm_tools", {
     "gmm-est": "gmm_est",
     "gmm-latgen-faster": "gmm_latgen_faster",
     "gmm-info": "gmm_info",
+    "gmm-est-gaussians-ebw": "gmm_est_gaussians_ebw",
+    "gmm-est-weights-ebw": "gmm_est_weights_ebw",
+    "gmm-ismooth-stats": "gmm_ismooth_stats",
 })
 
 _register("kaldi_tpu.cli.ali_tools", {

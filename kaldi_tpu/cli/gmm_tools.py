@@ -326,3 +326,70 @@ def gmm_info(argv: List[str]) -> int:
     print(f"feature dimension {am.dim}")
     print(f"number of gaussians {am.num_gauss()}")
     return 0
+
+
+def gmm_est_gaussians_ebw(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Update GMM means and variances with Extended Baum-Welch from\n"
+        "numerator and denominator stats (discriminative MMI/MPE)\n"
+        "Usage: gmm-est-gaussians-ebw [options] <model-in> <num-stats-in> "
+        "<den-stats-in> <model-out>")
+    from kaldi_tpu.gmm.ebw import EbwOptions, update_ebw_am_diag_gmm
+    opts = EbwOptions()
+    po.register_struct(opts)
+    po.read(argv)
+    if po.num_args() != 4:
+        po.print_usage()
+        return 1
+    tm, am = read_am_gmm(po.get_arg(1))
+    num = kaldi_io.read_kaldi_object(AccumAmDiagGmm.read, po.get_arg(2))
+    den = kaldi_io.read_kaldi_object(AccumAmDiagGmm.read, po.get_arg(3))
+    update_ebw_am_diag_gmm(num, den, am, opts)
+    write_am_gmm(po.get_arg(4), tm, am)
+    return 0
+
+
+def gmm_est_weights_ebw(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Update GMM weights with Extended Baum-Welch\n"
+        "Usage: gmm-est-weights-ebw [options] <model-in> <num-stats-in> "
+        "<den-stats-in> <model-out>")
+    from kaldi_tpu.gmm.ebw import update_ebw_weights_diag_gmm
+    weight_iters = po.register_value(
+        "weight-iters", 1, "Iterations of the weight auxiliary solve")
+    po.read(argv)
+    if po.num_args() != 4:
+        po.print_usage()
+        return 1
+    tm, am = read_am_gmm(po.get_arg(1))
+    num = kaldi_io.read_kaldi_object(AccumAmDiagGmm.read, po.get_arg(2))
+    den = kaldi_io.read_kaldi_object(AccumAmDiagGmm.read, po.get_arg(3))
+    impr = 0.0
+    for pdf in range(am.num_pdfs):
+        impr += update_ebw_weights_diag_gmm(num.accs[pdf], den.accs[pdf],
+                                            am.get_pdf(pdf),
+                                            weight_iters[0])
+    am.invalidate_pack()
+    log(f"EBW weight update: total auxf impr {impr:.2f}")
+    write_am_gmm(po.get_arg(4), tm, am)
+    return 0
+
+
+def gmm_ismooth_stats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Apply I-smoothing to GMM stats (add tau frames of the source\n"
+        "stats' per-Gaussian average to the destination)\n"
+        "Usage: gmm-ismooth-stats [options] <src-stats-in> <dst-stats-in> "
+        "<stats-out>")
+    from kaldi_tpu.gmm.ebw import ismooth_stats_diag_gmm
+    tau = po.register_value("tau", 100.0, "I-smoothing constant")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    src = kaldi_io.read_kaldi_object(AccumAmDiagGmm.read, po.get_arg(1))
+    dst = kaldi_io.read_kaldi_object(AccumAmDiagGmm.read, po.get_arg(2))
+    for pdf in range(len(dst.accs)):
+        ismooth_stats_diag_gmm(src.accs[pdf], tau[0], dst.accs[pdf])
+    kaldi_io.write_kaldi_object(dst.write, po.get_arg(3), binary=True)
+    return 0

@@ -6,3 +6,10 @@ from kaldi_tpu.gmm.mle import (  # noqa: F401
     MleDiagGmmOptions,
     mle_am_diag_gmm_update,
 )
+from kaldi_tpu.gmm.ebw import (  # noqa: F401
+    EbwOptions,
+    ismooth_stats_diag_gmm,
+    update_ebw_am_diag_gmm,
+    update_ebw_diag_gmm,
+    update_ebw_weights_diag_gmm,
+)

@@ -188,6 +188,37 @@ class AccumAmDiagGmm:
         self.total_frames += len(alignment)
         return total
 
+    def accumulate_posterior(self, am: AmDiagGmm, trans_model,
+                             feats: np.ndarray,
+                             post) -> float:
+        """Accumulate from per-frame (transition-id, weight) posteriors
+        (gmm-acc-stats2 with lattice posteriors, the denominator side of
+        MMI training). Grouped by pdf so each GMM sees one batched
+        weighted accumulate."""
+        by_pdf: dict = {}
+        for t, entries in enumerate(post):
+            if t >= feats.shape[0]:
+                break
+            for tid, w in entries:
+                if tid <= 0 or w == 0.0:
+                    continue
+                pdf = trans_model.transition_id_to_pdf(tid)
+                by_pdf.setdefault(pdf, ([], []))
+                by_pdf[pdf][0].append(t)
+                by_pdf[pdf][1].append(w)
+                self.transition_accs[tid] += w
+        total = 0.0
+        frames = 0.0
+        for pdf, (idx, w) in by_pdf.items():
+            wa = np.asarray(w, np.float64)
+            ll = self.accs[pdf].accumulate_from_gmm(
+                am.get_pdf(pdf), feats[np.asarray(idx)], wa)
+            total += ll
+            frames += wa.sum()
+        self.total_loglike += total
+        self.total_frames += frames
+        return total
+
     def add(self, other: "AccumAmDiagGmm") -> None:
         for a, b in zip(self.accs, other.accs):
             a.add(b)

@@ -20,8 +20,9 @@ import optax
 from kaldi_tpu.base.logging import log, warn
 from kaldi_tpu.chain.graphs import DenominatorGraph, batch_pack
 from kaldi_tpu.chain.objective import ChainTrainingOptions, chain_loss
-from kaldi_tpu.chain.supervision import (alignment_to_numerator_graph,
-                                         make_denominator_graph)
+from kaldi_tpu.chain.supervision import (
+    alignment_to_numerator_graph, alignment_to_tolerance_numerator,
+    make_denominator_graph)
 from kaldi_tpu.nnet3.components import constrain_orthonormal
 from kaldi_tpu.nnet3.models import ChainTdnnf, ChainTdnnfConfig
 from kaldi_tpu.recipes.mono import MonoSystem
@@ -41,6 +42,10 @@ class ChainTrainOptions:
     max_param_change: float = 2.0
     orthonormal_interval: int = 4  # apply semi-orthogonal constraint
     seed: int = 0
+    # time-tolerant numerator supervision (chain-supervision.cc
+    # defaults); 0/0 = exact linear numerators from the alignment
+    left_tolerance: int = 0
+    right_tolerance: int = 0
 
 
 def make_chunks(feats: Dict[str, np.ndarray],
@@ -285,6 +290,8 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
     # chunks: input frames multiple of sub; numerators already at
     # output rate
     chunks = []
+    num_graphs = []  # per-chunk numerator PackedGraph
+    tol = (opts.left_tolerance, opts.right_tolerance)
     cw = (opts.chunk_width // sub) * sub
     for u, f in feats.items():
         if u not in chain_ali:
@@ -293,11 +300,19 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
         T_in = min(f.shape[0], len(ca) * sub)
         for start in range(0, T_in - cw + 1, cw):
             o_start, o_end = start // sub, (start + cw) // sub
+            if tol != (0, 0):
+                g = alignment_to_tolerance_numerator(
+                    mono_alignments[u][start:start + cw], sys_mono.tm,
+                    chain_tm, sub, *tol)
+            else:
+                g = alignment_to_numerator_graph(ca[o_start:o_end],
+                                                 chain_tm, subsample=1)
             chunks.append((f[start:start + cw], ca[o_start:o_end]))
+            num_graphs.append(g)
     if not chunks:
         raise ValueError("no chain chunks")
     log(f"chain-topo training: {len(chunks)} chunks of {cw} frames "
-        f"({cw // sub} outputs)")
+        f"({cw // sub} outputs), tolerance {tol}")
 
     model = ChainTdnnf(cfg, train=True)
     rng = jax.random.PRNGKey(opts.seed)
@@ -332,10 +347,8 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
                        opts.minibatch_size):
             idx = order[i:i + opts.minibatch_size]
             feats_b = jnp.asarray(np.stack([chunks[j][0] for j in idx]))
-            nums = [alignment_to_numerator_graph(chunks[j][1], chain_tm,
-                                                 subsample=1)
-                    for j in idx]
-            num_arrays = tuple(jnp.asarray(a) for a in batch_pack(nums))
+            num_arrays = tuple(jnp.asarray(a) for a in batch_pack(
+                [num_graphs[j] for j in idx]))
             params, batch_stats, opt_state, objf = step(
                 params, batch_stats, opt_state, feats_b, num_arrays)
             objfs.append(float(objf))

@@ -102,7 +102,8 @@ def test_chain_topology_training_end_to_end():
                            prefinal_dim=32, num_layers=4,
                            subsample_layer=2, frame_subsampling_factor=3)
     opts = ChainTrainOptions(num_epochs=10, learning_rate=2e-3,
-                             minibatch_size=4, chunk_width=60)
+                             minibatch_size=4, chunk_width=60,
+                             left_tolerance=5, right_tolerance=5)
     model, variables, den, chain_tm, chain_tree = train_chain_topo(
         gmm_sys, tf, mono_ali, cfg, opts)
     assert chain_tm.num_pdfs == 2 * len(lang.phones)
