@@ -86,6 +86,7 @@ _register("kaldi_tpu.cli.misc_tools", {
     "wav-reverberate": "wav_reverberate",
     "nnet3-xvector-compute": "nnet3_xvector_compute",
     "prepare-lang": "prepare_lang",
+    "fstpushspecial": "fstpushspecial",
 })
 
 _register("kaldi_tpu.cli.nnet3_tools", {

@@ -612,3 +612,27 @@ def prepare_lang(argv: List[str]) -> int:
     _prep(po.get_arg(1), po.get_arg(2), sil_phone=sil_phone[0],
           sil_prob=sil_prob[0], oov_word=oov_word[0] or None)
     return 0
+
+
+def fstpushspecial(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Push weights so every state's total outgoing mass is equal\n"
+        "(works on FSTs whose weights don't sum to one, e.g. HCLG)\n"
+        "Usage: fstpushspecial [options] [<fst-in> [<fst-out>]]")
+    from kaldi_tpu.fstext.openfst_io import read_fst_file, write_fst
+    from kaldi_tpu.fstext.ops import push_special
+    delta = po.register_value("delta", 1e-4, "Convergence threshold")
+    po.read(argv)
+    if po.num_args() > 2:
+        po.print_usage()
+        return 1
+    fst = read_fst_file(po.get_arg(1) if po.num_args() >= 1 else "-")
+    out = push_special(fst, delta[0])
+    dest = po.get_arg(2) if po.num_args() == 2 else "-"
+    import sys as _sys
+    if dest == "-":
+        write_fst(_sys.stdout.buffer, out)
+    else:
+        with open(dest, "wb") as f:
+            write_fst(f, out)
+    return 0

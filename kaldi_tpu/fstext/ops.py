@@ -676,3 +676,65 @@ def replace_fst(root: VectorFst, replacements: Dict[int, VectorFst]
                     out.add_arc(offset + t, Arc(EPS, EPS, sub.finals[t],
                                                 a.nextstate))
     return connect(out)
+
+
+def push_special(fst: VectorFst, delta: float = 1e-4,
+                 max_iters: int = 200) -> VectorFst:
+    """Special weight pushing (fstext/push-special.cc PushSpecial):
+    reweights so every state's total outgoing probability mass —
+    counting the final-prob as an arc back to the start state — equals
+    one, WITHOUT requiring the whole FST to sum to one (regular pushing
+    diverges on such graphs, e.g. HCLG).
+
+    Solve M v = lam v by power iteration, where
+    M[i]·v = sum_{arcs i->j} w(a) v[j] + f(i) v[start] (prob domain),
+    then set  cost'(a) = cost(a) + log v[i] - log v[j] + log lam  and
+    final'(i) = final(i) + log v[i] - log v[start] + log lam.  Each
+    path's weight changes by lam^(arcs+1) — a per-frame constant, which
+    is why this is safe on decoding graphs."""
+    import numpy as np
+    n = fst.num_states
+    if n == 0 or fst.start < 0:
+        return fst
+    src, dst, w = [], [], []
+    for s in range(n):
+        for a in fst.arcs[s]:
+            src.append(s)
+            dst.append(a.nextstate)
+            w.append(math.exp(-min(float(a.weight), 700.0)))
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = np.asarray(w, np.float64)
+    finals = np.array([math.exp(-min(float(fw), 700.0))
+                       if fw != fst.semiring.zero else 0.0
+                       for fw in fst.finals], np.float64)
+    v = np.ones(n, np.float64)
+    lam = 1.0
+    for _ in range(max_iters):
+        nv = np.zeros(n, np.float64)
+        np.add.at(nv, src, w * v[dst])
+        nv += finals * v[fst.start]
+        lam_new = float(np.max(nv))
+        if lam_new <= 0:
+            raise ValueError("push_special: FST has a dead state")
+        nv = nv / lam_new
+        if (abs(lam_new - lam) < delta * lam_new
+                and float(np.max(np.abs(nv - v))) < delta):
+            v, lam = nv, lam_new
+            break
+        v, lam = nv, lam_new
+    log_v = np.log(np.maximum(v, 1e-290))
+    log_lam = math.log(lam)
+    out = VectorFst(fst.semiring)
+    for _ in range(n):
+        out.add_state()
+    out.set_start(fst.start)
+    for s in range(n):
+        for a in fst.arcs[s]:
+            out.add_arc(s, Arc(a.ilabel, a.olabel,
+                               float(a.weight) + log_v[s] - log_v[a.nextstate]
+                               + log_lam, a.nextstate))
+        if fst.finals[s] != fst.semiring.zero:
+            out.finals[s] = (float(fst.finals[s]) + log_v[s]
+                             - log_v[fst.start] + log_lam)
+    return out

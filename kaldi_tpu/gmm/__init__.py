@@ -13,3 +13,9 @@ from kaldi_tpu.gmm.ebw import (  # noqa: F401
     update_ebw_diag_gmm,
     update_ebw_weights_diag_gmm,
 )
+from kaldi_tpu.gmm.full_gmm import (  # noqa: F401
+    AccumFullGmm,
+    FullGmm,
+    MleFullGmmOptions,
+    mle_full_gmm_update,
+)
