@@ -87,6 +87,7 @@ _register("kaldi_tpu.cli.misc_tools", {
     "nnet3-xvector-compute": "nnet3_xvector_compute",
     "prepare-lang": "prepare_lang",
     "fstpushspecial": "fstpushspecial",
+    "nnet3-am-copy": "nnet3_am_copy",
 })
 
 _register("kaldi_tpu.cli.nnet3_tools", {

@@ -369,6 +369,19 @@ def nnet3_compute(argv: List[str]) -> int:
     import json
     import os
     base = os.path.abspath(po.get_arg(1))
+    if os.path.isfile(base):
+        # reference-format model file (.raw or .mdl with TransitionModel)
+        from kaldi_tpu.nnet3.mdl_io import read_nnet3_any
+        _, graph, _ = read_nnet3_any(base)
+        head = "output-xent" if use_xent[0] else "output"
+        writer = TableWriter("matrix", po.get_arg(3))
+        n = 0
+        for key, feats in SequentialTableReader("matrix", po.get_arg(2)):
+            writer.write(key, graph.forward(feats, output_name=head))
+            n += 1
+        writer.close()
+        log(f"computed outputs for {n} utterances (nnet3 model file)")
+        return 0
     meta = json.load(open(os.path.join(base, "step_0.meta.json")))
     text = meta["xconfig"]
     model = build_xconfig_model(text, train=False)
@@ -635,4 +648,31 @@ def fstpushspecial(argv: List[str]) -> int:
     else:
         with open(dest, "wb") as f:
             write_fst(f, out)
+    return 0
+
+
+def nnet3_am_copy(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Copy nnet3 acoustic model files, optionally converting\n"
+        "binary/text or stripping the transition model (--raw)\n"
+        "Usage: nnet3-am-copy [options] <nnet-in> <nnet-out>")
+    from kaldi_tpu.nnet3.mdl_io import (read_nnet3_any, write_nnet3_am,
+                                        write_raw_nnet3)
+    binary = po.register_value("binary", True, "Write output in binary mode")
+    raw = po.register_value("raw", False,
+                            "If true, write only the raw neural net")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    src, dst = po.get_arg(1), po.get_arg(2)
+    tm, graph, info = read_nnet3_any(src)
+    if raw[0] or tm is None:
+        write_raw_nnet3(graph, dst, binary=binary[0])
+    else:
+        write_nnet3_am(dst, tm, graph,
+                       left_context=info["left_context"],
+                       right_context=info["right_context"],
+                       priors=info["priors"], binary=binary[0])
+    log(f"copied {src} -> {dst}")
     return 0

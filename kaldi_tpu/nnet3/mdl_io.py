@@ -1,0 +1,820 @@
+"""Reference nnet3 model files: import + export.
+
+Parity: nnet3/nnet-nnet.cc Nnet::Read/Write (the <Nnet3> container:
+config lines for nodes, then serialized components),
+nnet3/nnet-simple-component.cc + nnet-convolutional-component.cc
+(component serialization), nnet3/am-nnet-simple.cc (.mdl =
+<TransitionModel> + <Nnet3> + left/right context + priors),
+nnet3/nnet-descriptor.cc (the descriptor grammar on component-node
+input= fields).
+
+The import target is an executable `Nnet3Graph`: a topologically
+evaluated node DAG over (T, dim) arrays with edge-clamped time
+offsets — enough to run inference for the TDNN(-F) family the chain
+recipes produce (nnet3-compute equivalence on interior frames).
+Component readers are token-driven so field order / optional natural-
+gradient bookkeeping tokens don't break parsing.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import BinaryIO, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from kaldi_tpu.base import io_funcs as iof
+from kaldi_tpu.base.logging import KaldiTpuError, log, warn
+
+# --------------------------------------------------------------------------
+# descriptors
+
+
+class Desc:
+    """Descriptor AST node."""
+
+    def __init__(self, op: str, args: Sequence = ()):  # noqa: D401
+        self.op = op          # 'node' | 'Append' | 'Offset' | 'Sum' |
+        self.args = list(args)  # 'Scale' | 'Const' | 'ReplaceIndex' |
+        #                         'IfDefined' | 'Round' | 'Failover'
+
+    def __repr__(self):
+        if self.op == "node":
+            return self.args[0]
+        if self.op == "Offset":
+            return f"Offset({self.args[0]!r}, {self.args[1]})"
+        if self.op == "Scale":
+            return f"Scale({self.args[0]}, {self.args[1]!r})"
+        if self.op == "Const":
+            return f"Const({self.args[0]}, {self.args[1]})"
+        if self.op == "ReplaceIndex":
+            return (f"ReplaceIndex({self.args[0]!r}, {self.args[1]}, "
+                    f"{self.args[2]})")
+        inner = ", ".join(repr(a) for a in self.args)
+        return f"{self.op}({inner})"
+
+
+def _tokenize_descriptor(s: str) -> List[str]:
+    return [t for t in re.findall(r"[A-Za-z_][-\w.]*|-?\d+\.?\d*|[(),]", s)]
+
+
+def parse_descriptor(s: str) -> Desc:
+    toks = _tokenize_descriptor(s)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def eat(t=None):
+        tok = toks[pos[0]]
+        if t is not None and tok != t:
+            raise KaldiTpuError(f"descriptor parse: expected {t}, got {tok}"
+                                f" in {s!r}")
+        pos[0] += 1
+        return tok
+
+    OPS = {"Append", "Offset", "Sum", "Scale", "Const", "ReplaceIndex",
+           "IfDefined", "Round", "Failover", "Switch"}
+
+    def parse():
+        tok = eat()
+        if tok in OPS and peek() == "(":
+            eat("(")
+            args: List = []
+            if tok == "Scale":
+                args.append(float(eat()))
+                eat(",")
+                args.append(parse())
+            elif tok == "Const":
+                args.append(float(eat()))
+                eat(",")
+                args.append(int(eat()))
+            elif tok == "Offset":
+                args.append(parse())
+                eat(",")
+                args.append(int(eat()))
+                if peek() == ",":   # optional x-offset, ignored
+                    eat(",")
+                    eat()
+            elif tok == "ReplaceIndex":
+                args.append(parse())
+                eat(",")
+                args.append(eat())      # "t" or "x"
+                eat(",")
+                args.append(int(eat()))
+            elif tok == "Round":
+                args.append(parse())
+                eat(",")
+                args.append(int(eat()))
+            else:  # Append, Sum, IfDefined, Failover, Switch
+                args.append(parse())
+                while peek() == ",":
+                    eat(",")
+                    args.append(parse())
+            eat(")")
+            return Desc(tok, args)
+        return Desc("node", [tok])
+
+    d = parse()
+    if pos[0] != len(toks):
+        raise KaldiTpuError(f"descriptor parse: trailing tokens in {s!r}")
+    return d
+
+
+# --------------------------------------------------------------------------
+# components (inference behavior only; training state tokens are parsed
+# and kept for round-tripping but unused)
+
+_TOKEN_KINDS = {
+    # scalar bookkeeping across component types
+    "<LearningRateFactor>": "float", "<LearningRate>": "float",
+    "<MaxChange>": "float", "<L2Regularize>": "float",
+    "<OrthonormalConstraint>": "float", "<NumSamplesHistory>": "float",
+    "<Alpha>": "float", "<AlphaInOut>": "float2",
+    "<Epsilon>": "float", "<TargetRms>": "float",
+    "<SelfRepairScale>": "float", "<SelfRepairLowerThreshold>": "float",
+    "<SelfRepairUpperThreshold>": "float", "<SelfRepairTarget>": "float",
+    "<DropoutProportion>": "float", "<DimOffset>": "int",
+    "<RankIn>": "int", "<RankOut>": "int", "<Rank>": "int",
+    "<UpdatePeriod>": "int", "<Dim>": "int", "<BlockDim>": "int",
+    "<InputDim>": "int", "<OutputDim>": "int",
+    "<IsGradient>": "bool", "<UseNaturalGradient>": "bool",
+    "<TestMode>": "bool", "<IsUpdatable>": "bool",
+    "<Count>": "double", "<OderivCount>": "double",
+    "<NumDimsProcessed>": "double", "<NumDimsSelfRepaired>": "double",
+    "<TimeOffsets>": "ints", "<Context>": "ints",
+    "<LinearParams>": "matrix", "<Params>": "matrix",
+    "<BiasParams>": "vector", "<ValueAvg>": "vector",
+    "<DerivAvg>": "vector", "<OderivSumsq>": "vector",
+    "<StatsMean>": "vector", "<StatsVar>": "vector",
+    "<Scales>": "vector", "<Offsets>": "vector",
+}
+
+
+def _read_fields(stream, binary, end_token) -> Dict[str, object]:
+    """Token-driven field reader until end_token."""
+    fields: Dict[str, object] = {}
+    while True:
+        tok = iof.read_token(stream, binary)
+        if tok == end_token:
+            return fields
+        kind = _TOKEN_KINDS.get(tok)
+        key = tok[1:-1]
+        if kind == "float" or kind == "double":
+            fields[key] = iof.read_float(stream, binary)
+        elif kind == "float2":
+            fields[key] = (iof.read_float(stream, binary),
+                           iof.read_float(stream, binary))
+        elif kind == "int":
+            fields[key] = iof.read_int32(stream, binary)
+        elif kind == "bool":
+            fields[key] = iof.read_bool(stream, binary)
+        elif kind == "ints":
+            fields[key] = iof.read_int_vector(stream, binary)
+        elif kind == "vector":
+            fields[key] = iof.read_vector(stream, binary)
+        elif kind == "matrix":
+            fields[key] = iof.read_matrix(stream, binary)
+        elif tok.startswith("<Components"):  # nested NG state blocks
+            continue
+        else:
+            raise KaldiTpuError(
+                f"nnet3 import: unknown token {tok} before {end_token} "
+                f"(extend _TOKEN_KINDS)")
+
+
+class Component:
+    TYPE = "Component"
+
+    def __init__(self, **fields):
+        self.fields = fields
+
+    # -- shared serialization helpers --
+    @classmethod
+    def read(cls, stream, binary):
+        return cls(**_read_fields(stream, binary, f"</{cls.TYPE}>"))
+
+    def _write_fields(self, stream, binary, order: Sequence[str]):
+        for key in order:
+            if key not in self.fields:
+                continue
+            val = self.fields[key]
+            tok = f"<{key}>"
+            kind = _TOKEN_KINDS[tok]
+            iof.write_token(stream, binary, tok)
+            if kind == "float":
+                iof.write_float(stream, binary, float(val))
+            elif kind == "double":
+                iof.write_double(stream, binary, float(val))
+            elif kind == "int":
+                iof.write_int32(stream, binary, int(val))
+            elif kind == "bool":
+                iof.write_bool(stream, binary, bool(val))
+            elif kind == "ints":
+                iof.write_int_vector(stream, binary, list(val))
+            elif kind == "vector":
+                iof.write_vector(stream, binary,
+                                 np.asarray(val, np.float32))
+            elif kind == "matrix":
+                iof.write_matrix(stream, binary,
+                                 np.asarray(val, np.float32))
+
+    WRITE_ORDER: Sequence[str] = ()
+
+    def write(self, stream, binary):
+        iof.write_token(stream, binary, f"<{self.TYPE}>")
+        self._write_fields(stream, binary, self.WRITE_ORDER)
+        iof.write_token(stream, binary, f"</{self.TYPE}>")
+
+    # -- inference --
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    @property
+    def input_dim(self) -> int:
+        raise NotImplementedError
+
+
+class AffineComponent(Component):
+    TYPE = "AffineComponent"
+    WRITE_ORDER = ("LearningRate", "LinearParams", "BiasParams")
+
+    def forward(self, x):
+        return x @ np.asarray(self.fields["LinearParams"]).T \
+            + np.asarray(self.fields["BiasParams"])
+
+    @property
+    def input_dim(self):
+        return np.asarray(self.fields["LinearParams"]).shape[1]
+
+
+class NaturalGradientAffineComponent(AffineComponent):
+    TYPE = "NaturalGradientAffineComponent"
+    WRITE_ORDER = ("LearningRate", "LinearParams", "BiasParams",
+                   "RankIn", "RankOut", "UpdatePeriod",
+                   "NumSamplesHistory", "Alpha")
+
+
+class FixedAffineComponent(AffineComponent):
+    TYPE = "FixedAffineComponent"
+    WRITE_ORDER = ("LinearParams", "BiasParams")
+
+
+class LinearComponent(Component):
+    TYPE = "LinearComponent"
+    WRITE_ORDER = ("Params", "OrthonormalConstraint", "UseNaturalGradient")
+
+    def forward(self, x):
+        return x @ np.asarray(self.fields["Params"]).T
+
+    @property
+    def input_dim(self):
+        return np.asarray(self.fields["Params"]).shape[1]
+
+
+class TdnnComponent(Component):
+    """nnet-convolutional-component.h TdnnComponent: y[t] =
+    sum_k W_k x[t + offset_k] (+ bias) — the factored-TDNN workhorse."""
+    TYPE = "TdnnComponent"
+    WRITE_ORDER = ("TimeOffsets", "LinearParams", "BiasParams",
+                   "OrthonormalConstraint", "UseNaturalGradient")
+
+    def forward(self, x):
+        offsets = list(self.fields["TimeOffsets"])
+        W = np.asarray(self.fields["LinearParams"])
+        T, D = x.shape
+        K = len(offsets)
+        assert W.shape[1] == K * D, (W.shape, K, D)
+        t = np.arange(T)
+        out = np.zeros((T, W.shape[0]), x.dtype)
+        for k, off in enumerate(offsets):
+            xk = x[np.clip(t + off, 0, T - 1)]
+            out = out + xk @ W[:, k * D:(k + 1) * D].T
+        bias = self.fields.get("BiasParams")
+        if bias is not None and np.asarray(bias).size:
+            out = out + np.asarray(bias)
+        return out
+
+    @property
+    def input_dim(self):
+        return (np.asarray(self.fields["LinearParams"]).shape[1]
+                // len(self.fields["TimeOffsets"]))
+
+
+class RectifiedLinearComponent(Component):
+    TYPE = "RectifiedLinearComponent"
+    WRITE_ORDER = ("Dim", "ValueAvg", "DerivAvg", "Count")
+
+    def forward(self, x):
+        return np.maximum(x, 0.0)
+
+    @property
+    def input_dim(self):
+        return int(self.fields["Dim"])
+
+
+class SigmoidComponent(RectifiedLinearComponent):
+    TYPE = "SigmoidComponent"
+
+    def forward(self, x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+
+class TanhComponent(RectifiedLinearComponent):
+    TYPE = "TanhComponent"
+
+    def forward(self, x):
+        return np.tanh(x)
+
+
+class LogSoftmaxComponent(RectifiedLinearComponent):
+    TYPE = "LogSoftmaxComponent"
+
+    def forward(self, x):
+        m = x.max(axis=-1, keepdims=True)
+        e = np.exp(x - m)
+        return x - m - np.log(e.sum(axis=-1, keepdims=True))
+
+
+class SoftmaxComponent(RectifiedLinearComponent):
+    TYPE = "SoftmaxComponent"
+
+    def forward(self, x):
+        m = x.max(axis=-1, keepdims=True)
+        e = np.exp(x - m)
+        return e / e.sum(axis=-1, keepdims=True)
+
+
+class NoOpComponent(RectifiedLinearComponent):
+    TYPE = "NoOpComponent"
+    WRITE_ORDER = ("Dim",)
+
+    def forward(self, x):
+        return x
+
+
+class GeneralDropoutComponent(RectifiedLinearComponent):
+    TYPE = "GeneralDropoutComponent"
+    WRITE_ORDER = ("Dim", "DropoutProportion")
+
+    def forward(self, x):    # inference: identity
+        return x
+
+
+class DropoutComponent(GeneralDropoutComponent):
+    TYPE = "DropoutComponent"
+
+
+class BatchNormComponent(Component):
+    TYPE = "BatchNormComponent"
+    WRITE_ORDER = ("Dim", "BlockDim", "Epsilon", "TargetRms", "TestMode",
+                   "Count", "StatsMean", "StatsVar")
+
+    def forward(self, x):
+        mean = np.asarray(self.fields["StatsMean"])
+        var = np.asarray(self.fields["StatsVar"])
+        eps = float(self.fields.get("Epsilon", 1e-3))
+        target_rms = float(self.fields.get("TargetRms", 1.0))
+        scale = target_rms / np.sqrt(var + eps)
+        return (x - mean) * scale
+
+    @property
+    def input_dim(self):
+        return int(self.fields["Dim"])
+
+
+class ScaleAndOffsetComponent(Component):
+    TYPE = "ScaleAndOffsetComponent"
+    WRITE_ORDER = ("Dim", "Scales", "Offsets")
+
+    def forward(self, x):
+        return x * np.asarray(self.fields["Scales"]) \
+            + np.asarray(self.fields["Offsets"])
+
+    @property
+    def input_dim(self):
+        return int(self.fields["Dim"])
+
+
+COMPONENT_TYPES = {c.TYPE: c for c in [
+    AffineComponent, NaturalGradientAffineComponent, FixedAffineComponent,
+    LinearComponent, TdnnComponent, RectifiedLinearComponent,
+    SigmoidComponent, TanhComponent, LogSoftmaxComponent, SoftmaxComponent,
+    NoOpComponent, BatchNormComponent, GeneralDropoutComponent,
+    DropoutComponent, ScaleAndOffsetComponent,
+]}
+
+
+# --------------------------------------------------------------------------
+# the network container
+
+
+class Node:
+    def __init__(self, kind: str, name: str, dim: int = 0,
+                 component: str = "", desc: Optional[Desc] = None,
+                 dim_offset: int = 0, objective: str = "linear"):
+        self.kind = kind            # input | component | output | dim-range
+        self.name = name
+        self.dim = dim
+        self.component = component
+        self.desc = desc
+        self.dim_offset = dim_offset
+        self.objective = objective
+
+    def config_line(self) -> str:
+        if self.kind == "input":
+            return f"input-node name={self.name} dim={self.dim}"
+        if self.kind == "component":
+            return (f"component-node name={self.name} "
+                    f"component={self.component} input={self.desc!r}")
+        if self.kind == "output":
+            return (f"output-node name={self.name} input={self.desc!r} "
+                    f"objective={self.objective}")
+        return (f"dim-range-node name={self.name} input-node="
+                f"{self.desc!r} dim={self.dim} dim-offset={self.dim_offset}")
+
+
+class Nnet3Graph:
+    """Executable nnet3 network (nodes + components)."""
+
+    def __init__(self, nodes: List[Node],
+                 components: Dict[str, Component]):
+        self.nodes = nodes
+        self.node_of = {n.name: n for n in nodes}
+        self.components = components
+
+    # -- evaluation -------------------------------------------------------
+
+    def forward(self, feats: np.ndarray,
+                ivector: Optional[np.ndarray] = None,
+                output_name: str = "output") -> np.ndarray:
+        """(T, D) features -> (T, out_dim). Time offsets are edge-
+        clamped (equivalent to the reference's replicated extra
+        context at utterance boundaries)."""
+        T = feats.shape[0]
+        cache: Dict[str, np.ndarray] = {}
+
+        def eval_node(name: str) -> np.ndarray:
+            if name in cache:
+                return cache[name]
+            node = self.node_of.get(name)
+            if node is None:
+                raise KaldiTpuError(f"nnet3 forward: no node {name!r}")
+            if node.kind == "input":
+                if name == "input":
+                    val = feats
+                elif name == "ivector":
+                    if ivector is None:
+                        raise KaldiTpuError("model needs an ivector input")
+                    val = np.broadcast_to(
+                        np.atleast_2d(ivector)[0], (T, node.dim))
+                else:
+                    raise KaldiTpuError(f"unknown input node {name!r}")
+            elif node.kind == "component":
+                x = eval_desc(node.desc)
+                val = self.components[node.component].forward(x)
+            elif node.kind == "dim-range":
+                x = eval_node(node.desc.args[0])
+                val = x[:, node.dim_offset:node.dim_offset + node.dim]
+            else:  # output
+                val = eval_desc(node.desc)
+            cache[name] = val
+            return val
+
+        t_idx = np.arange(T)
+
+        def eval_desc(d: Desc) -> np.ndarray:
+            if d.op == "node":
+                return eval_node(d.args[0])
+            if d.op == "Append":
+                return np.concatenate([eval_desc(a) for a in d.args],
+                                      axis=-1)
+            if d.op == "Offset":
+                arr = eval_desc(d.args[0])
+                return arr[np.clip(t_idx + d.args[1], 0, T - 1)]
+            if d.op == "Sum":
+                out = eval_desc(d.args[0])
+                for a in d.args[1:]:
+                    out = out + eval_desc(a)
+                return out
+            if d.op == "Scale":
+                return d.args[0] * eval_desc(d.args[1])
+            if d.op == "Const":
+                return np.full((T, d.args[1]), d.args[0], np.float32)
+            if d.op == "ReplaceIndex":
+                arr = eval_desc(d.args[0])
+                return np.broadcast_to(
+                    arr[np.clip(d.args[2], 0, T - 1)], arr.shape)
+            if d.op in ("IfDefined", "Failover", "Switch"):
+                return eval_desc(d.args[0])
+            if d.op == "Round":
+                arr = eval_desc(d.args[0])
+                return arr[(t_idx // d.args[1]) * d.args[1]]
+            raise KaldiTpuError(f"unsupported descriptor op {d.op}")
+
+        return eval_node(output_name)
+
+    @property
+    def output_dim(self) -> int:
+        for n in self.nodes:
+            if n.kind == "output" and n.name == "output":
+                d = n.desc
+                while d.op != "node":
+                    d = d.args[-1] if d.op != "Scale" else d.args[1]
+                src = self.node_of[d.args[0]]
+                if src.kind == "component":
+                    comp = self.components[src.component]
+                    probe = np.zeros((3, comp.input_dim), np.float32)
+                    return comp.forward(probe).shape[1]
+                return src.dim
+        raise KaldiTpuError("no output node")
+
+    # -- serialization ------------------------------------------------------
+
+    def write(self, stream: BinaryIO, binary: bool = True) -> None:
+        iof.write_token(stream, binary, "<Nnet3>")
+        stream.write(b"\n")
+        for n in self.nodes:
+            stream.write(n.config_line().encode() + b"\n")
+        stream.write(b"\n")
+        iof.write_token(stream, binary, "<NumComponents>")
+        iof.write_int32(stream, binary, len(self.components))
+        for name, comp in self.components.items():
+            iof.write_token(stream, binary, "<ComponentName>")
+            iof.write_token(stream, binary, name)
+            comp.write(stream, binary)
+            if not binary:
+                stream.write(b"\n")
+        iof.write_token(stream, binary, "</Nnet3>")
+
+    @classmethod
+    def read(cls, stream: BinaryIO, binary: bool) -> "Nnet3Graph":
+        iof.expect_token(stream, binary, "<Nnet3>")
+        # config lines are plain text lines (even in binary files),
+        # terminated by an empty line; leading blank lines are eaten
+        # (read_token may or may not have consumed the newline after
+        # <Nnet3> depending on the writer's spacing)
+        nodes: List[Node] = []
+        while True:
+            raw = stream.readline()
+            if not raw:
+                break
+            line = raw.decode().strip()
+            if not line:
+                if nodes:
+                    break
+                continue
+            nodes.append(_parse_config_line(line))
+        iof.expect_token(stream, binary, "<NumComponents>")
+        n = iof.read_int32(stream, binary)
+        components: Dict[str, Component] = {}
+        for _ in range(n):
+            iof.expect_token(stream, binary, "<ComponentName>")
+            name = iof.read_token(stream, binary)
+            type_tok = iof.read_token(stream, binary)
+            type_name = type_tok[1:-1]
+            ctor = COMPONENT_TYPES.get(type_name)
+            if ctor is None:
+                raise KaldiTpuError(
+                    f"nnet3 import: unsupported component type {type_name}"
+                    f" (supported: {sorted(COMPONENT_TYPES)})")
+            components[name] = ctor.read(stream, binary)
+        iof.expect_token(stream, binary, "</Nnet3>")
+        return cls(nodes, components)
+
+
+def _parse_config_line(line: str) -> Node:
+    parts = line.split()
+    kind = parts[0]
+    kv: Dict[str, str] = {}
+    for p in parts[1:]:
+        k, _, v = p.partition("=")
+        kv[k] = v
+    # input= descriptors may contain spaces after commas in hand-written
+    # configs; reference output has none, but be lenient by re-joining
+    if "input" in kv:
+        idx = line.index("input=")
+        rest = line[idx + len("input="):]
+        # cut trailing key=value fields (objective=...)
+        m = re.search(r"\s+\w[-\w]*=", rest)
+        if m:
+            rest = rest[:m.start()]
+        kv["input"] = rest.strip()
+    if kind == "input-node":
+        return Node("input", kv["name"], dim=int(kv["dim"]))
+    if kind == "component-node":
+        return Node("component", kv["name"], component=kv["component"],
+                    desc=parse_descriptor(kv["input"]))
+    if kind == "output-node":
+        return Node("output", kv["name"],
+                    desc=parse_descriptor(kv["input"]),
+                    objective=kv.get("objective", "linear"))
+    if kind == "dim-range-node":
+        return Node("dim-range", kv["name"],
+                    desc=Desc("node", [kv["input-node"]]),
+                    dim=int(kv["dim"]), dim_offset=int(kv["dim-offset"]))
+    raise KaldiTpuError(f"nnet3 import: unknown config line kind {kind}")
+
+
+# --------------------------------------------------------------------------
+# .raw / .mdl front doors
+
+
+def read_raw_nnet3(path: str) -> Nnet3Graph:
+    """nnet3 'raw' model file (final.raw / 0.raw)."""
+    from kaldi_tpu.util import kaldi_io
+    return kaldi_io.read_kaldi_object(Nnet3Graph.read, path)
+
+
+def write_raw_nnet3(graph: Nnet3Graph, path: str,
+                    binary: bool = True) -> None:
+    from kaldi_tpu.util import kaldi_io
+    kaldi_io.write_kaldi_object(graph.write, path, binary=binary)
+
+
+def read_nnet3_am(path: str):
+    """.mdl acoustic model (am-nnet-simple.cc): returns
+    (TransitionModel, Nnet3Graph, info dict w/ left_context,
+    right_context, priors)."""
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.util.kaldi_io import open_input
+
+    with open_input(path) as stream:
+        binary = iof.init_input_stream(stream)
+        tm = TransitionModel.read(stream, binary)
+        graph = Nnet3Graph.read(stream, binary)
+        info = {"left_context": 0, "right_context": 0, "priors": None}
+        while True:
+            try:
+                tok = iof.read_token(stream, binary)
+            except Exception:
+                break
+            if tok == "<LeftContext>":
+                info["left_context"] = iof.read_int32(stream, binary)
+            elif tok == "<RightContext>":
+                info["right_context"] = iof.read_int32(stream, binary)
+            elif tok == "<Priors>":
+                info["priors"] = iof.read_vector(stream, binary)
+            elif not tok:
+                break
+    return tm, graph, info
+
+
+def write_nnet3_am(path: str, tm, graph: Nnet3Graph,
+                   left_context: int = 0, right_context: int = 0,
+                   priors: Optional[np.ndarray] = None,
+                   binary: bool = True) -> None:
+    from kaldi_tpu.util.kaldi_io import output_stream
+    with output_stream(path) as stream:
+        iof.init_output_stream(stream, binary)
+        tm.write(stream, binary)
+        graph.write(stream, binary)
+        iof.write_token(stream, binary, "<LeftContext>")
+        iof.write_int32(stream, binary, left_context)
+        iof.write_token(stream, binary, "<RightContext>")
+        iof.write_int32(stream, binary, right_context)
+        if priors is not None:
+            iof.write_token(stream, binary, "<Priors>")
+            iof.write_vector(stream, binary,
+                             np.asarray(priors, np.float32))
+
+
+# --------------------------------------------------------------------------
+# exporter: our ChainTdnnf -> reference-format graph
+
+
+
+
+def chain_tdnnf_to_nnet3(model, variables) -> Nnet3Graph:
+    """Convert a trained kaldi_tpu ChainTdnnf (flax) to the reference's
+    node/component representation so the model can be inspected or run
+    by reference tooling. Mapping (verified numerically in
+    tests/test_mdl_io.py):
+
+      input_affine + relu + input_bn  ->  NG-affine, ReLU, BatchNorm
+      TdnnfLayer(stride s)            ->  TdnnComponent([-s,0], linear)
+                                          + TdnnComponent([0,s], affine)
+                                          + ReLU + BatchNorm,
+                                          bypass = Sum(Scale(0.66, prev), bn)
+      prefinal / output heads         ->  NG-affines (+ReLU/BatchNorm)
+
+    Our model subsamples INSIDE layer cfg.subsample_layer, and later
+    strides apply at the subsampled rate; the exported graph runs at
+    the full input rate, so offsets after the subsample point are
+    multiplied by the subsampling factor. Evaluating the exported
+    graph at t in {0, 3, 6, ...} reproduces our model's outputs."""
+    cfg = model.cfg
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def bn_fields(*path):
+        s = stats
+        for k in path:
+            s = s[k]
+        s = s["bn"]
+        mean = np.asarray(s["mean"])
+        return {"Dim": int(mean.shape[-1]), "BlockDim": int(mean.shape[-1]),
+                "Epsilon": 1e-3, "TargetRms": 1.0, "TestMode": True,
+                "Count": 1.0, "StatsMean": mean,
+                "StatsVar": np.asarray(s["var"])}
+
+    nodes: List[Node] = [Node("input", "input", dim=cfg.feat_dim)]
+    comps: Dict[str, Component] = {}
+
+    def add(name: str, comp: Component, input_desc: str) -> str:
+        comps[name] = comp
+        nodes.append(Node("component", name, component=name,
+                          desc=parse_descriptor(input_desc)))
+        return name
+
+    prev = add("input.affine", NaturalGradientAffineComponent(
+        LearningRate=0.001,
+        LinearParams=np.asarray(params["input_affine"]["kernel"]).T,
+        BiasParams=np.asarray(params["input_affine"]["bias"])), "input")
+    prev = add("input.relu", RectifiedLinearComponent(
+        Dim=cfg.hidden_dim, Count=0.0), prev)
+    prev = add("input.batchnorm",
+               BatchNormComponent(**bn_fields("input_bn")), prev)
+
+    strides = cfg.time_strides()
+    for i, s in enumerate(strides, start=1):
+        name = f"tdnnf{i}"
+        p = params[name]
+        # offsets at the graph's full input rate
+        rate = (cfg.frame_subsampling_factor
+                if i > cfg.subsample_layer else 1)
+        off = s * rate
+        add(f"{name}.linear", TdnnComponent(
+            TimeOffsets=[-off, 0] if s else [0],
+            LinearParams=np.asarray(p["linear"]),
+            BiasParams=np.zeros(0, np.float32),
+            OrthonormalConstraint=-1.0,
+            UseNaturalGradient=True), prev)
+        add(f"{name}.affine", TdnnComponent(
+            TimeOffsets=[0, off] if s else [0],
+            LinearParams=np.asarray(p["affine"]),
+            BiasParams=np.asarray(p["bias"]),
+            OrthonormalConstraint=0.0,
+            UseNaturalGradient=True), f"{name}.linear")
+        add(f"{name}.relu", RectifiedLinearComponent(
+            Dim=cfg.hidden_dim, Count=0.0), f"{name}.affine")
+        add(f"{name}.batchnorm", BatchNormComponent(
+            **bn_fields(name, "BatchNorm_0")), f"{name}.relu")
+        # bypass (our layers add it whenever dims match — always, since
+        # the input affine lifts to hidden_dim)
+        prev = f"Sum(Scale(0.66, {prev}), {name}.batchnorm)"
+
+    def prefinal(block: str, scope: str, source: str) -> str:
+        p = params[scope]
+        out = add(f"{block}.affine", NaturalGradientAffineComponent(
+            LearningRate=0.001,
+            LinearParams=np.asarray(p["affine"]["kernel"]).T,
+            BiasParams=np.asarray(p["affine"]["bias"])), source)
+        out = add(f"{block}.relu", RectifiedLinearComponent(
+            Dim=cfg.hidden_dim, Count=0.0), out)
+        out = add(f"{block}.batchnorm1", BatchNormComponent(
+            **bn_fields(scope, "bn1")), out)
+        out = add(f"{block}.linear", LinearComponent(
+            Params=np.asarray(p["linear"]["kernel"]).T,
+            OrthonormalConstraint=-1.0, UseNaturalGradient=True), out)
+        out = add(f"{block}.batchnorm2", BatchNormComponent(
+            **bn_fields(scope, "bn2")), out)
+        return out
+
+    pc = prefinal("prefinal-chain", "prefinal_chain", prev)
+    add("output.affine", NaturalGradientAffineComponent(
+        LearningRate=0.001,
+        LinearParams=np.asarray(params["output_affine"]["kernel"]).T,
+        BiasParams=np.asarray(params["output_affine"]["bias"])), pc)
+    nodes.append(Node("output", "output",
+                      desc=parse_descriptor("output.affine"),
+                      objective="linear"))
+
+    px = prefinal("prefinal-xent", "prefinal_xent", prev)
+    add("output-xent.affine", NaturalGradientAffineComponent(
+        LearningRate=0.001,
+        LinearParams=np.asarray(params["output_xent_affine"]["kernel"]).T,
+        BiasParams=np.asarray(params["output_xent_affine"]["bias"])), px)
+    add("output-xent.log-softmax", LogSoftmaxComponent(
+        Dim=cfg.num_pdfs, Count=0.0), "output-xent.affine")
+    nodes.append(Node("output", "output-xent",
+                      desc=parse_descriptor("output-xent.log-softmax"),
+                      objective="linear"))
+    return Nnet3Graph(nodes, comps)
+
+
+def read_nnet3_any(path: str):
+    """Dispatch on the leading token: <Nnet3> (raw model) vs
+    <TransitionModel> (.mdl acoustic model). Returns
+    (tm_or_None, graph, info_dict). Avoids try/except fallbacks that
+    would mask real parse errors (e.g. an unsupported component in a
+    raw file must not be reported as a missing TransitionModel)."""
+    from kaldi_tpu.util.kaldi_io import open_input
+    with open_input(path) as stream:
+        binary = iof.init_input_stream(stream)
+        tok = iof.peek_token(stream, binary)
+    if tok == "<Nnet3>":
+        return None, read_raw_nnet3(path), {"left_context": 0,
+                                            "right_context": 0,
+                                            "priors": None}
+    return read_nnet3_am(path)
