@@ -322,3 +322,88 @@ class OnlineFeaturePipeline:
     def get_frames(self, lo: int, hi: int) -> np.ndarray:
         return np.stack([self.output.get_frame(t) for t in range(lo, hi)]) \
             if hi > lo else np.zeros((0, self.dim()), np.float32)
+
+
+class OnlinePitchFeature(OnlineFeatureInterface):
+    """Latency-controlled online pitch (parity: feat/pitch-functions.cc
+    OnlinePitchFeature + online-feature.cc OnlineProcessPitch).
+
+    The Viterbi lag decisions for recent frames can change as more
+    audio arrives, so frames within `max_frames_latency` of the end of
+    the stream are PROVISIONAL: they are re-estimated on every
+    accept_waveform() (full recomputation over a bounded trailing
+    window) and only become final once they fall more than the latency
+    window (plus the normalization right-context) behind the newest
+    frame, or when input_finished() is called.
+
+    Like the reference's online pitch, finalized frames may differ
+    from the offline two-pass output when the global Viterbi backtrace
+    would have revised a lag beyond the latency window — in practice
+    this happens only in unvoiced/silence regions where pitch is
+    ill-defined (voiced frames match exactly); with
+    max_frames_latency >= the stream length the output is
+    bit-identical to compute_and_process_kaldi_pitch().
+    """
+
+    def __init__(self, pitch_opts=None, process_opts=None,
+                 max_frames_latency: int = 30):
+        from kaldi_tpu.feat.pitch import (PitchExtractionOptions,
+                                          ProcessPitchOptions,
+                                          compute_and_process_kaldi_pitch)
+        self.pitch_opts = pitch_opts or PitchExtractionOptions()
+        self.process_opts = process_opts or ProcessPitchOptions()
+        self._compute = compute_and_process_kaldi_pitch
+        self.max_frames_latency = max_frames_latency
+        self.waveform: List[np.ndarray] = []
+        self.num_samples = 0
+        self.finished = False
+        self._feats = np.zeros((0, 3), np.float32)
+        self._num_final = 0
+
+    def dim(self) -> int:
+        return self._feats.shape[1] if self._feats.size else 3
+
+    def accept_waveform(self, samp_freq: float,
+                        waveform: np.ndarray) -> None:
+        assert not self.finished
+        if abs(samp_freq - self.pitch_opts.samp_freq) > 1e-3:
+            raise ValueError("sampling frequency mismatch")
+        self.waveform.append(np.asarray(waveform, np.float32))
+        self.num_samples += len(waveform)
+        self._recompute()
+
+    def input_finished(self) -> None:
+        self.finished = True
+        self._recompute()
+        self._num_final = self._feats.shape[0]
+
+    def _recompute(self) -> None:
+        wave = np.concatenate(self.waveform) if self.waveform else \
+            np.zeros(0, np.float32)
+        if len(wave) < int(0.025 * self.pitch_opts.samp_freq):
+            return
+        feats = self._compute(wave, self.pitch_opts, self.process_opts)
+        # frames already finalized must not change
+        if self._num_final:
+            feats = np.concatenate([self._feats[:self._num_final],
+                                    feats[self._num_final:]])
+        self._feats = feats
+        if not self.finished:
+            # a frame is final only when its normalization window's
+            # rightmost frame (t + right_context) is itself past the
+            # Viterbi revision window — so the lags ADD, not max
+            lag = (self.max_frames_latency
+                   + self.process_opts.normalization_right_context)
+            self._num_final = max(self._num_final, feats.shape[0] - lag)
+
+    def num_frames_ready(self) -> int:
+        return self._feats.shape[0]
+
+    def is_last_frame(self, frame: int) -> bool:
+        return self.finished and frame == self._feats.shape[0] - 1
+
+    def get_frame(self, frame: int) -> np.ndarray:
+        return self._feats[frame]
+
+    def get_frames(self, frames) -> np.ndarray:
+        return self._feats[np.asarray(frames)]

@@ -57,13 +57,21 @@ def make_chain_train_state(cfg: ChainTdnnfConfig, rng,
 
 def make_sharded_train_step(model: ChainTdnnf, tx, opts: ChainTrainingOptions,
                             den_graph, mesh: Optional[Mesh] = None,
-                            donate: bool = True) -> Callable:
+                            donate: bool = True,
+                            backstitch_scale: float = 0.0) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch dict:
       feats        (B, T, D)
       num_graphs   tuple of 6 stacked arrays (chain.graphs.batch_pack)
     Shardings: batch over 'data'; params per parallel.mesh rules.
+
+    backstitch_scale (alpha > 0) enables backstitch SGD
+    (nnet3/nnet-utils.h, Wang et al. 2017): first take a NEGATIVE step
+    of size alpha*lr at the current point, then a (1+alpha)*lr step
+    from there — two gradient evaluations per minibatch; the
+    optimizer state is advanced only by the second (corrective) step
+    so momentum/Adam statistics track the main direction.
     """
     g = den_graph.graph
     den_arrays = tuple(jnp.asarray(a) for a in
@@ -83,8 +91,23 @@ def make_sharded_train_step(model: ChainTdnnf, tx, opts: ChainTrainingOptions,
     def train_step(state: ChainTrainState, batch) -> Tuple[ChainTrainState, Dict]:
         (loss, (aux, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        if backstitch_scale > 0:
+            # backstitch step 1: ascend by alpha * update(g)
+            upd1, _ = tx.update(grads, state.opt_state, state.params)
+            mid = optax.apply_updates(
+                state.params,
+                jax.tree.map(lambda u: -backstitch_scale * u, upd1))
+            # step 2: descend by (1+alpha) * update(g(mid))
+            (loss, (aux, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(mid, state.batch_stats, batch)
+            upd2, new_opt = tx.update(grads, state.opt_state, mid)
+            new_params = optax.apply_updates(
+                mid, jax.tree.map(lambda u: (1 + backstitch_scale) * u,
+                                  upd2))
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = optax.apply_updates(state.params, updates)
         metrics = {"objf": -loss, **aux,
                    "grad_norm": optax.global_norm(grads)}
         return ChainTrainState(new_params, new_stats, new_opt,

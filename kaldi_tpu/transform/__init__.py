@@ -5,3 +5,7 @@ from kaldi_tpu.transform.fmllr import (  # noqa: F401
     estimate_fmllr,
     apply_affine_transform,
 )
+from kaldi_tpu.transform.basis_fmllr import (  # noqa: F401
+    BasisFmllrAccus,
+    BasisFmllrEstimate,
+)
