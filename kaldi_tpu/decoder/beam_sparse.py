@@ -1,0 +1,381 @@
+"""Beam-sparse batched device decoder for large decoding graphs.
+
+TPU-native equivalent of the cudadecoder's load-balanced beam search
+(SURVEY.md §2.5, cuda-decoder.h: ExpandArcs / PruneAndPreprocess /
+non-emitting iterations): instead of the CUDA kernels' dynamic token
+queues + atomics, the frontier is a FIXED-CAPACITY set of K tokens per
+lane, and every per-frame step is a static-shaped dense op the XLA
+compiler can tile:
+
+  1. expand     — gather the (K, D) padded out-arc table rows of the
+                  active states; add arc weight + scaled acoustics
+                  (one gather into the frame's pdf scores)
+  2. dedup      — sort candidates by (dst state, cost) and keep the
+                  first of each run: an O(E log E) sort replaces the
+                  CUDA hashtable+atomicMin
+  3. prune      — beam threshold around the frontier minimum, then
+                  top-K selection (another sort) back into the fixed
+                  capacity
+  4. eps passes — the same expand/dedup/prune over the epsilon arc
+                  table, iterated eps_depth times (computed at build
+                  time; replaces the data-dependent non-emitting loop)
+
+The variable out-degree of HCLG states is made static by DEGREE
+CAPPING at build time: states with more than D out-arcs are split into
+a chain of auxiliary states connected by free epsilon arcs (language
+preserved; adds O(arcs/D) states). All T frames run in one lax.scan;
+per-frame (state, cost) frontiers stream back to the host, and the arc
+sequence is reconstructed by cost-consistency against the original
+graph (no backpointer bookkeeping on device).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_tpu.base.logging import KaldiTpuError, log, warn
+from kaldi_tpu.fstext.fst import EPS, Arc, TropicalWeight, VectorFst
+
+INF = np.float32(1e30)
+
+
+def cap_out_degree(fst: VectorFst, max_degree: int) -> VectorFst:
+    """Split states with out-degree > max_degree into epsilon-linked
+    chains so every state has at most max_degree out-arcs (the chain
+    link consumes one slot). Language-preserving."""
+    out = VectorFst(fst.semiring)
+    for _ in range(fst.num_states):
+        out.add_state()
+    out.set_start(fst.start)
+    for s in range(fst.num_states):
+        out.finals[s] = fst.finals[s]
+        arcs = list(fst.arcs[s])
+        cur = s
+        while len(arcs) > max_degree:
+            head, arcs = arcs[:max_degree - 1], arcs[max_degree - 1:]
+            for a in head:
+                out.add_arc(cur, Arc(a.ilabel, a.olabel, a.weight,
+                                     a.nextstate))
+            nxt = out.add_state()
+            out.add_arc(cur, Arc(EPS, EPS, 0.0, nxt))
+            cur = nxt
+        for a in arcs:
+            out.add_arc(cur, Arc(a.ilabel, a.olabel, a.weight,
+                                 a.nextstate))
+    return out
+
+
+@dataclass
+class SparseDeviceGraph:
+    """Padded per-state arc tables: emitting and epsilon separated."""
+    e_dst: np.ndarray      # (S, De) int32, self-pointing padding
+    e_pdf: np.ndarray      # (S, De) int32 pdf-id, -1 padding
+    e_olabel: np.ndarray   # (S, De) int32
+    e_w: np.ndarray        # (S, De) float32, INF padding
+    n_dst: np.ndarray      # (S, Dn)
+    n_olabel: np.ndarray
+    n_w: np.ndarray
+    finals: np.ndarray     # (S,)
+    start: int
+    eps_depth: int
+    fst: VectorFst         # degree-capped graph (host, for traceback)
+    tid2pdf: np.ndarray
+
+    @property
+    def num_states(self) -> int:
+        return self.e_dst.shape[0]
+
+    @classmethod
+    def build(cls, fst: VectorFst, tid2pdf: np.ndarray,
+              max_degree: int = 16) -> "SparseDeviceGraph":
+        g = cap_out_degree(fst, max_degree)
+        S = g.num_states
+        De = Dn = 1
+        for s in range(S):
+            De = max(De, sum(1 for a in g.arcs[s] if a.ilabel != EPS))
+            Dn = max(Dn, sum(1 for a in g.arcs[s] if a.ilabel == EPS))
+        e_dst = np.tile(np.arange(S, dtype=np.int32)[:, None], (1, De))
+        e_pdf = np.full((S, De), -1, np.int32)
+        e_olabel = np.zeros((S, De), np.int32)
+        e_w = np.full((S, De), INF, np.float32)
+        n_dst = np.tile(np.arange(S, dtype=np.int32)[:, None], (1, Dn))
+        n_olabel = np.zeros((S, Dn), np.int32)
+        n_w = np.full((S, Dn), INF, np.float32)
+        tid2pdf = np.asarray(tid2pdf, np.int32)
+        for s in range(S):
+            ei = ni = 0
+            for a in g.arcs[s]:
+                if a.ilabel != EPS:
+                    e_dst[s, ei] = a.nextstate
+                    e_pdf[s, ei] = tid2pdf[a.ilabel]
+                    e_olabel[s, ei] = a.olabel
+                    e_w[s, ei] = a.weight
+                    ei += 1
+                else:
+                    n_dst[s, ni] = a.nextstate
+                    n_olabel[s, ni] = a.olabel
+                    n_w[s, ni] = a.weight
+                    ni += 1
+        finals = np.array([float(w) if w != TropicalWeight.zero else INF
+                           for w in g.finals], np.float32)
+        # epsilon depth: longest path in the eps subgraph (must be a DAG)
+        eps_depth = _eps_depth(g)
+        log(f"SparseDeviceGraph: {S} states, De={De}, Dn={Dn}, "
+            f"eps_depth={eps_depth}")
+        return cls(e_dst, e_pdf, e_olabel, e_w, n_dst, n_olabel, n_w,
+                   finals, g.start, eps_depth, g, tid2pdf)
+
+
+def _eps_depth(fst: VectorFst) -> int:
+    S = fst.num_states
+    adj = [[] for _ in range(S)]
+    indeg = np.zeros(S, np.int64)
+    for s in range(S):
+        for a in fst.arcs[s]:
+            if a.ilabel == EPS:
+                adj[s].append(a.nextstate)
+                indeg[a.nextstate] += 1
+    from collections import deque
+    depth = np.zeros(S, np.int64)
+    dq = deque(np.nonzero(indeg == 0)[0].tolist())
+    seen = 0
+    while dq:
+        s = dq.popleft()
+        seen += 1
+        for d in adj[s]:
+            depth[d] = max(depth[d], depth[s] + 1)
+            indeg[d] -= 1
+            if indeg[d] == 0:
+                dq.append(d)
+    if seen < S and any(adj[s] for s in range(S)):
+        if seen < S:
+            raise KaldiTpuError("beam_sparse: epsilon cycle in graph")
+    return int(depth.max())
+
+
+def _dedup_min(states, costs, payload, capacity):
+    """Keep, per unique state, the minimum-cost candidate; then top-K
+    by cost into `capacity` slots. All static shapes.
+    payload: extra int32 array aligned with candidates (carried along).
+    Returns (states, costs, payload) with shape (capacity,)."""
+    # sort by (state, cost): key = state * 2^32 + rank of cost
+    order = jnp.lexsort((costs, states))
+    s_sorted = states[order]
+    c_sorted = costs[order]
+    p_sorted = payload[order]
+    first = jnp.concatenate([jnp.array([True]),
+                             s_sorted[1:] != s_sorted[:-1]])
+    c_unique = jnp.where(first, c_sorted, INF)
+    # top-K by cost
+    k_order = jnp.argsort(c_unique)[:capacity]
+    return s_sorted[k_order], c_unique[k_order], p_sorted[k_order]
+
+
+class BeamSparseDecoder:
+    """Batched fixed-capacity beam decoder over a SparseDeviceGraph."""
+
+    def __init__(self, graph: SparseDeviceGraph, beam: float = 16.0,
+                 capacity: int = 2048):
+        self.g = graph
+        self.beam = float(beam)
+        self.capacity = int(capacity)
+        real = graph.e_w[graph.e_w < INF / 2]
+        real_n = graph.n_w[graph.n_w < INF / 2]
+        self._min_arc_w = min(
+            0.0,
+            float(real.min()) if real.size else 0.0,
+            float(real_n.min()) if real_n.size else 0.0)
+        self._jit = {}
+
+    def _step_fns(self):
+        g = self.g
+        K = self.capacity
+        beam = self.beam
+        e_dst = jnp.asarray(g.e_dst)
+        e_pdf = jnp.asarray(g.e_pdf)
+        e_w = jnp.asarray(g.e_w)
+        n_dst = jnp.asarray(g.n_dst)
+        n_w = jnp.asarray(g.n_w)
+
+        def eps_pass(states, costs):
+            dsts = n_dst[states]                      # (K, Dn)
+            cand_c = costs[:, None] + n_w[states]
+            all_s = jnp.concatenate([states, dsts.reshape(-1)])
+            all_c = jnp.concatenate([costs, cand_c.reshape(-1)])
+            pay = jnp.zeros_like(all_s)
+            s2, c2, _ = _dedup_min(all_s, all_c, pay, K)
+            return s2, c2
+
+        def frame_step(carry, am_t):
+            states, costs = carry
+            # emitting expansion
+            dsts = e_dst[states]                      # (K, De)
+            pdfs = e_pdf[states]
+            cand_c = (costs[:, None] + e_w[states]
+                      + jnp.where(pdfs >= 0, am_t[jnp.maximum(pdfs, 0)],
+                                  INF))
+            s1 = dsts.reshape(-1)
+            c1 = cand_c.reshape(-1)
+            s1, c1, _ = _dedup_min(s1, c1, jnp.zeros_like(s1), K)
+            # epsilon passes (bounded)
+            for _ in range(g.eps_depth):
+                s1, c1 = eps_pass(s1, c1)
+            # beam prune around the minimum
+            mn = jnp.min(c1)
+            c1 = jnp.where(c1 <= mn + beam, c1, INF)
+            c1 = c1 - jnp.where(jnp.isfinite(mn) & (mn < INF / 2), mn, 0.0)
+            return (s1, c1), (s1, c1, mn)
+
+        return frame_step, eps_pass
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _decode_device(self, ac):
+        """ac: (T, P) scaled acoustic COSTS -> per-frame frontiers."""
+        g = self.g
+        K = self.capacity
+        frame_step, eps_pass = self._step_fns()
+        states0 = jnp.full((K,), g.num_states - 1, jnp.int32)
+        costs0 = jnp.full((K,), INF, jnp.float32)
+        states0 = states0.at[0].set(g.start)
+        costs0 = costs0.at[0].set(0.0)
+        # initial epsilon closure from the start state
+        for _ in range(g.eps_depth):
+            states0, costs0 = eps_pass(states0, costs0)
+        (sT, cT), (fr_s, fr_c, shifts) = jax.lax.scan(
+            frame_step, (states0, costs0), ac)
+        return fr_s, fr_c, shifts, states0, costs0
+
+    def decode(self, loglikes: np.ndarray, acoustic_scale: float = 0.1
+               ) -> Optional[Tuple[List[int], List[int], float]]:
+        """Returns (olabel sequence (words), state sequence, total cost)
+        for the best path, or None if no final state is reachable."""
+        g = self.g
+        ac = jnp.asarray(-np.asarray(loglikes) * acoustic_scale)
+        fr_s, fr_c, shifts, s0, c0 = self._decode_device(ac)
+        fr_s = np.asarray(fr_s)
+        fr_c = np.asarray(fr_c)
+        shifts = np.asarray(shifts)
+        s0 = np.asarray(s0)
+        c0 = np.asarray(c0)
+        T = fr_s.shape[0]
+        # absolute costs: fr_c are shifted by the per-frame running min
+        abs_c = fr_c + np.cumsum(np.where(np.isfinite(shifts)
+                                          & (shifts < INF / 2),
+                                          shifts, 0.0))[:, None]
+        finals = g.finals[fr_s[-1]]
+        total = abs_c[-1] + finals
+        best = int(np.argmin(total))
+        if total[best] >= INF / 2:
+            warn("beam_sparse: no reachable final state")
+            return None
+        # host traceback by cost-consistency
+        am_np = np.asarray(loglikes) * acoustic_scale
+        words, states = self._traceback(fr_s, abs_c, s0, c0, am_np, best)
+        return words, states, float(total[best])
+
+    def decode_batch(self, loglikes: np.ndarray,
+                     acoustic_scale: float = 0.1) -> List[Optional[Tuple]]:
+        """Lane-parallel batch decode (cudadecoder lanes): loglikes
+        (B, T, P); the device scan runs vmapped over lanes, tracebacks
+        on the host per lane."""
+        g = self.g
+        ac = jnp.asarray(-np.asarray(loglikes) * acoustic_scale)
+        fr_s, fr_c, shifts, s0, c0 = jax.vmap(self._decode_device)(ac)
+        fr_s = np.asarray(fr_s)
+        fr_c = np.asarray(fr_c)
+        shifts = np.asarray(shifts)
+        s0 = np.asarray(s0)
+        c0 = np.asarray(c0)
+        out: List[Optional[Tuple]] = []
+        am_np = np.asarray(loglikes) * acoustic_scale
+        for b in range(fr_s.shape[0]):
+            abs_c = fr_c[b] + np.cumsum(
+                np.where(np.isfinite(shifts[b]) & (shifts[b] < INF / 2),
+                         shifts[b], 0.0))[:, None]
+            total = abs_c[-1] + g.finals[fr_s[b, -1]]
+            best = int(np.argmin(total))
+            if total[best] >= INF / 2:
+                out.append(None)
+                continue
+            words, states = self._traceback(fr_s[b], abs_c, s0[b], c0[b],
+                                            am_np[b], best)
+            out.append((words, states, float(total[best])))
+        return out
+
+    # -- host traceback ------------------------------------------------------
+
+    def _eps_paths_to(self, src: int, max_depth: int):
+        """Yield (dst, cost, olabels) for eps paths from src (incl.
+        empty path)."""
+        out = [(src, 0.0, [])]
+        frontier = [(src, 0.0, [])]
+        for _ in range(max_depth):
+            nxt = []
+            for s, c, labs in frontier:
+                for a in self.g.fst.arcs[s]:
+                    if a.ilabel == EPS:
+                        item = (a.nextstate, c + a.weight,
+                                labs + ([a.olabel] if a.olabel else []))
+                        nxt.append(item)
+                        out.append(item)
+            frontier = nxt
+            if not frontier:
+                break
+        return out
+
+    def _traceback(self, fr_s, abs_c, s0, c0, am, best):
+        g = self.g
+        T = fr_s.shape[0]
+        tol = 1e-2 + 1e-6 * T
+        # early-termination bound: a predecessor can only explain the
+        # current cost if pc + min_step_t <= cur_cost; steps can be
+        # NEGATIVE when acoustic scores are positive log-likes, so the
+        # bound must use the frame's minimum possible step
+        min_arc_w = self._min_arc_w
+        cur_state = int(fr_s[-1, best])
+        cur_cost = float(abs_c[-1, best])
+        rev_words: List[int] = []
+        rev_states: List[int] = [cur_state]
+        for t in range(T - 1, -1, -1):
+            prev_s = fr_s[t - 1] if t > 0 else s0
+            prev_c = abs_c[t - 1] if t > 0 else c0
+            min_step = min_arc_w + float(np.min(-am[t]))
+            found = False
+            for k in np.argsort(prev_c):
+                pc = float(prev_c[k])
+                if pc >= INF / 2 or pc + min_step > cur_cost + tol:
+                    break
+                ps = int(prev_s[k])
+                for a in g.fst.arcs[ps]:
+                    if a.ilabel == EPS:
+                        continue
+                    pdf = int(g.tid2pdf[a.ilabel])
+                    base = pc + a.weight + float(-am[t, pdf])
+                    if base > cur_cost + tol:
+                        continue
+                    for (dst, ec, labs) in self._eps_paths_to(
+                            a.nextstate, g.eps_depth):
+                        if dst == cur_state and \
+                                abs(base + ec - cur_cost) <= tol:
+                            word_part = ([a.olabel] if a.olabel else []) \
+                                + labs
+                            rev_words.extend(reversed(word_part))
+                            cur_state, cur_cost = ps, pc
+                            found = True
+                            break
+                    if found:
+                        break
+                if found:
+                    break
+            if not found:
+                warn(f"beam_sparse traceback: consistency failure at "
+                     f"frame {t}")
+                break
+            rev_states.append(cur_state)
+        return list(reversed(rev_words)), list(reversed(rev_states))
