@@ -88,6 +88,9 @@ _register("kaldi_tpu.cli.misc_tools", {
     "prepare-lang": "prepare_lang",
     "fstpushspecial": "fstpushspecial",
     "nnet3-am-copy": "nnet3_am_copy",
+    "validate-data-dir": "validate_data_dir_cli",
+    "validate-lang": "validate_lang_cli",
+    "fix-data-dir": "fix_data_dir_cli",
 })
 
 _register("kaldi_tpu.cli.nnet3_tools", {

@@ -676,3 +676,53 @@ def nnet3_am_copy(argv: List[str]) -> int:
                        priors=info["priors"], binary=binary[0])
     log(f"copied {src} -> {dst}")
     return 0
+
+
+def validate_data_dir_cli(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Validate a data directory (wav.scp/text/utt2spk/... consistency)\n"
+        "Usage: validate-data-dir [options] <data-dir>")
+    from kaldi_tpu.util.validation import validate_data_dir
+    no_text = po.register_value("no-text", False, "Do not require a text file")
+    no_feats = po.register_value("no-feats", True, "Do not require feats.scp")
+    po.read(argv)
+    if po.num_args() != 1:
+        po.print_usage()
+        return 1
+    problems = validate_data_dir(po.get_arg(1),
+                                 require_text=not no_text[0],
+                                 require_feats=not no_feats[0])
+    for p in problems:
+        warn(p)
+    if not problems:
+        log(f"{po.get_arg(1)}: valid data directory")
+    return 0 if not problems else 1
+
+
+def validate_lang_cli(argv: List[str]) -> int:
+    po = ParseOptions("Validate a lang directory\n"
+                      "Usage: validate-lang [options] <lang-dir>")
+    from kaldi_tpu.util.validation import validate_lang_dir
+    po.read(argv)
+    if po.num_args() != 1:
+        po.print_usage()
+        return 1
+    problems = validate_lang_dir(po.get_arg(1))
+    for p in problems:
+        warn(p)
+    if not problems:
+        log(f"{po.get_arg(1)}: valid lang directory")
+    return 0 if not problems else 1
+
+
+def fix_data_dir_cli(argv: List[str]) -> int:
+    po = ParseOptions("Fix a data directory by removing inconsistent "
+                      "utterances and sorting all files\n"
+                      "Usage: fix-data-dir <data-dir>")
+    from kaldi_tpu.util.validation import fix_data_dir
+    po.read(argv)
+    if po.num_args() != 1:
+        po.print_usage()
+        return 1
+    fix_data_dir(po.get_arg(1))
+    return 0

@@ -2,21 +2,34 @@
 nnet3/natural-gradient-online.h:414 OnlineNaturalGradient and its use
 in NaturalGradientAffineComponent).
 
-The reference maintains a low-rank online estimate of the Fisher
-factors per affine component and multiplies gradients by the
-approximate inverse Fisher, which is what stabilizes its
-parallel-SGD + model-averaging scheme. Here the same whitening is an
-optax gradient transformation: for each 2-D parameter we keep an EMA
-of the gradient covariance over the smaller axis and precondition by
-(F + alpha * tr/dim * I)^(-1/2), rescaling to preserve the update
-norm (the reference's "renormalize so the trace is unchanged").
-With data-parallel psum gradients this is optional — kept for parity
-experiments and for its conditioning benefits.
+The reference maintains a LOW-RANK online estimate of the Fisher
+matrix per affine component, F ~= V diag(s) V^T + rho I with
+rank R << D, and multiplies gradients by the smoothed inverse
+(F + alpha tr(F)/D I)^{-1}, renormalized so the update magnitude is
+unchanged — that preconditioning is what stabilizes its parallel-SGD +
+model-averaging scheme. Here the same structure is an optax gradient
+transformation:
+
+  - the basis V (D, R) and eigenvalue estimates s track the top
+    eigenpairs of the EMA gradient covariance by one subspace
+    (power) iteration per step — O(R D n), the same order as the
+    gradient computation itself (the reference's recursion has the
+    same cost; its exact update solves a small R x R eigenproblem,
+    ours orthonormalizes with a QR — a deliberate, documented
+    simplification with the same fixed point);
+  - rho tracks the residual (out-of-subspace) covariance mass;
+  - the inverse is exact for that form via Woodbury:
+      (rho' I + V S V^T)^{-1} g = (g - V c) / rho',
+      c_i = s_i/(s_i + rho') (V^T g)_i
+  - the preconditioned gradient is rescaled to preserve ||g||
+    (the reference's trace renormalization).
+
+rank=None (or rank >= D) falls back to the dense EMA + eigh path.
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,17 +37,22 @@ import optax
 
 
 class NGState(NamedTuple):
-    fisher: Any   # pytree of per-param covariance EMAs (or None)
+    fisher: Any   # pytree: per-param (V, s, rho) or dense cov or None
     count: Any
 
 
 def online_natural_gradient(alpha: float = 4.0,
                             decay: float = 0.95,
-                            eps: float = 1e-8) -> optax.GradientTransformation:
+                            rank: Optional[int] = 32,
+                            eps: float = 1e-8
+                            ) -> optax.GradientTransformation:
     def covariance_axis(shape):
         if len(shape) != 2:
             return None
         return 0 if shape[0] <= shape[1] else 1
+
+    def use_lowrank(d):
+        return rank is not None and rank < d
 
     def init_fn(params):
         def make(p):
@@ -42,10 +60,51 @@ def online_natural_gradient(alpha: float = 4.0,
             if ax is None:
                 return None
             d = p.shape[ax]
+            if use_lowrank(d):
+                # deterministic initial basis: first R coordinate axes
+                v0 = jnp.eye(d, rank, dtype=jnp.float32)
+                return (v0, jnp.zeros((rank,), jnp.float32),
+                        jnp.zeros((), jnp.float32))
             return jnp.zeros((d, d), jnp.float32)
         fisher = jax.tree.map(make, params,
                               is_leaf=lambda x: hasattr(x, "shape"))
         return NGState(fisher, jnp.zeros((), jnp.int32))
+
+    def precondition_lowrank(gm, st):
+        """gm: (d, n) gradient with samples along columns."""
+        V, s, rho = st
+        d, n = gm.shape
+        # EMA covariance action on the basis: one power-iteration step
+        cov_V = gm @ (gm.T @ V) / n                      # (d, R)
+        Y = decay * (V * s[None, :]) + (1 - decay) * cov_V
+        Vn, Rr = jnp.linalg.qr(Y)                        # (d,R), (R,R)
+        sn = jnp.abs(jnp.diagonal(Rr))
+        tr_cov = jnp.sum(gm * gm) / n
+        tr_est = decay * (jnp.sum(s) + rho * (d - s.shape[0])) \
+            + (1 - decay) * tr_cov
+        rho_n = jnp.maximum((tr_est - jnp.sum(sn))
+                            / jnp.maximum(d - sn.shape[0], 1), 0.0)
+        # smoothed inverse via Woodbury
+        damp = alpha * tr_est / d + eps
+        denom = rho_n + damp
+        proj = Vn.T @ gm                                 # (R, n)
+        coef = (sn / (sn + denom))[:, None] * proj
+        pg = (gm - Vn @ coef) / denom
+        scale = jnp.sqrt(jnp.maximum(jnp.sum(gm * gm), eps)
+                         / jnp.maximum(jnp.sum(pg * pg), eps))
+        return pg * scale, (Vn, sn, rho_n)
+
+    def precondition_dense(gm, f):
+        cov = gm @ gm.T / gm.shape[1]
+        f = decay * f + (1 - decay) * cov
+        d = f.shape[0]
+        damp = alpha * jnp.trace(f) / d + eps
+        vals, vecs = jnp.linalg.eigh(f + damp * jnp.eye(d))
+        inv = (vecs / vals) @ vecs.T
+        pg = inv @ gm
+        scale = jnp.sqrt(jnp.maximum(jnp.sum(gm * gm), eps)
+                         / jnp.maximum(jnp.sum(pg * pg), eps))
+        return pg * scale, f
 
     def update_fn(grads, state, params=None):
         def precondition(g, f):
@@ -53,18 +112,10 @@ def online_natural_gradient(alpha: float = 4.0,
                 return g, f
             ax = covariance_axis(g.shape)
             gm = g if ax == 0 else g.T           # (d, n)
-            cov = gm @ gm.T / gm.shape[1]
-            f = decay * f + (1 - decay) * cov
-            d = f.shape[0]
-            damp = alpha * jnp.trace(f) / d + eps
-            # inverse square root via eigh
-            vals, vecs = jnp.linalg.eigh(f + damp * jnp.eye(d))
-            inv_sqrt = (vecs * jax.lax.rsqrt(vals)) @ vecs.T
-            pg = inv_sqrt @ gm
-            # preserve the update magnitude (trace renormalization)
-            scale = jnp.sqrt(jnp.maximum(jnp.sum(gm * gm), eps)
-                             / jnp.maximum(jnp.sum(pg * pg), eps))
-            pg = pg * scale
+            if isinstance(f, tuple):
+                pg, f = precondition_lowrank(gm, f)
+            else:
+                pg, f = precondition_dense(gm, f)
             return (pg if ax == 0 else pg.T), f
 
         flat_g, treedef = jax.tree.flatten(grads)

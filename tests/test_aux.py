@@ -183,3 +183,61 @@ class TestLangDir:
         from kaldi_tpu.fstext.openfst_io import FST_MAGIC
         with open(f"{d}/L_disambig.fst", "rb") as f:
             assert struct.unpack("<i", f.read(4))[0] == FST_MAGIC
+
+
+class TestNaturalGradientLowRank:
+    def test_lowrank_matches_dense_on_lowrank_covariance(self):
+        """When the gradient covariance truly has rank <= R, the
+        low-rank estimator converges to the same preconditioning as
+        the dense path."""
+        rng = np.random.default_rng(1)
+        D, N, R = 24, 40, 8
+        U = rng.normal(size=(D, 4))  # true rank-4 structure
+        params = {"w": jnp.zeros((D, N), jnp.float32)}
+        tx_lr = online_natural_gradient(rank=R)
+        tx_d = online_natural_gradient(rank=None)
+        st_lr = tx_lr.init(params)
+        st_d = tx_d.init(params)
+        g = None
+        for _ in range(60):
+            g = jnp.asarray(U @ rng.normal(size=(4, N)), jnp.float32)
+            out_lr, st_lr = tx_lr.update({"w": g}, st_lr)
+            out_d, st_d = tx_d.update({"w": g}, st_d)
+        a = np.asarray(out_lr["w"]).ravel()
+        b = np.asarray(out_d["w"]).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.95
+
+    def test_lowrank_norm_preserved_and_finite(self):
+        rng = np.random.default_rng(2)
+        params = {"w": jnp.zeros((64, 100), jnp.float32)}
+        tx = online_natural_gradient(rank=8)
+        st = tx.init(params)
+        for _ in range(5):
+            g = jnp.asarray(rng.normal(size=(64, 100)), jnp.float32)
+            out, st = tx.update({"w": g}, st)
+            assert np.isfinite(np.asarray(out["w"])).all()
+            assert float(jnp.linalg.norm(out["w"])) == pytest.approx(
+                float(jnp.linalg.norm(g)), rel=1e-3)
+
+    def test_lowrank_downweights_dominant_direction(self):
+        """Gradients with one dominant repeated direction: after the
+        basis adapts, that direction is damped relative to fresh
+        orthogonal components (the whole point of NG-SGD)."""
+        rng = np.random.default_rng(3)
+        D, N = 32, 50
+        u = rng.normal(size=D)
+        u /= np.linalg.norm(u)
+        params = {"w": jnp.zeros((D, N), jnp.float32)}
+        tx = online_natural_gradient(rank=4, alpha=0.1)
+        st = tx.init(params)
+        for _ in range(50):
+            g = jnp.asarray(np.outer(u * 10, rng.normal(size=N))
+                            + 0.1 * rng.normal(size=(D, N)), jnp.float32)
+            out, st = tx.update({"w": g}, st)
+        pg = np.asarray(out["w"])
+        g_np = np.asarray(g)
+        # relative energy along u must shrink after preconditioning
+        along_g = np.linalg.norm(u @ g_np) / np.linalg.norm(g_np)
+        along_pg = np.linalg.norm(u @ pg) / np.linalg.norm(pg)
+        assert along_pg < along_g * 0.5
