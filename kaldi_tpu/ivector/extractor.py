@@ -10,9 +10,11 @@ an utterance's i-vector posterior given zeroth/first-order stats
   linear    b = prior_offset·e₀ + Σ_i M_iᵀ Σ_i⁻¹ x_i
   E[w] = L⁻¹ b
 
-Diagonal Σ_i (the UBM's variances). The batched E-step is einsums over
-(utterances × gaussians × dims) — MXU-friendly; this replaces the
-reference's per-utterance CPU/CUDA loops (cudafeat batched i-vectors).
+Σ_i is diagonal when the UBM is a DiagGmm and FULL when it is a
+FullGmm (the reference's fgmm-global UBM configuration). The batched
+E-step is einsums over (utterances × gaussians × dims) — MXU-friendly;
+this replaces the reference's per-utterance CPU/CUDA loops (cudafeat
+batched i-vectors).
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ class IvectorExtractorOptions:
 
 
 class IvectorExtractor:
-    def __init__(self, ubm: DiagGmm, ivector_dim: int,
+    def __init__(self, ubm, ivector_dim: int,
                  prior_offset: float = 100.0, seed: int = 0):
         self.ubm = ubm
         G, D = ubm.num_gauss, ubm.dim
@@ -47,7 +49,21 @@ class IvectorExtractor:
         # convention)
         self.M = rng.normal(scale=0.1, size=(G, D, ivector_dim))
         self.M[:, :, 0] = ubm.get_means() / prior_offset
-        self.sigma_inv = ubm.inv_vars.astype(np.float64).copy()  # (G, D)
+        if hasattr(ubm, "inv_covars"):      # full-covariance UBM
+            self.sigma_inv = ubm.inv_covars.astype(np.float64).copy()
+        else:
+            self.sigma_inv = ubm.inv_vars.astype(np.float64).copy()
+
+    @property
+    def full_cov(self) -> bool:
+        return self.sigma_inv.ndim == 3
+
+    def _ms(self) -> np.ndarray:
+        """MS[g] = Sigma_g^{-1} M_g : (G, D, R), for either diagonal or
+        full covariances."""
+        if self.full_cov:
+            return np.einsum("gde,ger->gdr", self.sigma_inv, self.M)
+        return self.M * self.sigma_inv[:, :, None]
 
     @property
     def num_gauss(self):
@@ -74,8 +90,8 @@ class IvectorExtractor:
     # -- posterior i-vector ------------------------------------------------------
 
     def _precision_linear(self, gamma: np.ndarray, x: np.ndarray):
-        # U[g] = M_g^T diag(sigma_inv_g) M_g : (G, R, R)
-        MS = self.M * self.sigma_inv[:, :, None]           # (G, D, R)
+        # U[g] = M_g^T Sigma_g^{-1} M_g : (G, R, R)
+        MS = self._ms()                                     # (G, D, R)
         U = np.einsum("gdr,gds->grs", MS, self.M)
         L = np.eye(self.R) + np.einsum("g,grs->rs", gamma, U)
         b = np.einsum("gdr,gd->r", MS, x)
@@ -103,7 +119,12 @@ class IvectorExtractor:
         iof.write_int32(stream, binary, self.R)
         for g in range(self.num_gauss):
             iof.write_matrix(stream, binary, self.M[g])
-        iof.write_matrix(stream, binary, self.sigma_inv)
+        if self.full_cov:
+            iof.write_token(stream, binary, "<SigmaInvFull>")
+            iof.write_matrix(stream, binary,
+                             self.sigma_inv.reshape(-1, self.dim))
+        else:
+            iof.write_matrix(stream, binary, self.sigma_inv)
         self.ubm.write(stream, binary)
         iof.write_token(stream, binary, "</IvectorExtractor>")
 
@@ -116,8 +137,16 @@ class IvectorExtractor:
         R = iof.read_int32(stream, binary)
         M = np.stack([iof.read_matrix(stream, binary).astype(np.float64)
                       for _ in range(G)])
-        sigma_inv = iof.read_matrix(stream, binary).astype(np.float64)
-        ubm = DiagGmm.read(stream, binary)
+        full = iof.peek_token(stream, binary) == "<SigmaInvFull>"
+        if full:
+            iof.expect_token(stream, binary, "<SigmaInvFull>")
+            sigma_inv = iof.read_matrix(stream, binary).astype(np.float64)
+            sigma_inv = sigma_inv.reshape(G, D, D)
+            from kaldi_tpu.gmm.full_gmm import FullGmm
+            ubm = FullGmm.read(stream, binary)
+        else:
+            sigma_inv = iof.read_matrix(stream, binary).astype(np.float64)
+            ubm = DiagGmm.read(stream, binary)
         iof.expect_token(stream, binary, "</IvectorExtractor>")
         out = cls.__new__(cls)
         out.ubm = ubm
@@ -152,7 +181,7 @@ class OnlineIvectorEstimationStats:
             post = post * np.asarray(weights, np.float64)[:, None]
         gamma = post.sum(axis=0)
         x = post.T @ feats
-        MS = self.ex.M * self.ex.sigma_inv[:, :, None]
+        MS = self.ex._ms()
         U = np.einsum("gdr,gds->grs", MS, self.ex.M)
         self.quadratic += np.einsum("g,grs->rs", gamma, U)
         self.linear += np.einsum("gdr,gd->r", MS, x)
@@ -177,11 +206,11 @@ class OnlineIvectorEstimationStats:
         self.num_frames *= s
 
 
-def train_ivector_extractor(ubm: DiagGmm, feats_list: Sequence[np.ndarray],
+def train_ivector_extractor(ubm, feats_list: Sequence[np.ndarray],
                             opts: Optional[IvectorExtractorOptions] = None
                             ) -> IvectorExtractor:
     """EM training of the T-matrix (ivector-extractor.h:481 stats +
-    update, simplified to diagonal covariances)."""
+    update); ubm may be a DiagGmm or a full-covariance FullGmm."""
     if opts is None:
         opts = IvectorExtractorOptions()
     ex = IvectorExtractor(ubm, opts.ivector_dim, opts.prior_offset)

@@ -314,3 +314,48 @@ def spec_augment(feats, rng_key, freq_mask_width: int = 10,
              (t_idx < (t0 + tw)[..., None])).any(axis=1)  # (B, T)
     out = out * (1.0 - tmask[:, :, None].astype(feats.dtype))
     return out
+
+
+class Pnorm(nn.Module):
+    """PnormComponent (nnet-simple-component.h): group-wise p-norm
+    nonlinearity, y_j = (sum_{i in group j} |x_i|^p)^(1/p)."""
+    output_dim: int
+    p: float = 2.0
+
+    @nn.compact
+    def __call__(self, x):
+        D = x.shape[-1]
+        if D % self.output_dim:
+            raise ValueError(f"pnorm: {D} not divisible by "
+                             f"{self.output_dim}")
+        group = D // self.output_dim
+        xg = x.reshape(x.shape[:-1] + (self.output_dim, group))
+        return jnp.power(
+            jnp.sum(jnp.power(jnp.abs(xg), self.p), axis=-1) + 1e-20,
+            1.0 / self.p)
+
+
+class ScaleAndOffset(nn.Module):
+    """ScaleAndOffsetComponent: learned per-element scale + offset."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        offset = self.param("offset", nn.initializers.zeros, (self.dim,))
+        return x * scale + offset
+
+
+class SumBlock(nn.Module):
+    """SumBlockComponent: sum consecutive blocks of the input."""
+    output_dim: int
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        D = x.shape[-1]
+        if D % self.output_dim:
+            raise ValueError("sum-block: dim mismatch")
+        xg = x.reshape(x.shape[:-1] + (D // self.output_dim,
+                                       self.output_dim))
+        return self.scale * jnp.sum(xg, axis=-2)

@@ -84,3 +84,36 @@ class TestNewComponents:
             m = constrain_orthonormal(m)
         p = np.asarray(m @ m.T)
         np.testing.assert_allclose(p, np.eye(16), atol=0.05)
+
+
+class TestZooAdditions:
+    def test_pnorm(self):
+        import jax
+        from kaldi_tpu.nnet3.components import Pnorm
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 5, 12)).astype(np.float32))
+        p = Pnorm(output_dim=4)
+        y = p.apply(p.init(jax.random.PRNGKey(0), x), x)
+        xn = np.asarray(x).reshape(2, 5, 4, 3)
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.sqrt((xn ** 2).sum(-1)), atol=1e-4)
+
+    def test_scale_and_offset(self):
+        import jax
+        from kaldi_tpu.nnet3.components import ScaleAndOffset
+        x = jnp.ones((1, 3, 6))
+        so = ScaleAndOffset(dim=6)
+        v = so.init(jax.random.PRNGKey(0), x)
+        v = jax.tree.map(lambda a: a + 1.0, v)  # scale=2, offset=1
+        np.testing.assert_allclose(np.asarray(so.apply(v, x)),
+                                   3.0 * np.ones((1, 3, 6)))
+
+    def test_sum_block(self):
+        import jax
+        from kaldi_tpu.nnet3.components import SumBlock
+        x = jnp.asarray(np.arange(12, dtype=np.float32)[None, None])
+        sb = SumBlock(output_dim=4)
+        y = sb.apply(sb.init(jax.random.PRNGKey(0), x), x)
+        np.testing.assert_allclose(
+            np.asarray(y)[0, 0],
+            np.arange(12.0).reshape(3, 4).sum(0))

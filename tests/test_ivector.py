@@ -137,3 +137,56 @@ class TestVad:
                                 vad_proportion_threshold=0.4)
         vad = compute_vad_energy(opts, feats)
         assert vad[10] == 1.0  # smoothing fills alternating gaps
+
+
+class TestFullCovUbm:
+    def test_full_cov_extractor(self, speaker_data):
+        """i-vector extractor over a full-covariance UBM (fgmm-global
+        configuration): trains, discriminates speakers, round-trips."""
+        from kaldi_tpu.gmm.full_gmm import FullGmm
+        ubm_diag, utts = speaker_data
+        ubm = FullGmm.from_diag(ubm_diag)
+        ex = train_ivector_extractor(
+            ubm, list(utts.values()),
+            IvectorExtractorOptions(ivector_dim=4, num_iters=4))
+        assert ex.full_cov
+        ivs = {k: ex.extract_offset_removed(v) for k, v in utts.items()}
+
+        def spk(k):
+            return k.split("_")[0]
+
+        same, diff = [], []
+        keys = list(ivs)
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                d = np.linalg.norm(ivs[keys[i]] - ivs[keys[j]])
+                (same if spk(keys[i]) == spk(keys[j]) else diff).append(d)
+        assert np.mean(same) < np.mean(diff)
+
+    def test_full_cov_io_roundtrip(self, speaker_data):
+        from kaldi_tpu.gmm.full_gmm import FullGmm
+        ubm_diag, utts = speaker_data
+        ubm = FullGmm.from_diag(ubm_diag)
+        ex = IvectorExtractor(ubm, 4)
+        buf = io.BytesIO()
+        ex.write(buf, binary=True)
+        buf.seek(0)
+        ex2 = IvectorExtractor.read(buf, binary=True)
+        assert ex2.full_cov
+        f = next(iter(utts.values()))
+        np.testing.assert_allclose(ex2.extract(f), ex.extract(f),
+                                   atol=1e-4)
+
+    def test_full_cov_matches_diag_when_covars_diagonal(self, speaker_data):
+        """With a truly diagonal covariance, the full-cov math must
+        reproduce the diagonal extractor exactly."""
+        from kaldi_tpu.gmm.full_gmm import FullGmm
+        ubm_diag, utts = speaker_data
+        ubm_full = FullGmm.from_diag(ubm_diag)
+        ex_d = IvectorExtractor(ubm_diag, 4, seed=7)
+        ex_f = IvectorExtractor(ubm_full, 4, seed=7)
+        ex_f.M = ex_d.M.copy()
+        f = next(iter(utts.values()))
+        post = ubm_diag.component_posteriors(f)
+        np.testing.assert_allclose(ex_f.extract(f, post),
+                                   ex_d.extract(f, post), atol=1e-5)
