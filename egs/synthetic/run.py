@@ -8,6 +8,11 @@ to end on synthesized audio — the smallest full pipeline:
   stage 2: monophone GMM training (flat start + EM, via the CLIs)
   stage 3: HCLG graph build
   stage 4: decoding + scoring (WER)
+  stage 5: chain TDNN-F training (GMM alignments -> LF-MMI with
+           time-tolerant supervision; the trained net is EXPORTED in
+           the reference's nnet3 .mdl format)
+  stage 6: chain decode through the CLIs (nnet3-compute on the
+           exported .mdl -> latgen-faster-mapped -> compute-wer)
 
 Run:  python egs/synthetic/run.py [--stage N] [--dir exp_dir]
 """
@@ -175,6 +180,122 @@ def main():
                 w.write(utt, [names[i] for i in ids])
         sh("compute-wer", "--mode=present", f"ark:{sd}/text",
            f"ark:{exp}/hyp.txt")
+
+    if args.stage <= 5:
+        print("=== stage 5: chain TDNN-F training ===")
+        from kaldi_tpu.cli.gmm_tools import read_am_gmm
+        from kaldi_tpu.decoder.graph import (Lang as LangObj,
+                                             TrainingGraphCompiler,
+                                             make_decoding_graph)
+        from kaldi_tpu.fstext.openfst_io import read_fst_file, write_fst
+        from kaldi_tpu.nnet3.mdl_io import (chain_tdnnf_to_nnet3,
+                                            write_nnet3_am)
+        from kaldi_tpu.nnet3.models import ChainTdnnfConfig
+        from kaldi_tpu.recipes.chain import (ChainTrainOptions,
+                                             train_chain_topo)
+        from kaldi_tpu.recipes.mono import MonoSystem, _align_all
+        from kaldi_tpu.tree import ContextDependency
+        from kaldi_tpu.util import kaldi_io as kio
+        exp = os.path.join(d, "exp", "mono")
+        chain_dir = os.path.join(d, "exp", "chain")
+        os.makedirs(chain_dir, exist_ok=True)
+        td = os.path.join(d, "data", "train")
+        tm, am = read_am_gmm(f"{exp}/final.mdl")
+        tree = kio.read_kaldi_object(ContextDependency.read, f"{exp}/tree")
+        lang_obj = LangObj({"YES": [["Y"]], "NO": [["N"]]},
+                           sil_phone="SIL", sil_prob=0.5)
+        lang_obj.topo = tm.topo
+        gmm_sys = MonoSystem(lang_obj, tree, tm, am)
+        feats = dict(SequentialTableReader("matrix", f"ark:{td}/feats.ark"))
+        texts = {}
+        with open(os.path.join(td, "text")) as f:
+            for line in f:
+                parts = line.split()
+                texts[parts[0]] = parts[1:]
+        compiler = TrainingGraphCompiler(tm, tree, lang_obj)
+        graphs = {u: compiler.compile(texts[u]) for u in feats}
+        ali = _align_all(gmm_sys, graphs, feats, 10.0, 0.1, 1.0)
+        cfg = ChainTdnnfConfig(feat_dim=13, num_pdfs=2 * len(lang_obj.phones),
+                               hidden_dim=64, bottleneck_dim=16,
+                               prefinal_dim=32, num_layers=4,
+                               subsample_layer=2,
+                               frame_subsampling_factor=3)
+        opts = ChainTrainOptions(num_epochs=10, learning_rate=2e-3,
+                                 minibatch_size=4, chunk_width=60,
+                                 left_tolerance=5, right_tolerance=5)
+        model, variables, den, chain_tm, chain_tree = train_chain_topo(
+            gmm_sys, feats, ali, cfg, opts)
+        # export the trained net in the reference's .mdl format
+        graph_nn = chain_tdnnf_to_nnet3(model, variables)
+        write_nnet3_am(os.path.join(chain_dir, "final.mdl"), chain_tm,
+                       graph_nn, left_context=9, right_context=9)
+        lang_obj.topo = chain_tm.topo
+        gfst = read_fst_file(os.path.join(d, "lang", "G.fst"))
+        hclg = make_decoding_graph(lang_obj, gfst, chain_tree, chain_tm,
+                                   transition_scale=1.0,
+                                   self_loop_scale=1.0)
+        with open(os.path.join(chain_dir, "HCLG.fst"), "wb") as f:
+            write_fst(f, hclg)
+
+    if args.stage <= 6:
+        print("=== stage 6: chain decode + score ===")
+        chain_dir = os.path.join(d, "exp", "chain")
+        sd = os.path.join(d, "data", "test")
+        lang = os.path.join(d, "lang")
+        # subsample features are handled inside the net; nnet3-compute
+        # emits output-rate scores directly from the exported .mdl
+        sh("nnet3-compute", f"{chain_dir}/final.mdl",
+           f"ark:{sd}/feats.ark", f"ark:{chain_dir}/scores_full.ark")
+        # chain outputs are at 1/3 frame rate: keep every 3rd row
+        from kaldi_tpu.util.table import (SequentialTableReader as SR,
+                                          TableWriter as TW)
+        with TW("matrix", f"ark:{chain_dir}/scores.ark") as w:
+            for utt, m in SR("matrix", f"ark:{chain_dir}/scores_full.ark"):
+                w.write(utt, m[::3])
+        sh("latgen-faster-mapped", "--acoustic-scale=1.0", "--beam=14",
+           "--lattice-beam=4", "--max-active=2000",
+           f"{chain_dir}/final.mdl", f"{chain_dir}/HCLG.fst",
+           f"ark:{chain_dir}/scores.ark", f"ark:{chain_dir}/lat.ark",
+           f"ark:{chain_dir}/words.ark")
+        # scoring sweep over lm-scale x word-insertion-penalty on the
+        # LATTICES (steps/scoring/score_kaldi.sh pattern)
+        from kaldi_tpu.decoder.lang_dir import read_symbol_table
+        from kaldi_tpu.lat.functions import (add_word_ins_penalty,
+                                             lattice_best_path,
+                                             lattice_scale)
+        from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+        from kaldi_tpu.util.edit_distance import WerStats
+        words = read_symbol_table(os.path.join(lang, "words.txt"))
+        names = {i: w for w, i in words.items()}
+        refs = {}
+        with open(os.path.join(sd, "text")) as f:
+            for line in f:
+                parts = line.split()
+                refs[parts[0]] = parts[1:]
+        lats = dict(SequentialTableReader(LatticeHolder,
+                                          f"ark:{chain_dir}/lat.ark"))
+        best = None
+        best_hyps = None
+        for lm_scale in (0.5, 1.0, 1.5):
+            for wip in (0.0, 0.5, 1.0, 2.0):
+                stats = WerStats()
+                hyps = {}
+                for utt, lat in lats.items():
+                    scaled = lattice_scale(lat, lm_scale=lm_scale)
+                    scaled = add_word_ins_penalty(scaled, wip)
+                    _, wids, _ = lattice_best_path(scaled)
+                    hyps[utt] = [names[i] for i in wids]
+                    stats.add(refs[utt], hyps[utt])
+                if best is None or stats.wer < best[0].wer:
+                    best = (stats, lm_scale, wip)
+                    best_hyps = hyps
+        stats, lm_scale, wip = best
+        print(f"best scoring: lm-scale {lm_scale} penalty {wip}")
+        with TableWriter("token-vector", f"ark:{chain_dir}/hyp.txt") as w:
+            for utt, toks in best_hyps.items():
+                w.write(utt, toks)
+        sh("compute-wer", "--mode=present", f"ark:{sd}/text",
+           f"ark:{chain_dir}/hyp.txt")
 
 
 if __name__ == "__main__":

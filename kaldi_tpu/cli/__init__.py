@@ -53,6 +53,7 @@ _register("kaldi_tpu.cli.gmm_tools", {
     "gmm-est-gaussians-ebw": "gmm_est_gaussians_ebw",
     "gmm-est-weights-ebw": "gmm_est_weights_ebw",
     "gmm-ismooth-stats": "gmm_ismooth_stats",
+    "latgen-faster-mapped": "latgen_faster_mapped",
 })
 
 _register("kaldi_tpu.cli.ali_tools", {

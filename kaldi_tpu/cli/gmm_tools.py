@@ -393,3 +393,62 @@ def gmm_ismooth_stats(argv: List[str]) -> int:
         ismooth_stats_diag_gmm(src.accs[pdf], tau[0], dst.accs[pdf])
     kaldi_io.write_kaldi_object(dst.write, po.get_arg(3), binary=True)
     return 0
+
+
+def latgen_faster_mapped(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Generate lattices, reading log-likelihoods as matrices\n"
+        "(model is needed only for the integer mappings in its "
+        "transition-model)\n"
+        "Usage: latgen-faster-mapped [options] <model-in> <fst-in> "
+        "<loglikes-rspecifier> <lattice-wspecifier> "
+        "[<words-wspecifier> [<alignments-wspecifier>]]")
+    from kaldi_tpu.decoder.lattice_decoder import (
+        LatticeFasterDecoder, LatticeFasterDecoderOptions)
+    from kaldi_tpu.fstext.openfst_io import read_fst_file
+    from kaldi_tpu.hmm import TransitionModel
+    from kaldi_tpu.lat.functions import (determinize_lattice,
+                                         lattice_best_path)
+    from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+    dopts = LatticeFasterDecoderOptions()
+    po.register_struct(dopts)
+    acoustic_scale = po.register_value(
+        "acoustic-scale", 0.1, "Scaling factor for acoustic likelihoods")
+    po.read(argv)
+    if po.num_args() < 4:
+        po.print_usage()
+        return 1
+    with kaldi_io.input_stream(po.get_arg(1)) as f:
+        binary = iof.init_input_stream(f)
+        tm = TransitionModel.read(f, binary)
+    hclg = read_fst_file(po.get_arg(2))
+    lat_writer = TableWriter(LatticeHolder, po.get_arg(4))
+    word_writer = (TableWriter("int-vector", po.get_arg(5))
+                   if po.num_args() >= 5 and po.get_arg(5) else None)
+    ali_writer = (TableWriter("int-vector", po.get_arg(6))
+                  if po.num_args() >= 6 else None)
+    dec = LatticeFasterDecoder(hclg, dopts)
+    n = err = 0
+    for key, loglikes in SequentialTableReader("matrix", po.get_arg(3)):
+        lat = dec.decode(loglikes, tm.id2pdf_id, acoustic_scale[0])
+        if lat is None:
+            warn(f"decode failed for {key}")
+            err += 1
+            continue
+        out_lat = determinize_lattice(lat) if dopts.determinize_lattice \
+            else lat
+        lat_writer.write(key, out_lat)
+        if word_writer or ali_writer:
+            ali, words, _ = lattice_best_path(lat)
+            if word_writer:
+                word_writer.write(key, words)
+            if ali_writer:
+                ali_writer.write(key, ali)
+        n += 1
+    lat_writer.close()
+    if word_writer:
+        word_writer.close()
+    if ali_writer:
+        ali_writer.close()
+    log(f"decoded {n} utterances ({err} failed)")
+    return 0 if n else 1
