@@ -42,6 +42,7 @@ class LatticeFasterDecoder:
         fst = self.fst
         opts = self.opts
         T = loglikes.shape[0]
+        self.stats: Dict[str, int] = {"max_live_links": 0}
         # token keys: (frame, state); store best cost per key
         cost: Dict[Tuple[int, int], float] = {}
         # links: (src_key, dst_key, ilabel, olabel, gcost, acost)
@@ -82,6 +83,16 @@ class LatticeFasterDecoder:
                 if c < cost.get(k, INF):
                     cost[k] = c
             cur = nxt
+            # periodic forward-link pruning (PruneActiveTokens,
+            # lattice-faster-decoder.cc): links that cannot be within
+            # lattice_beam of the best path through the CURRENT frontier
+            # can never survive the final pruning — drop them now so
+            # memory stays bounded on dense graphs
+            if opts.prune_interval > 0 and (t + 1) % opts.prune_interval \
+                    == 0:
+                links = self._prune_links(links, cost, cur, t + 1)
+                self.stats["max_live_links"] = max(
+                    self.stats.get("max_live_links", 0), len(links))
 
         # ---- build raw lattice with forward/backward pruning ----
         finals = {s: fst.finals[s] for s in cur
@@ -149,6 +160,45 @@ class LatticeFasterDecoder:
         from kaldi_tpu.fstext.ops import connect
         connect(lat)
         return lat
+
+    def _prune_links(self, links: List, cost: Dict, frontier: Dict[int,
+                                                                   float],
+                     t: int) -> List:
+        """Drop links not on any path within lattice_beam of the best
+        path reaching the current frontier (backward pass over the
+        link graph with frontier tokens as temporary finals)."""
+        best = min(frontier.values())
+        cutoff = best + self.opts.lattice_beam
+        back: Dict[Tuple[int, int], float] = {(t, s): 0.0
+                                              for s in frontier}
+        # links are appended in time order; one reverse sweep relaxes
+        # everything (epsilon links within a frame are appended after
+        # the emitting link into that frame, so reversed order is a
+        # valid topological order of the link DAG)
+        INF_ = INF
+        for src, dst, il, ol, g, a in reversed(links):
+            b = back.get(dst)
+            if b is None:
+                continue
+            nb = b + g + a
+            if nb < back.get(src, INF_):
+                back[src] = nb
+        kept = []
+        for link in links:
+            src, dst = link[0], link[1]
+            c = cost.get(src)
+            b = back.get(dst)
+            if c is None or b is None:
+                continue
+            if c + link[4] + link[5] + b <= cutoff:
+                kept.append(link)
+        # also drop dead cost entries to bound the token map
+        live = {k for link in kept for k in (link[0], link[1])}
+        live.update((t, s) for s in frontier)
+        for k in list(cost.keys()):
+            if k not in live:
+                del cost[k]
+        return kept
 
     def _eps_closure(self, tokens: Dict[int, float], t: int,
                      links: List, beam: float) -> Dict[int, float]:

@@ -161,3 +161,51 @@ class TestLatticeDecoder:
         assert len(post) == loglikes.shape[0]
         for frame in post:
             assert sum(p for _, p in frame) == pytest.approx(1.0, abs=1e-3)
+
+
+class TestPeriodicLinkPruning:
+    """PruneActiveTokens equivalent: wide-beam lattice decoding on
+    dense scores must stay memory-bounded and preserve the best path
+    (regression for the chain-decode blowup)."""
+
+    def _setup(self):
+        from kaldi_tpu.decoder.graph import Lang, make_decoding_graph
+        from kaldi_tpu.hmm import HmmTopology, TransitionModel
+        from kaldi_tpu.tree import monophone_context_dependency
+        import os, sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_mono_e2e import unigram_g
+        lang = Lang({"YES": [["Y"]], "NO": [["N"]]}, sil_phone="SIL",
+                    sil_prob=0.5)
+        phones = sorted(lang.phones.values())
+        topo = HmmTopology.chain_topology(phones)
+        lang.topo = topo
+        npc = {p: topo.num_pdf_classes(p) for p in phones}
+        tree = monophone_context_dependency(phones, npc)
+        tm = TransitionModel(topo, tree)
+        hclg = make_decoding_graph(lang, unigram_g(lang), tree, tm,
+                                   transition_scale=1.0,
+                                   self_loop_scale=1.0)
+        rng = np.random.default_rng(0)
+        ll = rng.normal(scale=2.0, size=(60, tm.num_pdfs)) \
+            .astype(np.float32)
+        return hclg, tm, ll
+
+    def test_bounded_and_best_path_preserved(self):
+        from kaldi_tpu.decoder.lattice_decoder import (
+            LatticeFasterDecoder, LatticeFasterDecoderOptions)
+        from kaldi_tpu.lat.functions import lattice_best_path
+        hclg, tm, ll = self._setup()
+        pruned = LatticeFasterDecoder(hclg, LatticeFasterDecoderOptions(
+            beam=100.0, lattice_beam=6.0, prune_interval=5,
+            determinize_lattice=False))
+        lat_p = pruned.decode(ll, tm.id2pdf_id, 1.0)
+        unpruned = LatticeFasterDecoder(hclg, LatticeFasterDecoderOptions(
+            beam=100.0, lattice_beam=6.0, prune_interval=0,
+            determinize_lattice=False))
+        lat_u = unpruned.decode(ll, tm.id2pdf_id, 1.0)
+        _, wp, cp = lattice_best_path(lat_p)
+        _, wu, cu = lattice_best_path(lat_u)
+        assert wp == wu
+        assert cp == pytest.approx(cu, abs=1e-3)
+        assert pruned.stats["max_live_links"] > 0
