@@ -39,6 +39,8 @@ _register("kaldi_tpu.cli.feat_tools", {
     "feat-to-len": "feat_to_len",
     "wav-to-duration": "wav_to_duration",
     "extract-segments": "extract_segments",
+    "matrix-sum": "matrix_sum",
+    "vector-sum": "vector_sum",
 })
 
 _register("kaldi_tpu.cli.gmm_tools", {
@@ -63,6 +65,10 @@ _register("kaldi_tpu.cli.ali_tools", {
     "copy-int-vector": "copy_int_vector",
     "compute-wer": "compute_wer",
     "align-text": "align_text",
+    "ali-to-post": "ali_to_post",
+    "weight-silence-post": "weight_silence_post",
+    "post-to-weights": "post_to_weights",
+    "show-alignments": "show_alignments",
 })
 
 _register("kaldi_tpu.cli.misc_tools", {
@@ -117,6 +123,8 @@ _register("kaldi_tpu.cli.lat_tools", {
     "lattice-to-nbest": "lattice_to_nbest",
     "nbest-to-linear": "nbest_to_linear",
     "lattice-to-post": "lattice_to_post",
+    "lattice-align-words": "lattice_align_words",
+    "lattice-rmali": "lattice_rmali",
 })
 
 

@@ -172,3 +172,104 @@ def align_text(argv: List[str]) -> int:
         writer.write(key, toks[:-1] if toks else [])
     writer.close()
     return 0
+
+
+def ali_to_post(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Convert alignments to posteriors (weight 1.0 per frame)\n"
+        "Usage: ali-to-post [options] <alignments-rspecifier> "
+        "<posteriors-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    writer = TableWriter("posterior", po.get_arg(2))
+    n = 0
+    for key, ali in SequentialTableReader("int-vector", po.get_arg(1)):
+        writer.write(key, [[(int(t), 1.0)] for t in ali])
+        n += 1
+    writer.close()
+    log(f"converted {n} alignments to posteriors")
+    return 0 if n else 1
+
+
+def weight_silence_post(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Apply weight to silence phones' posterior entries\n"
+        "Usage: weight-silence-post [options] <silence-weight> "
+        "<silence-phones-csl> <model> <posteriors-rspecifier> "
+        "<posteriors-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 5:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.cli.gmm_tools import read_am_gmm
+    weight = float(po.get_arg(1))
+    sil = {int(p) for p in po.get_arg(2).split(":")}
+    tm, _am = read_am_gmm(po.get_arg(3))
+    writer = TableWriter("posterior", po.get_arg(5))
+    n = 0
+    for key, post in SequentialTableReader("posterior", po.get_arg(4)):
+        out = []
+        for frame in post:
+            new = []
+            for tid, w in frame:
+                if tm.transition_id_to_phone(tid) in sil:
+                    if weight > 0:
+                        new.append((tid, w * weight))
+                else:
+                    new.append((tid, w))
+            out.append(new)
+        writer.write(key, out)
+        n += 1
+    writer.close()
+    log(f"reweighted {n} posteriors")
+    return 0 if n else 1
+
+
+def post_to_weights(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Turn posteriors into per-frame weights (sum of entries)\n"
+        "Usage: post-to-weights <post-rspecifier> <weights-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    import numpy as np
+    writer = TableWriter("vector", po.get_arg(2))
+    n = 0
+    for key, post in SequentialTableReader("posterior", po.get_arg(1)):
+        writer.write(key, np.array([sum(w for _, w in frame)
+                                    for frame in post], np.float32))
+        n += 1
+    writer.close()
+    return 0 if n else 1
+
+
+def show_alignments(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Display alignments in human-readable phone-segment form\n"
+        "Usage: show-alignments <phones-symbol-table> <model> "
+        "<alignments-rspecifier>")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.cli.gmm_tools import read_am_gmm
+    from kaldi_tpu.decoder.lang_dir import read_symbol_table
+    syms = {i: w for w, i in
+            read_symbol_table(po.get_arg(1)).items()}
+    tm, _am = read_am_gmm(po.get_arg(2))
+    for key, ali in SequentialTableReader("int-vector", po.get_arg(3)):
+        segs = []
+        for tid in ali:
+            ph = tm.transition_id_to_phone(tid)
+            start = (tm.transition_id_to_hmm_state(tid) == 0
+                     and not tm.is_self_loop(tid))
+            if start or not segs or segs[-1][0] != ph:
+                segs.append([ph, 1])
+            else:
+                segs[-1][1] += 1
+        pretty = " ".join(f"{syms.get(p, p)}({d})" for p, d in segs)
+        print(f"{key} {pretty}")
+    return 0

@@ -13,7 +13,9 @@ from typing import List
 
 import numpy as np
 
+from kaldi_tpu.base import io_funcs as iof
 from kaldi_tpu.base.logging import log, warn
+from kaldi_tpu.util import kaldi_io
 from kaldi_tpu.feat import functions as ff
 from kaldi_tpu.feat.frontend import (FbankOptions, MfccOptions, OfflineFeature,
                                      SpectrogramOptions)
@@ -484,3 +486,63 @@ def extract_segments(argv):
     writer.close()
     log(f"Extracted {n} segments; {err} errors.")
     return 0 if n else 1
+
+
+def matrix_sum(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Sum matrices (e.g. stats accumulators stored as matrices);\n"
+        "with --average, divide the result by the count\n"
+        "Usage: matrix-sum [options] <matrix-out> <matrix-in1> "
+        "<matrix-in2> ...  (or archive mode: matrix-sum "
+        "<matrix-rspecifier> <matrix-out>)")
+    average = po.register_value("average", False, "Output the average instead of the sum")
+    po.read(argv)
+    if po.num_args() < 2:
+        po.print_usage()
+        return 1
+    first = po.get_arg(1)
+    if ":" in first and first.split(":")[0].split(",")[0] in ("ark", "scp"):
+        total = None
+        n = 0
+        for _key, m in SequentialTableReader("matrix", first):
+            total = m.astype(np.float64) if total is None else total + m
+            n += 1
+        if total is None:
+            return 1
+        if average[0]:
+            total = total / n
+        kaldi_io.write_kaldi_object(
+            lambda s, b: iof.write_matrix(s, b, total), po.get_arg(2))
+        return 0
+    total = None
+    for i in range(2, po.num_args() + 1):
+        m = kaldi_io.read_kaldi_object(iof.read_matrix, po.get_arg(i))
+        total = m.astype(np.float64) if total is None else total + m
+    if average[0]:
+        total = total / (po.num_args() - 1)
+    kaldi_io.write_kaldi_object(
+        lambda s, b: iof.write_matrix(s, b, total), first)
+    return 0
+
+
+def vector_sum(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Sum vectors from an archive into one vector\n"
+        "Usage: vector-sum <vector-rspecifier> <vector-out>")
+    average = po.register_value("average", False, "Output the average")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    total = None
+    n = 0
+    for _key, v in SequentialTableReader("vector", po.get_arg(1)):
+        total = v.astype(np.float64) if total is None else total + v
+        n += 1
+    if total is None:
+        return 1
+    if average[0]:
+        total = total / n
+    kaldi_io.write_kaldi_object(
+        lambda s, b: iof.write_vector(s, b, total), po.get_arg(2))
+    return 0

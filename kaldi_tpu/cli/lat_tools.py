@@ -240,3 +240,50 @@ def lattice_to_post(argv: List[str]) -> int:
     writer.close()
     log(f"posteriors for {n} lattices")
     return 0
+
+
+def lattice_align_words(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Convert lattices to word-aligned CTM entries (best path)\n"
+        "Usage: lattice-align-words [options] <model> "
+        "<lattice-rspecifier> <ctm-wxfilename>")
+    frame_shift = po.register_value("frame-shift", 0.01, "Frame shift in seconds")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.cli.gmm_tools import read_am_gmm
+    from kaldi_tpu.lat.word_align import format_ctm, lattice_to_ctm
+    tm, _am = read_am_gmm(po.get_arg(1))
+    import sys as _sys
+    out = (_sys.stdout if po.get_arg(3) == "-"
+           else open(po.get_arg(3), "w"))
+    n = 0
+    for key, lat in SequentialTableReader(LatticeHolder, po.get_arg(2)):
+        entries = lattice_to_ctm(lat, tm, key, frame_shift=frame_shift[0])
+        out.write(format_ctm(entries))
+        n += 1
+    if out is not _sys.stdout:
+        out.close()
+    log(f"aligned {n} lattices")
+    return 0 if n else 1
+
+
+def lattice_rmali(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Remove (zero out) the alignments from lattices\n"
+        "Usage: lattice-rmali <lattice-rspecifier> <lattice-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    writer = TableWriter(LatticeHolder, po.get_arg(2))
+    n = 0
+    for key, lat in SequentialTableReader(LatticeHolder, po.get_arg(1)):
+        for s in range(lat.num_states):
+            for a in lat.arcs[s]:
+                a.ilabel = 0
+        writer.write(key, lat)
+        n += 1
+    writer.close()
+    return 0 if n else 1

@@ -157,3 +157,53 @@ def test_online_cli_decode(workdir):
         hyp = [lang.word_names[w] for w in got.get(utt, [])]
         stats.add(ref, hyp)
     assert stats.wer <= 10.0, stats.report()
+
+
+def test_posterior_tool_chain(tmp_path, mono_artifacts=None):
+    """ali-to-post -> weight-silence-post -> post-to-weights on a tiny
+    fabricated model+alignment."""
+    import numpy as np
+    from kaldi_tpu.cli import get_tool
+    from kaldi_tpu.cli.gmm_tools import write_am_gmm
+    from kaldi_tpu.gmm.am_diag_gmm import AmDiagGmm
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    from kaldi_tpu.hmm import HmmTopology, TransitionModel
+    from kaldi_tpu.tree import monophone_context_dependency
+    from kaldi_tpu.util.table import SequentialTableReader, TableWriter
+    phones = [1, 2]
+    topo = HmmTopology.chain_topology(phones)
+    npc = {p: topo.num_pdf_classes(p) for p in phones}
+    tm = TransitionModel(topo, monophone_context_dependency(phones, npc))
+    am = AmDiagGmm()
+    for _ in range(tm.num_pdfs):
+        g = DiagGmm(1, 2)
+        g.set_from_means_and_vars([1.0], [[0.0, 0.0]], [[1.0, 1.0]])
+        am.add_pdf(g)
+    mdl = str(tmp_path / "m.mdl")
+    write_am_gmm(mdl, tm, am)
+    # alignment: phone 1 then phone 2 via fwd+self tids
+    def tids(ph):
+        for ts in range(1, tm.num_transition_states + 1):
+            if tm.transition_state_to_phone(ts) == ph:
+                fwd = next(tm.pair_to_transition_id(ts, i)
+                           for i in range(tm.num_transition_indices(ts))
+                           if not tm.is_self_loop(
+                               tm.pair_to_transition_id(ts, i)))
+                return fwd, tm.self_loop_of(ts)
+    f1, s1 = tids(1)
+    f2, s2 = tids(2)
+    ali = [f1, s1, s1, f2, s2]
+    with TableWriter("int-vector", f"ark:{tmp_path}/ali.ark") as w:
+        w.write("u1", ali)
+    assert get_tool("ali-to-post")([
+        "ali-to-post", f"ark:{tmp_path}/ali.ark",
+        f"ark:{tmp_path}/post.ark"]) == 0
+    assert get_tool("weight-silence-post")([
+        "weight-silence-post", "0.0", "1", mdl,
+        f"ark:{tmp_path}/post.ark", f"ark:{tmp_path}/postw.ark"]) == 0
+    assert get_tool("post-to-weights")([
+        "post-to-weights", f"ark:{tmp_path}/postw.ark",
+        f"ark:{tmp_path}/w.ark"]) == 0
+    w = dict(SequentialTableReader("vector", f"ark:{tmp_path}/w.ark"))["u1"]
+    # phone-1 frames zeroed (silence weight 0), phone-2 frames kept
+    np.testing.assert_allclose(w, [0, 0, 0, 1, 1], atol=1e-6)
