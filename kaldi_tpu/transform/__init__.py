@@ -9,3 +9,7 @@ from kaldi_tpu.transform.basis_fmllr import (  # noqa: F401
     BasisFmllrAccus,
     BasisFmllrEstimate,
 )
+from kaldi_tpu.transform.lvtln import (  # noqa: F401
+    LinearVtln,
+    train_lvtln,
+)
