@@ -210,3 +210,118 @@ class SingleUtteranceDecoder:
     def endpoint_detected(self, config: OnlineEndpointConfig,
                           frame_shift: float = 0.01) -> bool:
         return endpoint_detected(config, self.tm, self.decoder, frame_shift)
+
+
+@dataclass
+class OnlineGmmDecodingAdaptationPolicy:
+    """When to (re-)estimate fMLLR within an utterance
+    (online-gmm-decoding.h AdaptationPolicy: a few early re-estimates,
+    then periodic)."""
+    adaptation_frames: Sequence[int] = (100, 200, 400)
+    adaptation_interval: int = 500   # after the listed marks
+    min_frames: int = 50             # below this, keep the old transform
+
+
+class OnlineGmmAdaptationState:
+    """Speaker state carried across utterances
+    (online-gmm-decoding.h OnlineGmmAdaptationState)."""
+
+    def __init__(self):
+        self.transform: Optional[np.ndarray] = None   # (D, D+1)
+
+
+class SingleUtteranceGmmDecoder:
+    """online2's SingleUtteranceGmmDecoder: GMM decoding with IN-LOOP
+    basis-fMLLR — at the adaptation marks, the current partial
+    traceback provides alignment posteriors, the basis-restricted
+    fMLLR transform is re-estimated from the utterance's RAW features,
+    and subsequent frames are decoded under the new transform. The
+    estimated transform persists in the adaptation state for the next
+    utterance."""
+
+    def __init__(self, hclg: VectorFst, am, tm, pipeline,
+                 basis=None,   # BasisFmllrEstimate or None (plain fMLLR)
+                 adaptation_state: Optional[OnlineGmmAdaptationState] = None,
+                 acoustic_scale: float = 0.1,
+                 policy: Optional[OnlineGmmDecodingAdaptationPolicy] = None,
+                 opts: Optional[FasterDecoderOptions] = None):
+        self.decoder = OnlineFasterDecoder(hclg, opts)
+        self.am = am
+        self.tm = tm
+        self.pipeline = pipeline
+        self.basis = basis
+        self.state = adaptation_state or OnlineGmmAdaptationState()
+        self.acoustic_scale = acoustic_scale
+        self.policy = policy or OnlineGmmDecodingAdaptationPolicy()
+        self._frames_consumed = 0
+        self._raw: List[np.ndarray] = []
+        self._next_adapt = list(self.policy.adaptation_frames)
+        self.num_adaptations = 0
+
+    def _apply_transform(self, feats: np.ndarray) -> np.ndarray:
+        W = self.state.transform
+        if W is None:
+            return feats
+        ext = np.concatenate([feats, np.ones((len(feats), 1),
+                                             feats.dtype)], axis=1)
+        return (ext @ W.T).astype(feats.dtype)
+
+    def advance_decoding(self) -> None:
+        ready = self.pipeline.num_frames_ready()
+        while self._frames_consumed < ready:
+            # decode up to the next adaptation mark, then re-estimate
+            stop = ready
+            if self._next_adapt:
+                stop = min(stop, self._next_adapt[0])
+            elif self.policy.adaptation_interval > 0:
+                k = self.policy.adaptation_interval
+                stop = min(stop, ((self._frames_consumed // k) + 1) * k)
+            if stop > self._frames_consumed:
+                feats = self.pipeline.get_frames(self._frames_consumed,
+                                                 stop)
+                self._raw.append(np.asarray(feats))
+                loglikes = self.am.log_likes_batch(
+                    self._apply_transform(np.asarray(feats)))
+                self.decoder.advance_decoding(np.asarray(loglikes),
+                                              self.tm.id2pdf_id,
+                                              self.acoustic_scale)
+                self._frames_consumed = stop
+            if self._next_adapt and self._frames_consumed >= \
+                    self._next_adapt[0]:
+                self._next_adapt.pop(0)
+                self.estimate_fmllr()
+            elif (not self._next_adapt
+                  and self.policy.adaptation_interval > 0
+                  and self._frames_consumed % self.policy.
+                  adaptation_interval == 0):
+                self.estimate_fmllr()
+
+    def estimate_fmllr(self) -> bool:
+        """Re-estimate the speaker transform from the current partial
+        traceback; returns True if the transform was updated."""
+        from kaldi_tpu.transform.fmllr import FmllrDiagGmmAccs
+        res = self.decoder.best_path(use_final_probs=False)
+        if res is None or not self._raw:
+            return False
+        ali = res[0]
+        raw = np.concatenate(self._raw)[:len(res[0])]
+        if len(ali) < self.policy.min_frames or len(ali) > raw.shape[0]:
+            return False
+        accs = FmllrDiagGmmAccs(raw.shape[1])
+        accs.accumulate_from_alignment(self.am, self.tm,
+                                       raw[:len(ali)], ali)
+        if self.basis is not None:
+            W, impr, n = self.basis.compute_transform(accs)
+        else:
+            W, impr = accs.update()
+        if not np.isfinite(W).all():
+            return False
+        self.state.transform = W
+        self.num_adaptations += 1
+        return True
+
+    def finalize_decoding(self):
+        return self.decoder.best_path(use_final_probs=True)
+
+    def get_adaptation_state(self) -> OnlineGmmAdaptationState:
+        return self.state
