@@ -13,3 +13,10 @@ from kaldi_tpu.transform.lvtln import (  # noqa: F401
     LinearVtln,
     train_lvtln,
 )
+from kaldi_tpu.transform.regtree_fmllr import (  # noqa: F401
+    RegressionTree,
+    RegtreeFmllr,
+    RegtreeFmllrAccs,
+    estimate_regtree_fmllr,
+    regtree_log_likes,
+)
