@@ -20,3 +20,8 @@ from kaldi_tpu.transform.regtree_fmllr import (  # noqa: F401
     estimate_regtree_fmllr,
     regtree_log_likes,
 )
+from kaldi_tpu.transform.fmpe import (  # noqa: F401
+    Fmpe,
+    FmpeOptions,
+    train_fmpe,
+)
