@@ -6,7 +6,9 @@ Supported layer types (the set used by the librispeech/swbd chain
 recipes): input, fixed-affine-layer (learned here), relu-batchnorm-
 layer, batchnorm-component, no-op-component, linear-component,
 tdnnf-layer, lstm-layer/lstmp-layer (fast variants included),
-stats-layer, prefinal-layer, output-layer.
+conv-relu-batchnorm-layer (CNN front-ends), gru-layer,
+attention-relu-renorm-layer, stats-layer, prefinal-layer,
+output-layer.
 
 Descriptors supported in input=: bare names, Append(...), Offset(x,k),
 ReplaceIndex(x, t, 0), Sum(a, b), Scale(s, x). Offsets are realized as
@@ -26,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from kaldi_tpu.base.logging import KaldiTpuError, warn
-from kaldi_tpu.nnet3.components import (BatchNorm, LstmpLayer, Prefinal,
+from kaldi_tpu.nnet3.components import (BatchNorm, GruLayer, LstmpLayer,
+                                        Prefinal, RestrictedAttention,
                                         StatisticsPooling, TdnnfLayer)
 
 
@@ -243,6 +246,44 @@ class XconfigModel(nn.Module):
                 nonrec = layer.get_int("non-recurrent-projection-dim", rec)
                 x, _ = LstmpLayer(cell_dim=cell, recurrent_dim=rec,
                                   nonrecurrent_dim=nonrec, name=name)(x)
+            elif lt in ("conv-relu-batchnorm-layer", "cnn-layer"):
+                # 2D convolution over (time, height): the feature dim is
+                # height-in x channels-in (nnet-convolutional-component's
+                # ConvolutionComponent, CNN-TDNN family)
+                hin = layer.get_int("height-in", x.shape[-1])
+                cin = x.shape[-1] // hin
+                nf = layer.get_int("num-filters-out")
+                tk = layer.get_int("time-kernel", 3)
+                hk = layer.get_int("height-kernel", 3)
+                hsub = layer.get_int("height-subsample-out", 1)
+                B, T = x.shape[0], x.shape[1]
+                x4 = x.reshape(B, T, hin, cin)
+                y = nn.Conv(nf, (tk, hk), strides=(1, hsub),
+                            padding="SAME", name=f"{name}_conv")(x4)
+                y = nn.relu(y)
+                hout = y.shape[2]
+                x = y.reshape(B, T, hout * nf)
+                x = BatchNorm(use_running_average=not self.train,
+                              name=f"{name}_bn")(x)
+            elif lt == "gru-layer":
+                x, _ = GruLayer(
+                    cell_dim=layer.get_int("cell-dim"),
+                    projection_dim=layer.get_int(
+                        "recurrent-projection-dim",
+                        max(layer.get_int("cell-dim") // 4, 1)),
+                    name=name)(x)
+            elif lt in ("attention-relu-renorm-layer", "attention-layer"):
+                x = RestrictedAttention(
+                    num_heads=layer.get_int("num-heads", 4),
+                    key_dim=layer.get_int("key-dim", 40),
+                    value_dim=layer.get_int("value-dim", 40),
+                    num_left_inputs=layer.get_int("num-left-inputs", 5),
+                    num_right_inputs=layer.get_int("num-right-inputs", 2),
+                    time_stride=layer.get_int("time-stride", 1),
+                    name=name)(x)
+                x = nn.relu(x)
+                x = BatchNorm(use_running_average=not self.train,
+                              name=f"{name}_bn")(x)
             elif lt == "stats-layer":
                 pooled = StatisticsPooling(name=name)(x)
                 x = jnp.repeat(pooled[:, None, :], x.shape[1], axis=1)

@@ -84,3 +84,42 @@ output-layer name=output input=Offset(input, -1) dim=4 include-log-softmax=false
                                       np.asarray(x[0, 0]))
         np.testing.assert_array_equal(np.asarray(sh[0, 0]),
                                       np.asarray(x[0, 0]))
+
+
+class TestNewLayerFamilies:
+    def test_cnn_tdnnf_model(self):
+        """CNN front-end + TDNN-F body from xconfig (the cnn_tdnn
+        recipe family)."""
+        import jax
+        text = """
+input name=input dim=40
+conv-relu-batchnorm-layer name=cnn1 height-in=40 num-filters-out=8 time-kernel=3 height-kernel=3 height-subsample-out=2
+conv-relu-batchnorm-layer name=cnn2 height-in=20 num-filters-out=4 time-kernel=3 height-kernel=3
+tdnnf-layer name=tdnnf1 dim=32 bottleneck-dim=8 time-stride=1
+output-layer name=output dim=10 include-log-softmax=false
+"""
+        model = build_xconfig_model(text, train=False)
+        x = {"input": jnp.zeros((2, 21, 40))}
+        variables = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(variables, x)
+        assert out["output"].shape == (2, 21, 10)
+        # conv params present with the right kernel shape
+        k = variables["params"]["cnn1_conv"]["kernel"]
+        assert k.shape == (3, 3, 1, 8)
+
+    def test_gru_and_attention_layers(self):
+        import jax
+        text = """
+input name=input dim=12
+gru-layer name=gru1 cell-dim=16 recurrent-projection-dim=8
+attention-relu-renorm-layer name=att1 num-heads=2 key-dim=8 value-dim=8 num-left-inputs=2 num-right-inputs=1
+output-layer name=output dim=5 include-log-softmax=true
+"""
+        model = build_xconfig_model(text, train=False)
+        x = {"input": jnp.zeros((1, 15, 12))}
+        variables = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(variables, x)
+        assert out["output"].shape == (1, 15, 5)
+        # log-softmax output sums to 1
+        np.testing.assert_allclose(
+            np.exp(np.asarray(out["output"][0, 0])).sum(), 1.0, atol=1e-4)
