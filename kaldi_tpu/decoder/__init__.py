@@ -11,3 +11,6 @@ from kaldi_tpu.decoder.viterbi import (  # noqa: F401
     align_equal,
     best_path_through,
 )
+from kaldi_tpu.decoder.incremental import (  # noqa: F401
+    LatticeIncrementalDecoder,
+)
