@@ -16,7 +16,15 @@ def main() -> int:
     if name not in TOOLS:
         print(f"unknown tool {name!r}", file=sys.stderr)
         return 1
-    return get_tool(name)([name] + sys.argv[2:])
+    try:
+        return get_tool(name)([name] + sys.argv[2:])
+    except KeyboardInterrupt:
+        return 130
+    except BrokenPipeError:
+        return 141
+    except Exception as e:  # noqa: BLE001 — kaldi-style clean exit
+        print(f"ERROR ({name}): {type(e).__name__}: {e}", file=sys.stderr)
+        return 255
 
 
 if __name__ == "__main__":
