@@ -1,0 +1,114 @@
+"""Subspace GMM (parity: sgmm2/am-sgmm2.cc, estimate-am-sgmm2.cc)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.gmm.full_gmm import FullGmm
+from kaldi_tpu.sgmm2 import AmSgmm2, MleAmSgmm2Accs, Sgmm2Options, \
+    train_sgmm2
+
+D, I, J = 4, 5, 3
+
+
+def _data(seed=0, n_per_state=200, draw_seed=None):
+    """States = distinct directions in a shared subspace: exactly the
+    structure SGMM models (shared covariances + per-state means that
+    live in a low-dim phonetic subspace). `seed` fixes the underlying
+    distribution; `draw_seed` varies the sampled frames."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(scale=2.0, size=(I, D))        # shared centers
+    direction = rng.normal(size=(J, I))              # state mixing
+    draw = np.random.default_rng(seed if draw_seed is None else draw_seed)
+    feats, states = [], []
+    for j in range(J):
+        w = np.exp(direction[j]) / np.exp(direction[j]).sum()
+        comps = draw.choice(I, p=w, size=n_per_state)
+        offs = j * 1.5
+        x = base[comps] + offs + 0.5 * draw.normal(size=(n_per_state, D))
+        feats.append(x.astype(np.float32))
+        states.append([j] * n_per_state)
+    allx = np.concatenate(feats)
+    ubm = FullGmm(I, D)
+    sel = allx[rng.choice(len(allx), I, replace=False)]
+    covs = np.stack([np.cov(allx.T) + 0.5 * np.eye(D)] * I)
+    ubm.set_from_means_and_covars(np.ones(I) / I, sel, covs)
+    return ubm, feats, states
+
+
+def test_ubm_init_reproduces_ubm():
+    ubm, feats, states = _data()
+    model = AmSgmm2(ubm, J)
+    x = feats[0][:10]
+    # with v = e1 and w = 0, every state is the UBM (uniform weights vs
+    # the UBM's own weights differ; compare per-component densities)
+    comp = model.component_log_likes(x)   # (T, JM, I)
+    # all substates identical at init
+    np.testing.assert_allclose(comp[:, 0], comp[:, 1], atol=1e-8)
+
+
+def test_em_improves_and_discriminates():
+    ubm, feats, states = _data()
+    likes = []
+
+    class _SpyOpts(Sgmm2Options):
+        pass
+
+    model = train_sgmm2(ubm, feats, states, J,
+                        Sgmm2Options(num_iters=6))
+    # per-frame state classification on held-out draws
+    ubm2, feats2, states2 = _data(seed=0, draw_seed=99)
+    hits = tot = 0
+    for f, st in zip(feats2, states2):
+        ll = model.log_likes(f)
+        hits += int((ll.argmax(1) == np.asarray(st)).sum())
+        tot += len(st)
+    acc = hits / tot
+    assert acc > 0.9, acc
+
+
+def test_em_monotone_loglike():
+    ubm, feats, states = _data(seed=2)
+    model = AmSgmm2(ubm, J)
+    from kaldi_tpu.sgmm2.am_sgmm2 import (_update_M, _update_c,
+                                          _update_sigma, _update_v,
+                                          _update_w)
+    prev = None
+    for it in range(5):
+        accs = MleAmSgmm2Accs(model)
+        like = sum(accs.accumulate(model, f, st)
+                   for f, st in zip(feats, states))
+        like /= accs.total_frames
+        if prev is not None:
+            assert like > prev - 1e-3, (it, prev, like)
+        prev = like
+        _update_v(model, accs)
+        _update_M(model, accs)
+        _update_w(model, accs)
+        _update_sigma(model, accs)
+        _update_c(model, accs)
+
+
+def test_serialization_round_trip():
+    ubm, feats, states = _data(seed=3)
+    model = train_sgmm2(ubm, feats, states, J, Sgmm2Options(num_iters=2))
+    buf = io.BytesIO()
+    model.write(buf, binary=True)
+    buf.seek(0)
+    model2 = AmSgmm2.read(buf, binary=True)
+    x = feats[0][:20]
+    np.testing.assert_allclose(model2.log_likes(x), model.log_likes(x),
+                               atol=1e-4)
+
+
+def test_subspace_structure_is_shared():
+    """The phonetic subspace really is shared: state vectors differ,
+    the global M/w/Sigma are common."""
+    ubm, feats, states = _data(seed=4)
+    model = train_sgmm2(ubm, feats, states, J, Sgmm2Options(num_iters=4))
+    v = np.stack([model.v[j][0] for j in range(J)])
+    # vectors meaningfully distinct across states
+    d01 = np.linalg.norm(v[0] - v[1])
+    assert d01 > 0.1
+    assert model.M.shape == (I, D, model.phn_dim)
