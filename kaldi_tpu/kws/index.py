@@ -30,11 +30,13 @@ class KwsHit:
 
 class KwsIndex:
     def __init__(self, frame_shift: float = 0.01,
-                 min_posterior: float = 1e-3):
+                 min_posterior: float = 1e-3,
+                 cluster_tolerance: int = 3):
         self.postings: Dict[int, List[Tuple[str, int, int, float]]] = \
             defaultdict(list)
         self.frame_shift = frame_shift
         self.min_posterior = min_posterior
+        self.cluster_tolerance = cluster_tolerance
 
     # -- indexing ----------------------------------------------------------------
 
@@ -71,6 +73,7 @@ class KwsIndex:
         # the next word boundary; approximate with the arc's target time
         # extended until a frame advances (fine-grained spans come from
         # word-aligned lattices)
+        raw: Dict[int, List[Tuple[int, int, float]]] = defaultdict(list)
         for s in order:
             if alpha[s] == -np.inf:
                 continue
@@ -83,7 +86,24 @@ class KwsIndex:
                     continue
                 t0 = times[s]
                 t1 = max(times[a.nextstate], t0 + 1)
-                self.postings[a.olabel].append((utt, t0, t1, post))
+                raw[a.olabel].append((t0, t1, post))
+        # consolidate: a word's posterior is fragmented over parallel
+        # lattice paths emitting it at slightly different frames; merge
+        # overlapping/near spans and sum their posteriors (the
+        # reference's kws result clustering, kws-functions.cc
+        # ClusterLattice)
+        tol = self.cluster_tolerance
+        for word, entries in raw.items():
+            entries.sort()
+            merged: List[List] = []
+            for t0, t1, p in entries:
+                if merged and t0 <= merged[-1][1] + tol:
+                    merged[-1][1] = max(merged[-1][1], t1)
+                    merged[-1][2] = min(1.0, merged[-1][2] + p)
+                else:
+                    merged.append([t0, t1, p])
+            for t0, t1, p in merged:
+                self.postings[word].append((utt, t0, t1, p))
 
     # -- search -------------------------------------------------------------------
 

@@ -241,3 +241,61 @@ class TestNaturalGradientLowRank:
         along_g = np.linalg.norm(u @ g_np) / np.linalg.norm(g_np)
         along_pg = np.linalg.norm(u @ pg) / np.linalg.norm(pg)
         assert along_pg < along_g * 0.5
+
+
+class TestKwsOnRealLattices:
+    """Index lattices produced by the real decoder and search keywords
+    (kws-functions.h end-to-end shape)."""
+
+    def test_index_and_search_decoded_lattices(self):
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_mono_e2e import FS, make_corpus, unigram_g
+        from kaldi_tpu.decoder.graph import Lang
+        from kaldi_tpu.decoder.lattice_decoder import (
+            LatticeFasterDecoder, LatticeFasterDecoderOptions)
+        from kaldi_tpu.feat.frontend import MfccOptions, OfflineFeature
+        from kaldi_tpu.feat.window import FrameExtractionOptions
+        from kaldi_tpu.kws.index import KwsIndex
+        from kaldi_tpu.recipes.mono import (TrainMonoOptions, make_hclg,
+                                            train_mono)
+        train_txt, train_wav, test_txt, test_wav = make_corpus(
+            num_train=8, num_test=3)
+        comp = OfflineFeature(MfccOptions(
+            frame_opts=FrameExtractionOptions(samp_freq=FS, dither=0.0)))
+        tf = dict(zip(train_wav,
+                      comp.compute_batch(list(train_wav.values()))))
+        sf = dict(zip(test_wav,
+                      comp.compute_batch(list(test_wav.values()))))
+        lang = Lang({"YES": [["Y"]], "NO": [["N"]]}, sil_phone="SIL",
+                    sil_prob=0.5)
+        lang.make_topology()
+        sys_ = train_mono(lang, tf, train_txt,
+                          TrainMonoOptions(num_iters=5, totgauss=24,
+                                           realign_iters=(1, 2, 3, 4)))
+        hclg = make_hclg(sys_, unigram_g(lang))
+        dec = LatticeFasterDecoder(hclg, LatticeFasterDecoderOptions(
+            beam=16.0, lattice_beam=7.0, determinize_lattice=False))
+        idx = KwsIndex()
+        T_of = {}
+        for utt, feats in sf.items():
+            ll = np.asarray(sys_.am.log_likes_batch(feats))
+            lat = dec.decode(ll, sys_.tm.id2pdf_id, 0.1)
+            idx.add_lattice(utt, lat)
+            T_of[utt] = ll.shape[0]
+        yes, no = lang.words["YES"], lang.words["NO"]
+        # single-word search: every utterance containing YES is found
+        hits = idx.search([yes])
+        found = {h.utt for h in hits if h.score > 0.5}
+        expected = {u for u, ws in test_txt.items() if "YES" in ws}
+        assert expected <= found
+        for h in hits:
+            assert 0 <= h.start_frame < h.end_frame <= T_of[h.utt]
+        # multi-word: utterances with consecutive NO NO
+        hits2 = idx.search([no, no], max_gap_frames=100)
+        exp2 = {u for u, ws in test_txt.items()
+                if any(a == b == "NO" for a, b in zip(ws, ws[1:]))}
+        assert exp2 <= {h.utt for h in hits2 if h.score > 0.25}
+        # absent word id -> no hits
+        assert idx.search([9999]) == []
