@@ -56,6 +56,12 @@ _register("kaldi_tpu.cli.gmm_tools", {
     "gmm-est-weights-ebw": "gmm_est_weights_ebw",
     "gmm-ismooth-stats": "gmm_ismooth_stats",
     "latgen-faster-mapped": "latgen_faster_mapped",
+    "gmm-global-init-from-feats": "gmm_global_init_from_feats",
+    "gmm-global-acc-stats": "gmm_global_acc_stats",
+    "gmm-global-est": "gmm_global_est",
+    "gmm-global-to-fgmm": "gmm_global_to_fgmm",
+    "fgmm-global-acc-stats": "fgmm_global_acc_stats",
+    "fgmm-global-est": "fgmm_global_est",
 })
 
 _register("kaldi_tpu.cli.ali_tools", {

@@ -452,3 +452,161 @@ def latgen_faster_mapped(argv: List[str]) -> int:
         ali_writer.close()
     log(f"decoded {n} utterances ({err} failed)")
     return 0 if n else 1
+
+
+def gmm_global_init_from_feats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Initialize a single diagonal GMM from features (for UBM init)\n"
+        "Usage: gmm-global-init-from-feats [options] "
+        "<feature-rspecifier> <model-out>")
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    num_gauss = po.register_value("num-gauss", 100, "Number of Gaussians")
+    num_iters = po.register_value("num-iters", 4, "Number of EM iterations on the init sample")
+    num_frames = po.register_value("num-frames", 200000, "Maximum frames to sample")
+    srand = po.register_value("srand", 0, "Random seed")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    import numpy as np
+    rows = []
+    total = 0
+    for _key, m in SequentialTableReader("matrix", po.get_arg(1)):
+        rows.append(m)
+        total += m.shape[0]
+        if total >= num_frames[0]:
+            break
+    feats = np.concatenate(rows)[: num_frames[0]]
+    rng = np.random.default_rng(srand[0])
+    G = min(num_gauss[0], len(feats))
+    gmm = DiagGmm(G, feats.shape[1])
+    sel = feats[rng.choice(len(feats), G, replace=False)]
+    gmm.set_from_means_and_vars(np.ones(G) / G, sel,
+                                np.tile(np.maximum(feats.var(0), 1e-4),
+                                        (G, 1)))
+    from kaldi_tpu.gmm.mle import (AccumDiagGmm, MleDiagGmmOptions,
+                                   mle_diag_gmm_update)
+    for it in range(num_iters[0]):
+        acc = AccumDiagGmm(gmm.num_gauss, gmm.dim)
+        ll = acc.accumulate_from_gmm(gmm, feats)
+        mle_diag_gmm_update(MleDiagGmmOptions(min_gaussian_occupancy=1.0),
+                            acc, gmm)
+        log(f"init iter {it}: avg loglike {ll / len(feats):.4f}")
+    kaldi_io.write_kaldi_object(gmm.write, po.get_arg(2))
+    return 0
+
+
+def gmm_global_acc_stats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Accumulate stats for a single diagonal GMM\n"
+        "Usage: gmm-global-acc-stats [options] <model-in> "
+        "<feature-rspecifier> <stats-out>")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    from kaldi_tpu.gmm.mle import AccumDiagGmm
+    gmm = kaldi_io.read_kaldi_object(DiagGmm.read, po.get_arg(1))
+    acc = AccumDiagGmm(gmm.num_gauss, gmm.dim)
+    n = 0
+    like = 0.0
+    for _key, feats in SequentialTableReader("matrix", po.get_arg(2)):
+        like += acc.accumulate_from_gmm(gmm, feats)
+        n += feats.shape[0]
+    log(f"accumulated over {n} frames, avg loglike {like / max(n,1):.4f}")
+    kaldi_io.write_kaldi_object(acc.write, po.get_arg(3))
+    return 0
+
+
+def gmm_global_est(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Estimate a single diagonal GMM from stats\n"
+        "Usage: gmm-global-est [options] <model-in> <stats-in> <model-out>")
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    from kaldi_tpu.gmm.mle import (AccumDiagGmm, MleDiagGmmOptions,
+                                   mle_diag_gmm_update)
+    opts = MleDiagGmmOptions()
+    po.register_struct(opts)
+    mix_up = po.register_value("mix-up", 0, "Target number of Gaussians to mix up to")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    gmm = kaldi_io.read_kaldi_object(DiagGmm.read, po.get_arg(1))
+    acc = kaldi_io.read_kaldi_object(AccumDiagGmm.read, po.get_arg(2))
+    mle_diag_gmm_update(opts, acc, gmm)
+    if mix_up[0] > gmm.num_gauss:
+        gmm.split(mix_up[0])
+    kaldi_io.write_kaldi_object(gmm.write, po.get_arg(3))
+    log(f"estimated global GMM with {gmm.num_gauss} gaussians")
+    return 0
+
+
+def gmm_global_to_fgmm(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Convert a single diagonal GMM to a full-covariance GMM\n"
+        "Usage: gmm-global-to-fgmm <model-in> <fgmm-out>")
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    from kaldi_tpu.gmm.full_gmm import FullGmm
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    gmm = kaldi_io.read_kaldi_object(DiagGmm.read, po.get_arg(1))
+    kaldi_io.write_kaldi_object(FullGmm.from_diag(gmm).write,
+                                po.get_arg(2))
+    return 0
+
+
+def fgmm_global_acc_stats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Accumulate stats for a full-covariance GMM\n"
+        "Usage: fgmm-global-acc-stats [options] <model-in> "
+        "<feature-rspecifier> <stats-out>")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    import pickle
+    import numpy as np
+    from kaldi_tpu.gmm.full_gmm import AccumFullGmm, FullGmm
+    fgmm = kaldi_io.read_kaldi_object(FullGmm.read, po.get_arg(1))
+    acc = AccumFullGmm(fgmm.num_gauss, fgmm.dim)
+    n = 0
+    like = 0.0
+    for _key, feats in SequentialTableReader("matrix", po.get_arg(2)):
+        like += acc.accumulate_from_full(fgmm, feats.astype(np.float64))
+        n += feats.shape[0]
+    log(f"accumulated over {n} frames, avg loglike {like / max(n,1):.4f}")
+    with kaldi_io.output_stream(po.get_arg(3)) as f:
+        np.savez(f, occupancy=acc.occupancy, mean_accs=acc.mean_accs,
+                 covar_accs=acc.covar_accs)
+    return 0
+
+
+def fgmm_global_est(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Estimate a full-covariance GMM from stats\n"
+        "Usage: fgmm-global-est [options] <model-in> <stats-in> "
+        "<model-out>")
+    from kaldi_tpu.gmm.full_gmm import (AccumFullGmm, FullGmm,
+                                        MleFullGmmOptions,
+                                        mle_full_gmm_update)
+    import numpy as np
+    opts = MleFullGmmOptions()
+    po.register_struct(opts)
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    fgmm = kaldi_io.read_kaldi_object(FullGmm.read, po.get_arg(1))
+    with kaldi_io.input_stream(po.get_arg(2)) as f:
+        data = np.load(f)
+        acc = AccumFullGmm(fgmm.num_gauss, fgmm.dim)
+        acc.occupancy = data["occupancy"]
+        acc.mean_accs = data["mean_accs"]
+        acc.covar_accs = data["covar_accs"]
+    mle_full_gmm_update(opts, acc, fgmm)
+    kaldi_io.write_kaldi_object(fgmm.write, po.get_arg(3))
+    return 0

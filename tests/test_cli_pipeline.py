@@ -207,3 +207,35 @@ def test_posterior_tool_chain(tmp_path, mono_artifacts=None):
     w = dict(SequentialTableReader("vector", f"ark:{tmp_path}/w.ark"))["u1"]
     # phone-1 frames zeroed (silence weight 0), phone-2 frames kept
     np.testing.assert_allclose(w, [0, 0, 0, 1, 1], atol=1e-6)
+
+
+def test_ubm_cli_chain(tmp_path):
+    """gmm-global-init-from-feats -> acc/est -> to-fgmm -> fgmm acc/est:
+    the UBM training flow of the ivector recipes, via CLIs."""
+    import numpy as np
+    from kaldi_tpu.cli import get_tool
+    from kaldi_tpu.util.table import TableWriter
+    rng = np.random.default_rng(0)
+    with TableWriter("matrix", f"ark:{tmp_path}/f.ark") as w:
+        for u in range(4):
+            w.write(f"u{u}", rng.normal(size=(100, 6)).astype(np.float32)
+                    + rng.integers(0, 3) * 2.0)
+
+    def run(*args):
+        assert get_tool(args[0])(list(map(str, args))) == 0
+
+    run("gmm-global-init-from-feats", "--num-gauss=4", "--num-iters=2",
+        f"ark:{tmp_path}/f.ark", f"{tmp_path}/d.gmm")
+    run("gmm-global-acc-stats", f"{tmp_path}/d.gmm",
+        f"ark:{tmp_path}/f.ark", f"{tmp_path}/d.acc")
+    run("gmm-global-est", "--mix-up=6", f"{tmp_path}/d.gmm",
+        f"{tmp_path}/d.acc", f"{tmp_path}/d2.gmm")
+    run("gmm-global-to-fgmm", f"{tmp_path}/d2.gmm", f"{tmp_path}/u.fgmm")
+    run("fgmm-global-acc-stats", f"{tmp_path}/u.fgmm",
+        f"ark:{tmp_path}/f.ark", f"{tmp_path}/u.facc")
+    run("fgmm-global-est", f"{tmp_path}/u.fgmm", f"{tmp_path}/u.facc",
+        f"{tmp_path}/u2.fgmm")
+    from kaldi_tpu.gmm.full_gmm import FullGmm
+    from kaldi_tpu.util import kaldi_io
+    fg = kaldi_io.read_kaldi_object(FullGmm.read, f"{tmp_path}/u2.fgmm")
+    assert fg.num_gauss == 6
