@@ -112,3 +112,62 @@ def test_subspace_structure_is_shared():
     d01 = np.linalg.norm(v[0] - v[1])
     assert d01 > 0.1
     assert model.M.shape == (I, D, model.phn_dim)
+
+
+@pytest.mark.slow
+def test_sgmm2_decode_end_to_end():
+    """Full SGMM2 recipe shape: mono GMM bootstrap -> pdf alignments ->
+    UBM -> SGMM2 training -> decode through the same HCLG."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_mono_e2e import FS, make_corpus, unigram_g
+    from kaldi_tpu.decoder.graph import Lang, TrainingGraphCompiler
+    from kaldi_tpu.decoder.viterbi import FasterDecoder, \
+        FasterDecoderOptions
+    from kaldi_tpu.feat.frontend import MfccOptions, OfflineFeature
+    from kaldi_tpu.feat.window import FrameExtractionOptions
+    from kaldi_tpu.recipes.mono import (TrainMonoOptions, _align_all,
+                                        make_hclg, train_mono)
+    from kaldi_tpu.util.edit_distance import WerStats
+
+    train_txt, train_wav, test_txt, test_wav = make_corpus(
+        num_train=10, num_test=3)
+    comp = OfflineFeature(MfccOptions(
+        frame_opts=FrameExtractionOptions(samp_freq=FS, dither=0.0)))
+    tf = dict(zip(train_wav, comp.compute_batch(list(train_wav.values()))))
+    sf = dict(zip(test_wav, comp.compute_batch(list(test_wav.values()))))
+    lang = Lang({"YES": [["Y"]], "NO": [["N"]]}, sil_phone="SIL",
+                sil_prob=0.5)
+    lang.make_topology()
+    sys_ = train_mono(lang, tf, train_txt,
+                      TrainMonoOptions(num_iters=6, totgauss=30,
+                                       realign_iters=(1, 2, 3, 4, 5)))
+    compiler = TrainingGraphCompiler(sys_.tm, sys_.tree, lang)
+    graphs = {u: compiler.compile(train_txt[u]) for u in tf}
+    ali = _align_all(sys_, graphs, tf, 10.0, 0.1, 1.0)
+    num_pdfs = sys_.tm.num_pdfs
+    # UBM on all training data
+    allx = np.concatenate(list(tf.values())).astype(np.float64)
+    rng = np.random.default_rng(0)
+    ubm = FullGmm(8, allx.shape[1])
+    sel = allx[rng.choice(len(allx), 8, replace=False)]
+    ubm.set_from_means_and_covars(
+        np.ones(8) / 8, sel,
+        np.stack([np.cov(allx.T) + 1e-2 * np.eye(allx.shape[1])] * 8))
+    feats_list = [tf[u] for u in tf]
+    states_list = [sys_.tm.transition_ids_to_pdfs(ali[u]).tolist()
+                   for u in tf]
+    sgmm = train_sgmm2(ubm, feats_list, states_list, num_pdfs,
+                       Sgmm2Options(num_iters=5))
+    # decode with SGMM2 scores through the GMM system's HCLG
+    hclg = make_hclg(sys_, unigram_g(lang))
+    dec = FasterDecoder(hclg, FasterDecoderOptions(beam=16.0))
+    stats = WerStats()
+    for utt, ref in test_txt.items():
+        ll = sgmm.log_likes(sf[utt])
+        res = dec.decode(ll, sys_.tm.id2pdf_id, acoustic_scale=0.1)
+        hyp = [] if res is None else [lang.word_names[w] for w in res[1]]
+        stats.add(ref, hyp)
+    print("sgmm2:", stats.report())
+    assert stats.wer <= 10.0, stats.report()
