@@ -710,12 +710,18 @@ def push_special(fst: VectorFst, delta: float = 1e-4,
                        for fw in fst.finals], np.float64)
     v = np.ones(n, np.float64)
     lam = 1.0
+    # power iteration on (M + I): periodic graphs (e.g. a simple
+    # start->final->start cycle) make pure power iteration oscillate
+    # between eigenvectors of +/-lambda; the +I shift breaks the
+    # periodicity without changing eigenvectors (lambda_M =
+    # lambda_{M+I} - 1)
     for _ in range(max_iters):
         nv = np.zeros(n, np.float64)
         np.add.at(nv, src, w * v[dst])
         nv += finals * v[fst.start]
+        nv += v
         lam_new = float(np.max(nv))
-        if lam_new <= 0:
+        if lam_new <= 1.0 + 1e-12:
             raise ValueError("push_special: FST has a dead state")
         nv = nv / lam_new
         if (abs(lam_new - lam) < delta * lam_new
@@ -723,6 +729,7 @@ def push_special(fst: VectorFst, delta: float = 1e-4,
             v, lam = nv, lam_new
             break
         v, lam = nv, lam_new
+    lam = lam - 1.0
     log_v = np.log(np.maximum(v, 1e-290))
     log_lam = math.log(lam)
     out = VectorFst(fst.semiring)
