@@ -161,6 +161,10 @@ def lattice_state_times(lat: Lattice) -> List[int]:
     times[lat.start] = 0
     order = _topsort(lat)
     for s in order:
+        if times[s] < 0:
+            # unreachable state: must not propagate its bogus (-1)
+            # time into reachable successors
+            continue
         for a in lat.arcs[s]:
             t = times[s] + (1 if a.ilabel != EPS else 0)
             if times[a.nextstate] < 0:
