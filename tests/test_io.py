@@ -257,3 +257,43 @@ class TestExtendedFilenames:
             lambda s, b: io_funcs.write_matrix(s, b, m), str(path))
         got = kaldi_io.read_kaldi_object(io_funcs.read_matrix, str(path))
         np.testing.assert_array_equal(got, m)
+
+
+class TestTableFuzz:
+    """Round-trip fuzz: odd shapes, odd keys, mixed holders."""
+
+    def test_odd_matrices_and_keys(self, tmp_path):
+        from kaldi_tpu.util.table import (SequentialTableReader,
+                                          TableWriter)
+        rng = np.random.default_rng(0)
+        cases = {
+            "a": rng.normal(size=(1, 1)).astype(np.float32),
+            "key.with-punct_99": rng.normal(size=(3, 257)).astype(
+                np.float32),
+            "z" * 100: rng.normal(size=(500, 13)).astype(np.float32),
+            "tiny": np.zeros((1, 2), np.float32),
+        }
+        path = f"ark,scp:{tmp_path}/t.ark,{tmp_path}/t.scp"
+        with TableWriter("matrix", path) as w:
+            for k in sorted(cases):
+                w.write(k, cases[k])
+        got = dict(SequentialTableReader("matrix", f"ark:{tmp_path}/t.ark"))
+        assert set(got) == set(cases)
+        for k in cases:
+            np.testing.assert_allclose(got[k], cases[k], atol=1e-6)
+        # scp random access too
+        from kaldi_tpu.util.table import RandomAccessTableReader
+        ra = RandomAccessTableReader("matrix", f"scp:{tmp_path}/t.scp")
+        np.testing.assert_allclose(ra["z" * 100], cases["z" * 100],
+                                   atol=1e-6)
+
+    def test_empty_int_vector_and_large_values(self, tmp_path):
+        from kaldi_tpu.util.table import (SequentialTableReader,
+                                          TableWriter)
+        with TableWriter("int-vector", f"ark:{tmp_path}/i.ark") as w:
+            w.write("empty", [])
+            w.write("big", [2 ** 30, 0, -5])
+        got = dict(SequentialTableReader("int-vector",
+                                         f"ark:{tmp_path}/i.ark"))
+        assert list(got["empty"]) == []
+        assert list(got["big"]) == [2 ** 30, 0, -5]

@@ -230,3 +230,34 @@ class TestOnlineDecoding:
                 return 0.5
         from kaldi_tpu.online.decoding import endpoint_detected
         assert endpoint_detected(config, tm, _FakeDecoder(), 0.01)
+
+
+class TestStreamingOfflineEquivalence:
+    """Property: streaming feature extraction equals offline for ANY
+    chunking of the waveform (OnlineGenericBaseFeature contract)."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_chunkings(self, seed):
+        from kaldi_tpu.feat.frontend import MfccOptions, OfflineFeature
+        from kaldi_tpu.feat.window import FrameExtractionOptions
+        from kaldi_tpu.online.features import OnlineFeature
+        rng = np.random.default_rng(seed)
+        fs = 8000.0
+        wave = rng.normal(scale=500, size=int(1.1 * fs)).astype(np.float32)
+        opts = MfccOptions(frame_opts=FrameExtractionOptions(
+            samp_freq=fs, dither=0.0))
+        offline = np.asarray(OfflineFeature(opts).compute(wave))
+        online = OnlineFeature(opts)
+        pos = 0
+        while pos < len(wave):
+            n = int(rng.integers(1, 4000))
+            online.accept_waveform(fs, wave[pos:pos + n])
+            pos += n
+            ready = online.num_frames_ready()
+            if ready:
+                _ = online.get_frames(range(ready))  # mid-stream reads
+        online.finish_input()
+        T = online.num_frames_ready()
+        assert T == offline.shape[0]
+        got = online.get_frames(range(T))
+        np.testing.assert_allclose(got, offline, atol=1e-4)
