@@ -72,7 +72,8 @@ def make_standard_corpus(root):
                 open(os.path.join(sd, "text"), "w") as text, \
                 open(os.path.join(sd, "utt2spk"), "w") as u2s:
             for i, (utt, ws) in enumerate(sorted(utts.items())):
-                wav = synth(ws, seed=hash(utt) % 100000)
+                import zlib
+                wav = synth(ws, seed=zlib.crc32(utt.encode()) % 100000)
                 p = os.path.join(sd, f"{utt}.wav")
                 with open(p, "wb") as f:
                     WaveData(FS, wav[None, :]).write(f)
