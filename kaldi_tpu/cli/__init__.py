@@ -104,6 +104,9 @@ _register("kaldi_tpu.cli.misc_tools", {
     "validate-data-dir": "validate_data_dir_cli",
     "validate-lang": "validate_lang_cli",
     "fix-data-dir": "fix_data_dir_cli",
+    "ivector-plda-scoring": "ivector_plda_scoring",
+    "copy-feats-to-htk": "copy_feats_to_htk",
+    "ivector-mean": "ivector_mean",
 })
 
 _register("kaldi_tpu.cli.nnet3_tools", {

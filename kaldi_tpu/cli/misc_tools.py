@@ -726,3 +726,104 @@ def fix_data_dir_cli(argv: List[str]) -> int:
         return 1
     fix_data_dir(po.get_arg(1))
     return 0
+
+
+def ivector_plda_scoring(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Compute log-likelihood-ratio PLDA scores for trials\n"
+        "Usage: ivector-plda-scoring <plda> <train-ivector-rspecifier> "
+        "<test-ivector-rspecifier> <trials-rxfilename> <scores-wxfilename>\n"
+        "Trials file: lines of '<train-key> <test-key>'.")
+    from kaldi_tpu.ivector.plda import Plda
+    num_utts = po.register_value("num-utts", "", "rspecifier for number of utterances per train key")
+    po.read(argv)
+    if po.num_args() != 5:
+        po.print_usage()
+        return 1
+    plda = kaldi_io.read_kaldi_object(Plda.read, po.get_arg(1))
+    train = {k: v for k, v in SequentialTableReader("vector",
+                                                    po.get_arg(2))}
+    test = {k: v for k, v in SequentialTableReader("vector",
+                                                   po.get_arg(3))}
+    counts = {}
+    if num_utts[0]:
+        counts = {k: int(v[0]) for k, v in
+                  SequentialTableReader("vector", num_utts[0])}
+    tr_t = {k: plda.transform_ivector(v, counts.get(k, 1))
+            for k, v in train.items()}
+    te_t = {k: plda.transform_ivector(v, 1) for k, v in test.items()}
+    out = (sys.stdout if po.get_arg(5) == "-" else open(po.get_arg(5),
+                                                        "w"))
+    n = err = 0
+    with open(po.get_arg(4)) as trials:
+        for line in trials:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            a, b = parts[0], parts[1]
+            if a not in tr_t or b not in te_t:
+                err += 1
+                continue
+            score = plda.log_likelihood_ratio(tr_t[a], counts.get(a, 1),
+                                              te_t[b])
+            out.write(f"{a} {b} {score:.6f}\n")
+            n += 1
+    if out is not sys.stdout:
+        out.close()
+    log(f"scored {n} trials ({err} missing)")
+    return 0 if n else 1
+
+
+def copy_feats_to_htk(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Save features as HTK-format files (one per utterance)\n"
+        "Usage: copy-feats-to-htk [options] <feats-rspecifier>")
+    from kaldi_tpu.feat.htk import write_htk
+    import os as _os
+    output_dir = po.register_value("output-dir", "./", "Output directory")
+    output_ext = po.register_value("output-ext", "fea", "Output extension")
+    sample_period = po.register_value("sample-period", 100000, "HTK sample period (100ns units)")
+    po.read(argv)
+    if po.num_args() != 1:
+        po.print_usage()
+        return 1
+    _os.makedirs(output_dir[0], exist_ok=True)
+    n = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+        path = _os.path.join(output_dir[0], f"{key}.{output_ext[0]}")
+        with open(path, "wb") as f:
+            write_htk(f, feats, sample_period=sample_period[0],
+                      parm_kind=9)  # USER kind
+        n += 1
+    log(f"wrote {n} HTK feature files to {output_dir[0]}")
+    return 0 if n else 1
+
+
+def ivector_mean(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Average iVectors over speakers (spk2utt map)\n"
+        "Usage: ivector-mean <spk2utt-rspecifier> <ivector-rspecifier> "
+        "<ivector-wspecifier> [<num-utts-wspecifier>]")
+    po.read(argv)
+    if po.num_args() < 3:
+        po.print_usage()
+        return 1
+    import numpy as np
+    ivecs = RandomAccessTableReader("vector", po.get_arg(2))
+    writer = TableWriter("vector", po.get_arg(3))
+    nw = (TableWriter("vector", po.get_arg(4))
+          if po.num_args() >= 4 else None)
+    n = 0
+    for spk, utts in SequentialTableReader("token-vector", po.get_arg(1)):
+        vecs = [ivecs[u] for u in utts if u in ivecs]
+        if not vecs:
+            continue
+        writer.write(spk, np.mean(vecs, axis=0))
+        if nw:
+            nw.write(spk, np.array([float(len(vecs))], np.float32))
+        n += 1
+    writer.close()
+    if nw:
+        nw.close()
+    log(f"averaged ivectors for {n} speakers")
+    return 0 if n else 1

@@ -114,3 +114,61 @@ def test_ivector_cli(tmp_path):
     run("ivector-compute-plda", f"ark:{tmp_path}/spk2utt",
         f"ark:{tmp_path}/iv.ark", f"{tmp_path}/plda")
     assert (tmp_path / "plda").exists()
+
+
+def test_plda_scoring_htk_export_ivector_mean(tmp_path):
+    """ivector-plda-scoring / copy-feats-to-htk / ivector-mean CLIs."""
+    import numpy as np
+    from kaldi_tpu.cli import get_tool
+    from kaldi_tpu.feat.htk import read_htk
+    from kaldi_tpu.ivector.plda import train_plda
+    from kaldi_tpu.util import kaldi_io
+    from kaldi_tpu.util.table import SequentialTableReader, TableWriter
+    rng = np.random.default_rng(0)
+    spk_means = rng.normal(scale=2.0, size=(4, 10))
+    classes = {f"s{k}": [spk_means[k] + 0.3 * rng.normal(size=10)
+                         for _ in range(6)] for k in range(4)}
+    plda = train_plda(classes)
+    kaldi_io.write_kaldi_object(plda.write, f"{tmp_path}/plda")
+    with TableWriter("vector", f"ark:{tmp_path}/enroll.ark") as w:
+        for k in range(4):
+            w.write(f"s{k}", spk_means[k] + 0.2 * rng.normal(size=10))
+    with TableWriter("vector", f"ark:{tmp_path}/test.ark") as w:
+        for k in range(4):
+            w.write(f"t{k}", spk_means[k] + 0.3 * rng.normal(size=10))
+    with open(f"{tmp_path}/trials", "w") as f:
+        for a in range(4):
+            for b in range(4):
+                f.write(f"s{a} t{b}\n")
+    assert get_tool("ivector-plda-scoring")([
+        "ivector-plda-scoring", f"{tmp_path}/plda",
+        f"ark:{tmp_path}/enroll.ark", f"ark:{tmp_path}/test.ark",
+        f"{tmp_path}/trials", f"{tmp_path}/scores"]) == 0
+    scores = {}
+    for line in open(f"{tmp_path}/scores"):
+        a, b, sc = line.split()
+        scores[(a, b)] = float(sc)
+    # speaker-ID property: per test utt, the matching enrollment wins
+    for b in range(4):
+        best = max(range(4), key=lambda a: scores[(f"s{a}", f"t{b}")])
+        assert best == b
+    # HTK export round-trips
+    feats = rng.normal(size=(7, 13)).astype(np.float32)
+    with TableWriter("matrix", f"ark:{tmp_path}/f.ark") as w:
+        w.write("u1", feats)
+    assert get_tool("copy-feats-to-htk")([
+        "copy-feats-to-htk", f"--output-dir={tmp_path}/htk",
+        f"ark:{tmp_path}/f.ark"]) == 0
+    with open(f"{tmp_path}/htk/u1.fea", "rb") as f:
+        m, period, kind = read_htk(f)
+    np.testing.assert_allclose(m, feats, atol=1e-6)
+    assert period == 100000
+    # ivector-mean
+    with TableWriter("token-vector", f"ark:{tmp_path}/s2u.ark") as w:
+        w.write("spkA", ["t0", "t1"])
+    assert get_tool("ivector-mean")([
+        "ivector-mean", f"ark:{tmp_path}/s2u.ark",
+        f"ark:{tmp_path}/test.ark", f"ark:{tmp_path}/mean.ark"]) == 0
+    mean = dict(SequentialTableReader(
+        "vector", f"ark:{tmp_path}/mean.ark"))["spkA"]
+    assert mean.shape == (10,)
