@@ -13,6 +13,8 @@ to end on synthesized audio — the smallest full pipeline:
            the reference's nnet3 .mdl format)
   stage 6: chain decode through the CLIs (nnet3-compute on the
            exported .mdl -> latgen-faster-mapped -> compute-wer)
+  stage 7: ONLINE streaming decode of the exported chain .mdl
+           (online2-wav-nnet3-latgen-faster) + scoring
 
 Run:  python egs/synthetic/run.py [--stage N] [--dir exp_dir]
 """
@@ -296,6 +298,29 @@ def main():
                 w.write(utt, toks)
         sh("compute-wer", "--mode=present", f"ark:{sd}/text",
            f"ark:{chain_dir}/hyp.txt")
+
+    if args.stage <= 7:
+        print("=== stage 7: online streaming chain decode ===")
+        chain_dir = os.path.join(d, "exp", "chain")
+        sd = os.path.join(d, "data", "test")
+        lang = os.path.join(d, "lang")
+        sh("online2-wav-nnet3-latgen-faster",
+           f"--sample-frequency={fs}", "--dither=0",
+           "--acoustic-scale=1.0", "--frame-subsampling-factor=3",
+           "--beam=14", "--word-ins-penalty=2.0",
+           f"{chain_dir}/final.mdl", f"{chain_dir}/HCLG.fst",
+           f"scp:{sd}/wav.scp", f"ark:{chain_dir}/online_words.ark")
+        from kaldi_tpu.decoder.lang_dir import read_symbol_table
+        words = read_symbol_table(os.path.join(lang, "words.txt"))
+        names = {i: w for w, i in words.items()}
+        hyps = dict(SequentialTableReader(
+            "int-vector", f"ark:{chain_dir}/online_words.ark"))
+        with TableWriter("token-vector",
+                         f"ark:{chain_dir}/online_hyp.txt") as w:
+            for utt, ids in hyps.items():
+                w.write(utt, [names[i] for i in ids])
+        sh("compute-wer", "--mode=present", f"ark:{sd}/text",
+           f"ark:{chain_dir}/online_hyp.txt")
 
 
 if __name__ == "__main__":

@@ -119,6 +119,7 @@ _register("kaldi_tpu.cli.nnet3_tools", {
 
 _register("kaldi_tpu.cli.online_tools", {
     "online2-wav-gmm-latgen-faster": "online2_wav_gmm_latgen_faster",
+    "online2-wav-nnet3-latgen-faster": "online2_wav_nnet3_latgen_faster",
 })
 
 _register("kaldi_tpu.cli.lat_tools", {

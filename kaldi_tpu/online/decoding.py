@@ -38,7 +38,8 @@ class OnlineFasterDecoder:
         self.num_frames_decoded = 0
 
     def advance_decoding(self, loglikes: np.ndarray, tid_to_pdf: np.ndarray,
-                         acoustic_scale: float = 1.0) -> None:
+                         acoustic_scale: float = 1.0,
+                         word_ins_penalty: float = 0.0) -> None:
         fst = self.fst
         beam = self.opts.beam
         for t in range(loglikes.shape[0]):
@@ -58,6 +59,8 @@ class OnlineFasterDecoder:
                         continue
                     ac = -acoustic_scale * float(frame[tid_to_pdf[a.ilabel]])
                     c = tok.cost + a.weight + ac
+                    if word_ins_penalty and a.olabel != EPS:
+                        c += word_ins_penalty
                     if c >= next_best + beam:
                         continue
                     old = nxt.get(a.nextstate)
@@ -186,12 +189,14 @@ class SingleUtteranceDecoder:
 
     def __init__(self, hclg: VectorFst, tm, scorer,
                  pipeline, acoustic_scale: float = 0.1,
-                 opts: Optional[FasterDecoderOptions] = None):
+                 opts: Optional[FasterDecoderOptions] = None,
+                 word_ins_penalty: float = 0.0):
         self.decoder = OnlineFasterDecoder(hclg, opts)
         self.tm = tm
         self.scorer = scorer
         self.pipeline = pipeline
         self.acoustic_scale = acoustic_scale
+        self.word_ins_penalty = word_ins_penalty
         self._frames_consumed = 0
 
     def advance_decoding(self) -> None:
@@ -201,7 +206,8 @@ class SingleUtteranceDecoder:
         feats = self.pipeline.get_frames(self._frames_consumed, ready)
         loglikes = self.scorer(feats)
         self.decoder.advance_decoding(loglikes, self.tm.id2pdf_id,
-                                      self.acoustic_scale)
+                                      self.acoustic_scale,
+                                      self.word_ins_penalty)
         self._frames_consumed = ready
 
     def finalize_decoding(self):
