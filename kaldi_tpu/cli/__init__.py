@@ -107,6 +107,9 @@ _register("kaldi_tpu.cli.misc_tools", {
     "ivector-plda-scoring": "ivector_plda_scoring",
     "copy-feats-to-htk": "copy_feats_to_htk",
     "ivector-mean": "ivector_mean",
+    "fstcompile": "fstcompile",
+    "fstprint": "fstprint",
+    "nnet3-info": "nnet3_info",
 })
 
 _register("kaldi_tpu.cli.nnet3_tools", {

@@ -827,3 +827,140 @@ def ivector_mean(argv: List[str]) -> int:
         nw.close()
     log(f"averaged ivectors for {n} speakers")
     return 0 if n else 1
+
+
+def fstcompile(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Compile a text-format FST (OpenFst fstcompile syntax: lines of\n"
+        "'src dst ilabel olabel [weight]' and final lines 'state "
+        "[weight]')\nUsage: fstcompile [options] [<text-fst-in> "
+        "[<fst-out>]]")
+    from kaldi_tpu.fstext.fst import Arc, TropicalWeight, VectorFst
+    from kaldi_tpu.fstext.openfst_io import write_fst
+    isymbols = po.register_value("isymbols", "", "Input symbol table")
+    osymbols = po.register_value("osymbols", "", "Output symbol table")
+    acceptor = po.register_value("acceptor", False, "Input is an acceptor")
+    po.read(argv)
+    from kaldi_tpu.decoder.lang_dir import read_symbol_table
+    isym = read_symbol_table(isymbols[0]) if isymbols[0] else None
+    osym = read_symbol_table(osymbols[0]) if osymbols[0] else None
+
+    def to_id(tok, table):
+        if table is not None and tok in table:
+            return table[tok]
+        return int(tok)
+
+    src_file = po.get_arg(1) if po.num_args() >= 1 else "-"
+    stream = sys.stdin if src_file == "-" else open(src_file)
+    fst = VectorFst(TropicalWeight)
+
+    def state(n):
+        while fst.num_states <= n:
+            fst.add_state()
+        return n
+
+    first = True
+    for line in stream:
+        parts = line.split()
+        if not parts:
+            continue
+        if len(parts) >= (4 if not acceptor[0] else 3):
+            s = state(int(parts[0]))
+            d = state(int(parts[1]))
+            il = to_id(parts[2], isym)
+            ol = il if acceptor[0] else to_id(parts[3], osym)
+            w = float(parts[4 if not acceptor[0] else 3]) \
+                if len(parts) > (4 if not acceptor[0] else 3) else 0.0
+            fst.add_arc(s, Arc(il, ol, w, d))
+            if first:
+                fst.set_start(s)
+                first = False
+        elif len(parts) <= 2:
+            s = state(int(parts[0]))
+            fst.finals[s] = float(parts[1]) if len(parts) == 2 else 0.0
+            if first:
+                fst.set_start(s)
+                first = False
+    if stream is not sys.stdin:
+        stream.close()
+    dest = po.get_arg(2) if po.num_args() >= 2 else "-"
+    out = sys.stdout.buffer if dest == "-" else open(dest, "wb")
+    write_fst(out, fst)
+    if out is not sys.stdout.buffer:
+        out.close()
+    return 0
+
+
+def fstprint(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Print an FST in OpenFst text format\n"
+        "Usage: fstprint [options] [<fst-in> [<text-out>]]")
+    from kaldi_tpu.fstext.fst import TropicalWeight
+    from kaldi_tpu.fstext.openfst_io import read_fst_file
+    isymbols = po.register_value("isymbols", "", "Input symbol table")
+    osymbols = po.register_value("osymbols", "", "Output symbol table")
+    po.read(argv)
+    from kaldi_tpu.decoder.lang_dir import read_symbol_table
+    isym = {v: k for k, v in read_symbol_table(isymbols[0]).items()} \
+        if isymbols[0] else None
+    osym = {v: k for k, v in read_symbol_table(osymbols[0]).items()} \
+        if osymbols[0] else None
+    fst = read_fst_file(po.get_arg(1) if po.num_args() >= 1 else "-")
+    dest = po.get_arg(2) if po.num_args() >= 2 else "-"
+    out = sys.stdout if dest == "-" else open(dest, "w")
+
+    def name(i, table):
+        return table[i] if table is not None and i in table else str(i)
+
+    # print start state's arcs first (OpenFst convention)
+    order = list(range(fst.num_states))
+    if fst.start > 0:
+        order.remove(fst.start)
+        order.insert(0, fst.start)
+    for s in order:
+        for a in fst.arcs[s]:
+            w = float(a.weight)
+            wstr = "" if w == 0.0 else f"\t{w:g}"
+            out.write(f"{s}\t{a.nextstate}\t{name(a.ilabel, isym)}"
+                      f"\t{name(a.olabel, osym)}{wstr}\n")
+        fw = fst.finals[s]
+        if fw != TropicalWeight.zero:
+            w = float(fw)
+            out.write(f"{s}\t{w:g}\n" if w else f"{s}\n")
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def nnet3_info(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Print information about an nnet3 model (reference .raw/.mdl "
+        "format)\nUsage: nnet3-info <nnet3-in>")
+    po.read(argv)
+    if po.num_args() != 1:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.nnet3.mdl_io import read_nnet3_any
+    import numpy as np
+    tm, graph, info = read_nnet3_any(po.get_arg(1))
+    if tm is not None:
+        print(f"transition-model: {tm.num_pdfs} pdfs, "
+              f"{tm.num_transition_ids} transition-ids")
+        print(f"left-context: {info['left_context']}  "
+              f"right-context: {info['right_context']}")
+    n_params = 0
+    for name, comp in graph.components.items():
+        fields = []
+        for key in ("LinearParams", "Params"):
+            if key in comp.fields:
+                m = np.asarray(comp.fields[key])
+                n_params += m.size
+                fields.append(f"{key.lower()}={m.shape[0]}x{m.shape[1]}")
+        if "BiasParams" in comp.fields:
+            n_params += np.asarray(comp.fields["BiasParams"]).size
+        print(f"component name={name} type={comp.TYPE} "
+              + " ".join(fields))
+    print(f"num-parameters: {n_params}")
+    for node in graph.nodes:
+        print(node.config_line())
+    return 0

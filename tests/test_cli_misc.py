@@ -172,3 +172,49 @@ def test_plda_scoring_htk_export_ivector_mean(tmp_path):
     mean = dict(SequentialTableReader(
         "vector", f"ark:{tmp_path}/mean.ark"))["spkA"]
     assert mean.shape == (10,)
+
+
+def test_fstprint_fstcompile_round_trip(tmp_path):
+    import numpy as np
+    from kaldi_tpu.cli import get_tool
+    from kaldi_tpu.fstext.fst import Arc, TropicalWeight, VectorFst
+    from kaldi_tpu.fstext.openfst_io import read_fst_file, write_fst
+    from kaldi_tpu.fstext.ops import equal_paths
+    f = VectorFst(TropicalWeight)
+    s0, s1, s2 = f.add_state(), f.add_state(), f.add_state()
+    f.set_start(s0)
+    f.add_arc(s0, Arc(1, 2, 0.5, s1))
+    f.add_arc(s0, Arc(0, 0, 1.25, s2))
+    f.add_arc(s1, Arc(3, 3, 0.0, s2))
+    f.finals[s2] = 0.75
+    with open(f"{tmp_path}/a.fst", "wb") as fh:
+        write_fst(fh, f)
+    assert get_tool("fstprint")(["fstprint", f"{tmp_path}/a.fst",
+                                 f"{tmp_path}/a.txt"]) == 0
+    assert get_tool("fstcompile")(["fstcompile", f"{tmp_path}/a.txt",
+                                   f"{tmp_path}/b.fst"]) == 0
+    g = read_fst_file(f"{tmp_path}/b.fst")
+    assert equal_paths(f, g)
+
+
+def test_nnet3_info_prints_model(tmp_path, capsys):
+    from kaldi_tpu.cli import get_tool
+    raw = """<Nnet3>
+input-node name=input dim=3
+component-node name=a component=a input=input
+output-node name=output input=a objective=linear
+
+<NumComponents> 1
+<ComponentName> a <AffineComponent> <LearningRate> 0.001 <LinearParams>  [
+  1 0 0 
+  0 1 0 ]
+<BiasParams>  [ 0 0 ]
+</AffineComponent>
+</Nnet3>
+"""
+    (tmp_path / "m.raw").write_text(raw)
+    assert get_tool("nnet3-info")(["nnet3-info",
+                                   str(tmp_path / "m.raw")]) == 0
+    out = capsys.readouterr().out
+    assert "type=AffineComponent" in out
+    assert "num-parameters: 8" in out
