@@ -9,6 +9,7 @@ GMM stages mirroring run.sh):
   stage 3: triphone training (delta features, tree building)
   stage 4: graph build (G compiled from an ARPA LM)
   stage 5: decode + score (lattice rescoring sweep)
+  stage 6: tri2 = LDA+MLLT training on tri1 alignments + decode
 
 Point it at any directories in the standard layout (wav.scp, text,
 utt2spk; lexicon.txt 'WORD p1 p2 ...'; ARPA-format LM):
@@ -228,7 +229,81 @@ def main(argv=None):
                 w.write(utt, toks)
         sh("compute-wer", "--mode=present", f"ark:{args.test}/text",
            f"ark:{tri1}/hyp.txt")
+        if args.stage > 5:
+            return stats.wer
+
+    if args.stage <= 6:
+        print("=== stage 6: tri2 (LDA+MLLT) ===")
+        tri2 = os.path.join(d, "tri2")
+        os.makedirs(tri2, exist_ok=True)
+        from kaldi_tpu.cli.gmm_tools import read_am_gmm, write_am_gmm
+        from kaldi_tpu.decoder.graph import Lang as LangObj, \
+            TrainingGraphCompiler
+        from kaldi_tpu.feat.functions import splice_frames
+        from kaldi_tpu.recipes.lda_mllt import (TrainLdaMlltOptions,
+                                                train_lda_mllt)
+        from kaldi_tpu.recipes.mono import (MonoSystem, _align_all, decode,
+                                            make_hclg)
+        from kaldi_tpu.transform.fmllr import apply_affine_transform
+        from kaldi_tpu.tree import ContextDependency
+        from kaldi_tpu.util import kaldi_io as kio
+        from kaldi_tpu.util.edit_distance import WerStats
+        from kaldi_tpu.base import io_funcs as iof
+        lexicon = {}
+        with open(args.lexicon) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    lexicon.setdefault(parts[0], []).append(parts[1:])
+        lang_obj = LangObj(lexicon, sil_phone="SIL", sil_prob=0.5)
+        tm, am = read_am_gmm(f"{tri1}/final.mdl")
+        lang_obj.topo = tm.topo
+        tree = kio.read_kaldi_object(ContextDependency.read,
+                                     f"{tri1}/tree")
+        tri1_sys = MonoSystem(lang_obj, tree, tm, am)
+        feats = dict(SequentialTableReader(
+            "matrix", f"ark:{args.train}/feats.ark"))
+        texts = read_texts(args.train)
+        compiler = TrainingGraphCompiler(tm, tree, lang_obj)
+        graphs = {u: compiler.compile(texts[u]) for u in feats}
+        ali = _align_all(tri1_sys, graphs, feats, 10.0, 0.1, 1.0)
+        opts = TrainLdaMlltOptions(
+            num_iters=6, totgauss=args.tot_gauss,
+            num_leaves=args.num_leaves, realign_iters=(2, 4),
+            tree_min_gain=20.0, lda_dim=min(20, 13 * 5),
+            splice_left=2, splice_right=2, mllt_iters=(1, 2))
+        sys2, transform, _tf = train_lda_mllt(lang_obj, feats, texts,
+                                              tri1_sys, ali, opts)
+        write_am_gmm(f"{tri2}/final.mdl", sys2.tm, sys2.am)
+        kio.write_kaldi_object(sys2.tree.write, f"{tri2}/tree")
+        kio.write_kaldi_object(
+            lambda st, b: iof.write_matrix(st, b, transform),
+            f"{tri2}/final.mat")
+        test_feats = dict(SequentialTableReader(
+            "matrix", f"ark:{args.test}/feats.ark"))
+        sf_t = {u: apply_affine_transform(splice_frames(f, 2, 2),
+                                          transform)
+                for u, f in test_feats.items()}
+        hclg2 = make_hclg(sys2, _read_g(d, args))
+        hyps = decode(sys2, hclg2, sf_t, acoustic_scale=0.1)
+        refs = read_texts(args.test)
+        stats = WerStats()
+        for utt, ref in refs.items():
+            stats.add(ref, hyps[utt])
+        print(f"tri2 (LDA+MLLT): {stats.report()}")
+        with TableWriter("token-vector", f"ark:{tri2}/hyp.txt") as w:
+            for utt, toks in hyps.items():
+                w.write(utt, toks)
+        sh("compute-wer", "--mode=present", f"ark:{args.test}/text",
+           f"ark:{tri2}/hyp.txt")
         return stats.wer
+
+
+def _read_g(d, args):
+    from kaldi_tpu.decoder.lang_dir import read_symbol_table
+    from kaldi_tpu.fstext.openfst_io import read_fst_file
+    import os as _os
+    return read_fst_file(_os.path.join(d, "lang", "G.fst"))
 
 
 if __name__ == "__main__":
