@@ -10,6 +10,7 @@ GMM stages mirroring run.sh):
   stage 4: graph build (G compiled from an ARPA LM)
   stage 5: decode + score (lattice rescoring sweep)
   stage 6: tri2 = LDA+MLLT training on tri1 alignments + decode
+  stage 7: tri3 = SAT (per-speaker fMLLR) + two-pass adapted decode
 
 Point it at any directories in the standard layout (wav.scp, text,
 utt2spk; lexicon.txt 'WORD p1 p2 ...'; ARPA-format LM):
@@ -296,6 +297,101 @@ def main(argv=None):
                 w.write(utt, toks)
         sh("compute-wer", "--mode=present", f"ark:{args.test}/text",
            f"ark:{tri2}/hyp.txt")
+        if args.stage > 6:
+            return stats.wer
+
+    if args.stage <= 7:
+        print("=== stage 7: tri3 (SAT) + fMLLR two-pass decode ===")
+        tri1 = os.path.join(d, "tri1")
+        tri3 = os.path.join(d, "tri3")
+        os.makedirs(tri3, exist_ok=True)
+        from kaldi_tpu.cli.gmm_tools import read_am_gmm, write_am_gmm
+        from kaldi_tpu.decoder.graph import Lang as LangObj, \
+            TrainingGraphCompiler
+        from kaldi_tpu.recipes.lda_mllt import TrainSatOptions, train_sat
+        from kaldi_tpu.recipes.mono import (MonoSystem, _align_all, decode,
+                                            make_hclg)
+        from kaldi_tpu.transform.fmllr import (FmllrDiagGmmAccs,
+                                               apply_affine_transform)
+        from kaldi_tpu.tree import ContextDependency
+        from kaldi_tpu.util import kaldi_io as kio
+        from kaldi_tpu.util.edit_distance import WerStats
+        lexicon = {}
+        with open(args.lexicon) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    lexicon.setdefault(parts[0], []).append(parts[1:])
+        lang_obj = LangObj(lexicon, sil_phone="SIL", sil_prob=0.5)
+        tm, am = read_am_gmm(f"{tri1}/final.mdl")
+        lang_obj.topo = tm.topo
+        tree = kio.read_kaldi_object(ContextDependency.read,
+                                     f"{tri1}/tree")
+        tri1_sys = MonoSystem(lang_obj, tree, tm, am)
+        feats = dict(SequentialTableReader(
+            "matrix", f"ark:{args.train}/feats.ark"))
+        texts = read_texts(args.train)
+        utt2spk = {}
+        with open(os.path.join(args.train, "utt2spk")) as f:
+            for line in f:
+                u, spk = line.split()
+                utt2spk[u] = spk
+        compiler = TrainingGraphCompiler(tm, tree, lang_obj)
+        graphs = {u: compiler.compile(texts[u]) for u in feats}
+        ali = _align_all(tri1_sys, graphs, feats, 10.0, 0.1, 1.0)
+        sys3, spk_transforms = train_sat(
+            lang_obj, feats, texts, utt2spk, tri1_sys, ali,
+            TrainSatOptions(num_iters=5, totgauss=args.tot_gauss,
+                            num_leaves=args.num_leaves,
+                            realign_iters=(2, 4), tree_min_gain=20.0,
+                            fmllr_iters=(1, 3), fmllr_min_count=50.0))
+        write_am_gmm(f"{tri3}/final.mdl", sys3.tm, sys3.am)
+        kio.write_kaldi_object(sys3.tree.write, f"{tri3}/tree")
+        # two-pass adapted decode (steps/decode_fmllr.sh): first pass
+        # unadapted, estimate per-test-speaker fMLLR from the first
+        # pass alignment, re-decode on transformed features
+        hclg3 = make_hclg(sys3, _read_g(d, args))
+        test_feats = dict(SequentialTableReader(
+            "matrix", f"ark:{args.test}/feats.ark"))
+        test_u2s = {}
+        with open(os.path.join(args.test, "utt2spk")) as f:
+            for line in f:
+                u, spk = line.split()
+                test_u2s[u] = spk
+        from kaldi_tpu.decoder.viterbi import (FasterDecoder,
+                                               FasterDecoderOptions)
+        dec = FasterDecoder(hclg3, FasterDecoderOptions(beam=16.0))
+        first_ali = {}
+        for u, f in test_feats.items():
+            ll = sys3.am.log_likes_batch(f)
+            res = dec.decode(np.asarray(ll), sys3.tm.id2pdf_id, 0.1)
+            if res is not None:
+                first_ali[u] = res[0]
+        by_spk = {}
+        dim = next(iter(test_feats.values())).shape[1]
+        for u, a in first_ali.items():
+            accs = by_spk.setdefault(test_u2s.get(u, u),
+                                     FmllrDiagGmmAccs(dim))
+            T = min(test_feats[u].shape[0], len(a))
+            accs.accumulate_from_alignment(sys3.am, sys3.tm,
+                                           test_feats[u][:T], a[:T])
+        test_W = {spk: accs.update(min_count=50.0)[0]
+                  for spk, accs in by_spk.items()}
+        ident = np.concatenate([np.eye(dim), np.zeros((dim, 1))], axis=1)
+        adapted = {u: apply_affine_transform(
+            f, test_W.get(test_u2s.get(u, u), ident))
+            for u, f in test_feats.items()}
+        hyps = decode(sys3, hclg3, adapted, acoustic_scale=0.1)
+        refs = read_texts(args.test)
+        stats = WerStats()
+        for utt, ref in refs.items():
+            stats.add(ref, hyps[utt])
+        print(f"tri3 (SAT, fMLLR 2-pass): {stats.report()}")
+        with TableWriter("token-vector", f"ark:{tri3}/hyp.txt") as w:
+            for utt, toks in hyps.items():
+                w.write(utt, toks)
+        sh("compute-wer", "--mode=present", f"ark:{args.test}/text",
+           f"ark:{tri3}/hyp.txt")
         return stats.wer
 
 

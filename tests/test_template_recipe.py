@@ -1,8 +1,8 @@
 """The generic corpus recipe (egs/template/run.py) end-to-end on a
 fabricated corpus in the standard Kaldi data layout — exercises
 validate/prepare-lang, CLI mono training, the train_deltas triphone
-stage, ARPA G compilation, the lattice scoring sweep, and the tri2
-LDA+MLLT stage."""
+stage, ARPA G compilation, the lattice scoring sweep, the tri2
+LDA+MLLT stage, and the tri3 SAT stage with fMLLR two-pass decode."""
 
 import os
 import sys
@@ -109,5 +109,6 @@ def test_template_recipe_end_to_end(tmp_path):
     # artifacts in the expected places
     for f in ("lang/L.fst", "lang/G.fst", "mono/final.mdl",
               "tri1/final.mdl", "tri1/HCLG.fst", "tri1/lat.ark",
-              "tri2/final.mdl", "tri2/final.mat"):
+              "tri2/final.mdl", "tri2/final.mat",
+              "tri3/final.mdl"):
         assert os.path.exists(os.path.join(root, "exp", f)), f
