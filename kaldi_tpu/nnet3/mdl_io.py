@@ -720,6 +720,10 @@ def chain_tdnnf_to_nnet3(model, variables) -> Nnet3Graph:
 
     nodes: List[Node] = [Node("input", "input", dim=cfg.feat_dim)]
     comps: Dict[str, Component] = {}
+    in_desc = "input"
+    if getattr(cfg, "ivector_dim", 0):
+        nodes.append(Node("input", "ivector", dim=cfg.ivector_dim))
+        in_desc = "Append(input, ReplaceIndex(ivector, t, 0))"
 
     def add(name: str, comp: Component, input_desc: str) -> str:
         comps[name] = comp
@@ -730,7 +734,7 @@ def chain_tdnnf_to_nnet3(model, variables) -> Nnet3Graph:
     prev = add("input.affine", NaturalGradientAffineComponent(
         LearningRate=0.001,
         LinearParams=np.asarray(params["input_affine"]["kernel"]).T,
-        BiasParams=np.asarray(params["input_affine"]["bias"])), "input")
+        BiasParams=np.asarray(params["input_affine"]["bias"])), in_desc)
     prev = add("input.relu", RectifiedLinearComponent(
         Dim=cfg.hidden_dim, Count=0.0), prev)
     prev = add("input.batchnorm",

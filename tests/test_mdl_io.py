@@ -160,3 +160,33 @@ class TestChainTdnnfExport:
         g2 = read_raw_nnet3(p)
         x = np.random.default_rng(4).normal(size=(30, 6)).astype(np.float32)
         np.testing.assert_allclose(g2.forward(x), g.forward(x), atol=1e-5)
+
+
+@pytest.mark.slow
+class TestIvectorInputExport:
+    def test_ivector_model_export_matches(self):
+        import jax
+        import jax.numpy as jnp
+        from kaldi_tpu.nnet3.models import ChainTdnnf, ChainTdnnfConfig
+        cfg = ChainTdnnfConfig(feat_dim=8, ivector_dim=5, num_pdfs=6,
+                               hidden_dim=16, bottleneck_dim=4,
+                               prefinal_dim=8, num_layers=4,
+                               subsample_layer=2,
+                               frame_subsampling_factor=3)
+        model = ChainTdnnf(cfg, train=False)
+        T = 30
+        feats = jax.random.normal(jax.random.PRNGKey(1), (1, T, 8))
+        iv = jax.random.normal(jax.random.PRNGKey(2), (1, 5))
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, T, 8)), jnp.zeros((1, 5)))
+        chain_out, _ = model.apply(variables, feats, iv)
+        g = chain_tdnnf_to_nnet3(model, variables)
+        full = g.forward(np.asarray(feats[0]), ivector=np.asarray(iv[0]))
+        sub = full[::3]
+        interior = slice(3, sub.shape[0] - 3)
+        np.testing.assert_allclose(sub[interior],
+                                   np.asarray(chain_out[0])[interior],
+                                   atol=2e-4)
+        # the exported graph demands the ivector
+        with pytest.raises(Exception):
+            g.forward(np.asarray(feats[0]))
