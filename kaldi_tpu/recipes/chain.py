@@ -117,10 +117,11 @@ def train_chain(sys_: MonoSystem, feats: Dict[str, np.ndarray],
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, batch_stats, opt_state, feats_b, num_arrays):
+    def step(params, batch_stats, opt_state, feats_b, num_arrays,
+             ivecs_b=None):
         def loss_fn(p, bs):
             (chain_out, xent_out), upd = model.apply(
-                {"params": p, "batch_stats": bs}, feats_b,
+                {"params": p, "batch_stats": bs}, feats_b, ivecs_b,
                 mutable=["batch_stats"])
             objf, aux = chain_loss(opts.chain, den_graph, num_arrays,
                                    chain_out, xent_out)
@@ -166,7 +167,9 @@ def train_chain(sys_: MonoSystem, feats: Dict[str, np.ndarray],
 
 
 def nnet_log_likes(model: ChainTdnnf, variables: dict,
-                   feats: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+                   feats: Dict[str, np.ndarray],
+                   ivectors: Optional[Dict[str, np.ndarray]] = None
+                   ) -> Dict[str, np.ndarray]:
     """Batched AM scores for decoding (pseudo-loglikes; chain models
     need no prior division)."""
     eval_model = ChainTdnnf(model.cfg, train=False)
@@ -177,7 +180,10 @@ def nnet_log_likes(model: ChainTdnnf, variables: dict,
     batch = np.zeros((len(utts), Tmax, dim), np.float32)
     for i, u in enumerate(utts):
         batch[i, :lens[i]] = feats[u]
-    out, _ = eval_model.apply(variables, jnp.asarray(batch))
+    iv_b = (jnp.asarray(np.stack([np.asarray(ivectors[u], np.float32)
+                                  for u in utts]))
+            if ivectors is not None else None)
+    out, _ = eval_model.apply(variables, jnp.asarray(batch), iv_b)
     out = np.asarray(out)
     sub = model.cfg.frame_subsampling_factor
     return {u: out[i, : (lens[i] + sub - 1) // sub]
@@ -258,10 +264,13 @@ def mono_ali_to_chain_ali(ali: Sequence[int], mono_tm, chain_tm,
 def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
                      mono_alignments: Dict[str, List[int]],
                      cfg: Optional[ChainTdnnfConfig] = None,
-                     opts: Optional[ChainTrainOptions] = None):
+                     opts: Optional[ChainTrainOptions] = None,
+                     ivectors: Optional[Dict[str, np.ndarray]] = None):
     """Chain training with the proper chain topology + frame
-    subsampling. Returns (model, variables, den_graph, chain_tm,
-    chain_tree)."""
+    subsampling. With `ivectors` (utterance -> vector), the model takes
+    the speaker vector as a second input (the standard online-ivector
+    chain configuration). Returns (model, variables, den_graph,
+    chain_tm, chain_tree)."""
     if opts is None:
         opts = ChainTrainOptions()
     chain_tm, chain_tree = make_chain_system(sys_mono.lang, sys_mono.tm)
@@ -307,7 +316,9 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
             else:
                 g = alignment_to_numerator_graph(ca[o_start:o_end],
                                                  chain_tm, subsample=1)
-            chunks.append((f[start:start + cw], ca[o_start:o_end]))
+            iv = None if ivectors is None else np.asarray(
+                ivectors[u], np.float32)
+            chunks.append((f[start:start + cw], ca[o_start:o_end], iv))
             num_graphs.append(g)
     if not chunks:
         raise ValueError("no chain chunks")
@@ -316,7 +327,11 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
 
     model = ChainTdnnf(cfg, train=True)
     rng = jax.random.PRNGKey(opts.seed)
-    variables = model.init(rng, jnp.zeros((2, cw, dim)))
+    if ivectors is not None:
+        variables = model.init(rng, jnp.zeros((2, cw, dim)),
+                               jnp.zeros((2, cfg.ivector_dim)))
+    else:
+        variables = model.init(rng, jnp.zeros((2, cw, dim)))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = optax.chain(optax.clip_by_global_norm(opts.max_param_change),
@@ -324,10 +339,11 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, batch_stats, opt_state, feats_b, num_arrays):
+    def step(params, batch_stats, opt_state, feats_b, num_arrays,
+             ivecs_b=None):
         def loss_fn(p, bs):
             (chain_out, xent_out), upd = model.apply(
-                {"params": p, "batch_stats": bs}, feats_b,
+                {"params": p, "batch_stats": bs}, feats_b, ivecs_b,
                 mutable=["batch_stats"])
             objf, aux = chain_loss(opts.chain, den_graph, num_arrays,
                                    chain_out, xent_out)
@@ -347,10 +363,13 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
                        opts.minibatch_size):
             idx = order[i:i + opts.minibatch_size]
             feats_b = jnp.asarray(np.stack([chunks[j][0] for j in idx]))
+            ivecs_b = (jnp.asarray(np.stack([chunks[j][2] for j in idx]))
+                       if ivectors is not None else None)
             num_arrays = tuple(jnp.asarray(a) for a in batch_pack(
                 [num_graphs[j] for j in idx]))
             params, batch_stats, opt_state, objf = step(
-                params, batch_stats, opt_state, feats_b, num_arrays)
+                params, batch_stats, opt_state, feats_b, num_arrays,
+                ivecs_b)
             objfs.append(float(objf))
         log(f"chain-topo epoch {epoch}: objf/frame {np.mean(objfs):.4f}")
     return (model, {"params": params, "batch_stats": batch_stats},
