@@ -31,11 +31,87 @@ def init_output_stream(stream: BinaryIO, binary: bool) -> None:
         stream.write(BINARY_MARKER)
 
 
-def init_input_stream(stream: BinaryIO) -> bool:
-    """Peek the stream; consume and return True if it is binary."""
+class PeekableReader:
+    """Binary reader wrapper whose peek(n) GUARANTEES n bytes (unless
+    EOF), via read + pushback.
+
+    BufferedReader.peek(n) returns only the currently buffered bytes
+    when any remain — it can return 1 byte mid-stream — so multi-byte
+    peeks on non-seekable streams (pipes, stdin) need this wrapper.
+    kaldi_io.open_input applies it to pipe/stdin sources."""
+
+    def __init__(self, raw: BinaryIO):
+        self._raw = raw
+        self._buf = b""
+
+    def peek(self, n: int = 1) -> bytes:
+        while len(self._buf) < n:
+            chunk = self._raw.read(n - len(self._buf))
+            if not chunk:
+                break
+            self._buf += chunk
+        return self._buf
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            data = self._buf + self._raw.read()
+            self._buf = b""
+            return data
+        take, self._buf = self._buf[:n], self._buf[n:]
+        if len(take) < n:
+            take += self._raw.read(n - len(take))
+        return take
+
+    def readline(self, limit: int = -1) -> bytes:
+        if b"\n" in self._buf:
+            i = self._buf.index(b"\n") + 1
+            line, self._buf = self._buf[:i], self._buf[i:]
+            return line
+        line, self._buf = self._buf, b""
+        return line + self._raw.readline(limit)
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        self._raw.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def __getattr__(self, name):
+        return getattr(self._raw, name)
+
+
+def peek_bytes(stream: BinaryIO, n: int) -> bytes:
+    """Peek n bytes without consuming; guaranteed to return n bytes
+    unless the stream hits EOF first (see PeekableReader)."""
     peek = getattr(stream, "peek", None)
     if peek is not None:
-        if peek(2)[:2] == BINARY_MARKER:
+        buf = peek(n)
+        if len(buf) >= n or isinstance(stream, PeekableReader):
+            return buf[:n]  # short PeekableReader peek = genuine EOF
+        # BufferedReader with a partially drained buffer: peek will not
+        # refill. Fall through to read+seek when possible.
+        if not stream.seekable():
+            return buf[:n]  # non-seekable and not wrapped: best effort
+    pos = stream.tell()
+    data = stream.read(n)
+    stream.seek(pos)
+    return data
+
+
+def init_input_stream(stream: BinaryIO) -> bool:
+    """Peek the stream; consume and return True if it is binary."""
+    if hasattr(stream, "peek"):
+        if peek_bytes(stream, 2) == BINARY_MARKER:
             stream.read(2)
             return True
         return False
@@ -77,9 +153,8 @@ def read_token(stream: BinaryIO, binary: bool) -> str:
 
 
 def peek_token(stream: BinaryIO, binary: bool) -> str:
-    peek = getattr(stream, "peek", None)
-    if peek is not None:
-        buf = peek(64)
+    if hasattr(stream, "peek"):
+        buf = peek_bytes(stream, 64)
         s = buf.lstrip()
         end = 0
         while end < len(s) and not chr(s[end]).isspace():
@@ -101,13 +176,7 @@ def expect_token(stream: BinaryIO, binary: bool, token: str) -> None:
 
 def peek_byte(stream: BinaryIO) -> bytes:
     """Peek one byte without consuming (works on pipes via BufferedReader.peek)."""
-    peek = getattr(stream, "peek", None)
-    if peek is not None:
-        return peek(1)[:1]
-    pos = stream.tell()
-    c = stream.read(1)
-    stream.seek(pos)
-    return c
+    return peek_bytes(stream, 1)
 
 
 def _skip_ws(stream: BinaryIO) -> None:

@@ -568,7 +568,6 @@ def fgmm_global_acc_stats(argv: List[str]) -> int:
     if po.num_args() != 3:
         po.print_usage()
         return 1
-    import pickle
     import numpy as np
     from kaldi_tpu.gmm.full_gmm import AccumFullGmm, FullGmm
     fgmm = kaldi_io.read_kaldi_object(FullGmm.read, po.get_arg(1))

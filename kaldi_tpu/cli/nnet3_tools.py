@@ -95,10 +95,10 @@ def acc_tree_stats(argv: List[str]) -> int:
     if po.num_args() != 4:
         po.print_usage()
         return 1
-    import pickle
-
+    from kaldi_tpu.base import io_funcs as iof
     from kaldi_tpu.cli.gmm_tools import read_am_gmm
     from kaldi_tpu.tree.build_tree import accumulate_tree_stats
+    from kaldi_tpu.tree.clusterable import write_build_tree_stats
     tm, _ = read_am_gmm(po.get_arg(1))
     ci = [int(p) for p in ci_phones[0].split(":") if p]
     ali_reader = RandomAccessTableReader("int-vector", po.get_arg(3))
@@ -111,10 +111,25 @@ def acc_tree_stats(argv: List[str]) -> int:
                               context_width[0], central_position[0],
                               stats, ci_phones=ci)
         n += 1
+    # reference BuildTreeStats wire format (build-tree-utils.cc:29),
+    # binary with the \0B marker — interoperable with the reference's
+    # {acc,sum}-tree-stats and safe to read (no pickle).
     with kaldi_io.output_stream(po.get_arg(4)) as f:
-        pickle.dump(stats, f)
+        iof.init_output_stream(f, True)
+        write_build_tree_stats(f, True, stats)
     log(f"accumulated tree stats from {n} utterances ({len(stats)} events)")
     return 0
+
+
+def _read_tree_stats(rxfilename: str):
+    from kaldi_tpu.base import io_funcs as iof
+    from kaldi_tpu.tree.clusterable import read_build_tree_stats
+    with kaldi_io.input_stream(rxfilename) as f:
+        import io as _io
+        if not hasattr(f, "peek"):
+            f = _io.BufferedReader(f)
+        binary = iof.init_input_stream(f)
+        return read_build_tree_stats(f, binary)
 
 
 def sum_tree_stats(argv: List[str]) -> int:
@@ -124,11 +139,11 @@ def sum_tree_stats(argv: List[str]) -> int:
     if po.num_args() < 2:
         po.print_usage()
         return 1
-    import pickle
+    from kaldi_tpu.base import io_funcs as iof
+    from kaldi_tpu.tree.clusterable import write_build_tree_stats
     total = None
     for i in range(2, po.num_args() + 1):
-        with kaldi_io.input_stream(po.get_arg(i)) as f:
-            stats = pickle.load(f)
+        stats = _read_tree_stats(po.get_arg(i))
         if total is None:
             total = stats
         else:
@@ -138,7 +153,8 @@ def sum_tree_stats(argv: List[str]) -> int:
                 else:
                     total[k] = v
     with kaldi_io.output_stream(po.get_arg(1)) as f:
-        pickle.dump(total, f)
+        iof.init_output_stream(f, True)
+        write_build_tree_stats(f, True, total or {})
     return 0
 
 
@@ -151,11 +167,8 @@ def cluster_phones_cli(argv: List[str]) -> int:
     if po.num_args() != 3:
         po.print_usage()
         return 1
-    import pickle
-
     from kaldi_tpu.tree.build_tree import cluster_phones
-    with kaldi_io.input_stream(po.get_arg(1)) as f:
-        stats = pickle.load(f)
+    stats = _read_tree_stats(po.get_arg(1))
     phones = []
     with open(po.get_arg(2)) as f:
         for line in f:
@@ -181,13 +194,10 @@ def build_tree_cli(argv: List[str]) -> int:
     if po.num_args() != 5:
         po.print_usage()
         return 1
-    import pickle
-
     from kaldi_tpu.hmm import HmmTopology
     from kaldi_tpu.tree.build_tree import BuildTreeOptions, build_tree
     from kaldi_tpu.tree.event_map import PDF_CLASS_KEY
-    with kaldi_io.input_stream(po.get_arg(1)) as f:
-        stats = pickle.load(f)
+    stats = _read_tree_stats(po.get_arg(1))
     roots = []
     with open(po.get_arg(2)) as f:
         for line in f:

@@ -63,10 +63,10 @@ def read_fst_file(rxfilename: str) -> VectorFst:
 
 
 def peek_is_openfst(stream: BinaryIO) -> bool:
-    peek = getattr(stream, "peek", None)
-    if peek is None:
+    if not hasattr(stream, "peek"):
         return False
-    head = peek(4)[:4]
+    from kaldi_tpu.base.io_funcs import peek_bytes
+    head = peek_bytes(stream, 4)
     return len(head) == 4 and struct.unpack("<i", head)[0] == FST_MAGIC
 
 

@@ -99,11 +99,11 @@ def write_compressed_matrix(stream: BinaryIO, mat: np.ndarray,
         stream.write(struct.pack("<ffii", min_value, rng, rows, cols))
         headers = _col_headers(min_value, rng, mat)  # (cols, 4)
         body = _float_to_char(headers, mat, min_value, rng)  # (rows, cols)
-        out = bytearray()
-        for c in range(cols):
-            out += headers[c].astype("<u2").tobytes()
-            out += body[:, c].tobytes()
-        stream.write(bytes(out))
+        # reference layout (compressed-matrix.cc:149-156): ALL per-column
+        # headers contiguous after the global header, then the uint8 data
+        # column-major.
+        stream.write(headers.astype("<u2").tobytes())
+        stream.write(body.T.tobytes())
     elif method in (3, 4):  # CM2: uint16 row-major
         if method == 4:
             min_value, rng = np.float32(-32768.0), np.float32(65535.0)
@@ -129,15 +129,11 @@ def read_compressed_matrix_body(stream: BinaryIO, token: str) -> np.ndarray:
     if rows == 0 or cols == 0:
         return np.zeros((rows, cols), dtype=np.float32)
     if token == "CM":
-        headers = np.empty((cols, 4), dtype=np.uint16)
-        body = np.empty((rows, cols), dtype=np.uint8)
         raw = stream.read(cols * (8 + rows))
-        off = 0
-        for c in range(cols):
-            headers[c] = np.frombuffer(raw[off:off + 8], dtype="<u2")
-            off += 8
-            body[:, c] = np.frombuffer(raw[off:off + rows], dtype=np.uint8)
-            off += rows
+        # headers block (cols x 4 uint16) then column-major uint8 data
+        headers = np.frombuffer(raw[:cols * 8], dtype="<u2").reshape(cols, 4)
+        body = np.frombuffer(raw[cols * 8:], dtype=np.uint8) \
+            .reshape(cols, rows).T
         return _char_to_float(headers, body, np.float32(min_value),
                               np.float32(rng)).astype(np.float32)
     if token == "CM2":

@@ -51,8 +51,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32, f32p,                 # S,start,final
             f32p, ctypes.c_int64, ctypes.c_int64,                 # ll,T,P
             ctypes.c_float, ctypes.c_float,                       # scale,beam
-            i32p, ctypes.POINTER(ctypes.c_int32),
-            i32p, ctypes.POINTER(ctypes.c_int32),
+            i32p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+            i32p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
         ]
         _LIB = lib
@@ -86,26 +86,37 @@ class NativeViterbi:
         e_pdf = np.ascontiguousarray(
             np.asarray(tid_to_pdf)[np.clip(g.e_ilabel, 0,
                                            len(tid_to_pdf) - 1)], np.int32)
-        out_ali = np.zeros(T + 1, np.int32)
-        out_words = np.zeros(T + g.num_states + 1, np.int32)
-        ali_len = ctypes.c_int32()
-        words_len = ctypes.c_int32()
-        cost = ctypes.c_float()
-        rc = lib.beam_viterbi(
-            np.ascontiguousarray(g.e_src), np.ascontiguousarray(g.e_dst),
-            e_pdf, np.ascontiguousarray(g.e_ilabel),
-            np.ascontiguousarray(g.e_olabel),
-            np.ascontiguousarray(g.e_weight), len(g.e_src),
-            np.ascontiguousarray(g.ne_src), np.ascontiguousarray(g.ne_dst),
-            np.ascontiguousarray(g.ne_olabel),
-            np.ascontiguousarray(g.ne_weight), len(g.ne_src),
-            max(g.eps_depth, 3),
-            g.num_states, g.start,
-            np.ascontiguousarray(g.final, np.float32),
-            ll, T, P, acoustic_scale, beam,
-            out_ali, ctypes.byref(ali_len),
-            out_words, ctypes.byref(words_len), ctypes.byref(cost))
-        if rc != 0:
-            return None
-        return (out_ali[:ali_len.value].tolist(),
-                out_words[:words_len.value].tolist(), float(cost.value))
+        # word-labeled epsilon chains make words unbounded by T, so
+        # the native side takes capacities and returns -3 when they
+        # are exceeded; retry with bigger buffers before giving up.
+        words_cap = T + g.num_states + 1
+        for _attempt in range(3):
+            out_ali = np.zeros(T + 1, np.int32)
+            out_words = np.zeros(words_cap, np.int32)
+            ali_len = ctypes.c_int32()
+            words_len = ctypes.c_int32()
+            cost = ctypes.c_float()
+            rc = lib.beam_viterbi(
+                np.ascontiguousarray(g.e_src), np.ascontiguousarray(g.e_dst),
+                e_pdf, np.ascontiguousarray(g.e_ilabel),
+                np.ascontiguousarray(g.e_olabel),
+                np.ascontiguousarray(g.e_weight), len(g.e_src),
+                np.ascontiguousarray(g.ne_src),
+                np.ascontiguousarray(g.ne_dst),
+                np.ascontiguousarray(g.ne_olabel),
+                np.ascontiguousarray(g.ne_weight), len(g.ne_src),
+                max(g.eps_depth, 3),
+                g.num_states, g.start,
+                np.ascontiguousarray(g.final, np.float32),
+                ll, T, P, acoustic_scale, beam,
+                out_ali, len(out_ali), ctypes.byref(ali_len),
+                out_words, len(out_words), ctypes.byref(words_len),
+                ctypes.byref(cost))
+            if rc == -3:
+                words_cap *= 8
+                continue
+            if rc != 0:
+                return None
+            return (out_ali[:ali_len.value].tolist(),
+                    out_words[:words_len.value].tolist(), float(cost.value))
+        return None

@@ -74,11 +74,15 @@ class _PipeOutput(io.BufferedWriter):
 
 def open_input(rxfilename: str) -> BinaryIO:
     """Open an rxfilename for binary reading. Caller closes."""
+    from kaldi_tpu.base.io_funcs import PeekableReader
     kind = classify_rxfilename(rxfilename)
     if kind == "standard":
-        return sys.stdin.buffer
+        # wrap: BufferedReader.peek can return <n bytes mid-stream and
+        # stdin is not seekable, so multi-byte peeks need the pushback
+        # wrapper (base/io_funcs.PeekableReader).
+        return PeekableReader(sys.stdin.buffer)
     if kind == "pipe":
-        return _PipeInput(rxfilename[:-1])
+        return PeekableReader(_PipeInput(rxfilename[:-1]))
     if kind == "offset":
         path, offset = rxfilename.rsplit(":", 1)
         f = _open_path_for_read(path)
@@ -114,7 +118,7 @@ def input_stream(rxfilename: str):
     try:
         yield f
     finally:
-        if f is not sys.stdin.buffer:
+        if getattr(f, "_raw", f) is not sys.stdin.buffer:
             f.close()
 
 

@@ -25,8 +25,12 @@ extern "C" {
 //   emitting arcs: e_src/e_dst/e_pdf/e_olabel/e_w  [num_e]
 //   eps arcs:      ne_src/ne_dst/ne_olabel/ne_w    [num_ne]
 //   loglikes: row-major [T x P]
-// Outputs: out_ali (cap T), out_words (cap T+num_states), lengths, cost.
-// Returns 0 on success, -1 if no path survived.
+// Outputs: out_ali (capacity ali_cap), out_words (capacity words_cap),
+// lengths, cost. Returns 0 on success, -1 if no path survived, -2 on
+// inconsistent backpointers, -3 if an output buffer is too small (word
+// chains through word-labeled epsilon arcs are not bounded by T, so the
+// caller's capacity is a guess — on -3 it must fall back to the Python
+// decoder or retry with bigger buffers).
 int beam_viterbi(const int32_t* e_src, const int32_t* e_dst,
                  const int32_t* e_pdf, const int32_t* e_ilabel,
                  const int32_t* e_olabel, const float* e_w, int64_t num_e,
@@ -37,9 +41,9 @@ int beam_viterbi(const int32_t* e_src, const int32_t* e_dst,
                  const float* final_costs,
                  const float* loglikes, int64_t T, int64_t P,
                  float acoustic_scale, float beam,
-                 int32_t* out_ali, int32_t* out_ali_len,
-                 int32_t* out_words, int32_t* out_words_len,
-                 float* out_cost) {
+                 int32_t* out_ali, int32_t ali_cap, int32_t* out_ali_len,
+                 int32_t* out_words, int32_t words_cap,
+                 int32_t* out_words_len, float* out_cost) {
   const int64_t S = num_states;
   std::vector<float> cost(S, kInf), next(S, kInf);
   // backpointers per frame: arc id; emitting arcs are [0, num_e),
@@ -117,6 +121,10 @@ int beam_viterbi(const int32_t* e_src, const int32_t* e_dst,
       s = e_src[arc];
       --t;
     }
+  }
+  if (ali.size() > static_cast<size_t>(ali_cap) ||
+      words.size() > static_cast<size_t>(words_cap)) {
+    return -3;  // caller's buffers too small; no bytes written
   }
   std::reverse(ali.begin(), ali.end());
   std::reverse(words.begin(), words.end());

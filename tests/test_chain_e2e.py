@@ -176,7 +176,10 @@ def test_chain_with_ivectors_end_to_end():
                            hidden_dim=64, bottleneck_dim=16,
                            prefinal_dim=32, num_layers=4,
                            subsample_layer=2, frame_subsampling_factor=3)
-    opts = ChainTrainOptions(num_epochs=8, learning_rate=2e-3,
+    # ivector conditioning slows convergence on this tiny corpus
+    # (objf/frame 0.89 at 8 epochs vs 0.96 at 20; WER 41.7% -> 0%),
+    # so train longer than the no-ivector variant.
+    opts = ChainTrainOptions(num_epochs=20, learning_rate=2e-3,
                              minibatch_size=4, chunk_width=60,
                              left_tolerance=5, right_tolerance=5)
     model, variables, den, chain_tm, chain_tree = train_chain_topo(

@@ -118,6 +118,41 @@ class TestCompressedMatrix:
         got = io_funcs.read_matrix(io.BufferedReader(buf), True)
         assert np.abs(got - m).max() < 0.05
 
+    def test_cm_byte_layout_matches_reference(self):
+        """Pin the CM wire layout to the reference CompressedMatrix
+        (compressed-matrix.cc:149-156, Write at :531): after 'CM '
+        and the 16-byte global header (minus the in-memory format
+        int), ALL per-column headers are contiguous (cols x 4 uint16),
+        followed by the uint8 data column-major. (True binary
+        cross-validation vs reference tools is impossible here — the
+        reference is not built and no CBLAS exists to build it — so
+        this pins the structure the ADVICE bug violated.)"""
+        rng = np.random.default_rng(7)
+        rows, cols = 11, 3
+        m = rng.normal(size=(rows, cols)).astype(np.float32)
+        buf = io.BytesIO()
+        write_compressed_matrix(buf, m, 2)
+        data = buf.getvalue()
+        assert data[:3] == b"CM "
+        import struct
+        min_value, rng_v, r, c = struct.unpack("<ffii", data[3:19])
+        assert (r, c) == (rows, cols)
+        assert len(data) == 19 + cols * 8 + rows * cols
+        headers = np.frombuffer(data[19:19 + cols * 8],
+                                dtype="<u2").reshape(cols, 4)
+        # per-column headers must be monotone percentiles p0<p25<p75<p100
+        assert (np.diff(headers.astype(np.int64), axis=1) > 0).all()
+        body = np.frombuffer(data[19 + cols * 8:], dtype=np.uint8) \
+            .reshape(cols, rows)
+        # column-major: bytes for column c must decode to column c of m.
+        # Each column's quantized bytes must be ordered like the column
+        # values (quantization is monotone within a column).
+        for ci in range(cols):
+            order = np.argsort(m[:, ci], kind="stable")
+            qsorted = body[ci][order]
+            assert (np.diff(qsorted.astype(np.int64)) >= 0).all(), \
+                f"column {ci} bytes are not column-major for that column"
+
     def test_tiny_matrices(self):
         for rows in [1, 2, 3, 4, 5]:
             m = np.random.default_rng(rows).normal(size=(rows, 3)).astype(np.float32)
@@ -127,6 +162,95 @@ class TestCompressedMatrix:
             tok = io_funcs.read_token(buf, True)
             got = read_compressed_matrix_body(buf, tok)
             assert got.shape == m.shape
+
+
+class _TrickleRaw(io.RawIOBase):
+    """Raw stream that returns ONE byte per read — models a slow pipe,
+    where BufferedReader.peek(n) can return fewer than n bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        if self.pos >= len(self.data):
+            return 0
+        b[0] = self.data[self.pos]
+        self.pos += 1
+        return 1
+
+
+def _trickle(data: bytes):
+    """A non-seekable stream that yields 1 byte per raw read, wrapped
+    the way kaldi_io.open_input wraps pipes/stdin."""
+    return io_funcs.PeekableReader(io.BufferedReader(_TrickleRaw(data)))
+
+
+class TestPeekOnSlowPipes:
+    def test_init_input_stream_binary_on_trickle(self):
+        m = np.arange(6, dtype=np.float32).reshape(2, 3)
+        buf = io.BytesIO()
+        io_funcs.init_output_stream(buf, True)
+        io_funcs.write_matrix(buf, True, m)
+        f = _trickle(buf.getvalue())
+        assert io_funcs.init_input_stream(f) is True
+        got = io_funcs.read_matrix(f, True)
+        np.testing.assert_array_equal(got, m)
+
+    def test_init_input_stream_text_on_trickle(self):
+        f = _trickle(b"hello world")
+        assert io_funcs.init_input_stream(f) is False
+        assert f.read(5) == b"hello"
+
+    def test_peek_token_on_trickle(self):
+        f = _trickle(b"<SomeToken> rest")
+        assert io_funcs.peek_token(f, True) == "<SomeToken>"
+        assert io_funcs.read_token(f, True) == "<SomeToken>"
+
+    def test_peek_bytes_eof(self):
+        f = _trickle(b"ab")
+        assert io_funcs.peek_bytes(f, 5) == b"ab"
+
+    def test_peek_bytes_drained_buffered_file(self, tmp_path):
+        """BufferedReader over a file whose buffer is nearly drained:
+        peek(2) returns 1 byte; peek_bytes must fall back to
+        read+seek and return both."""
+        p = tmp_path / "f.bin"
+        p.write_bytes(b"x" * 8191 + b"\x00B" + b"rest")
+        with open(p, "rb") as f:
+            f.read(8191)  # drain all but 1 byte of the 8K buffer
+            assert io_funcs.peek_bytes(f, 2) == b"\x00B"
+            assert f.read(2) == b"\x00B"
+
+
+class TestBuildTreeStatsFormat:
+    def test_roundtrip_and_layout(self):
+        """BuildTreeStats wire format (build-tree-utils.cc:29):
+        BTS + count + per entry EV event + bool + GCL clusterable."""
+        from kaldi_tpu.tree.clusterable import (
+            GaussClusterable, read_build_tree_stats, write_build_tree_stats)
+        rng = np.random.default_rng(0)
+        stats = {}
+        for ev in [((-1, 2), (0, 5), (1, 3)), ((0, 7),)]:
+            c = GaussClusterable(4, 0.01)
+            c.accumulate(rng.normal(size=(10, 4)))
+            stats[ev] = c
+        for binary in (True, False):
+            buf = io.BytesIO()
+            write_build_tree_stats(buf, binary, stats)
+            if binary:
+                data = buf.getvalue()
+                assert data.startswith(b"BTS \x04\x02\x00\x00\x00EV ")
+            buf.seek(0)
+            got = read_build_tree_stats(buf, binary)
+            assert set(got) == set(stats)
+            for ev in stats:
+                np.testing.assert_allclose(got[ev].stats_sum,
+                                           stats[ev].stats_sum, rtol=1e-6)
+                assert got[ev].count == pytest.approx(stats[ev].count)
 
 
 class TestSpecifiers:
