@@ -1,20 +1,26 @@
-"""Benchmark: flagship chain TDNN-F acoustic-model forward throughput
-on one chip, reported as real-time factor (audio-seconds per second).
+"""Benchmark: FULL-PIPELINE batched offline decode on one chip —
+wav -> fused MFCC frontend -> chain TDNN-F (bf16) -> exact batched
+device Viterbi over a 2.2M-state decoding graph -> words.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is relative to the reference's closest published number —
-3524x RT for the full batched GPU decode pipeline on a V100
-(arXiv:1910.10032, see BASELINE.md); our number covers the AM forward
-(features+decoder pipeline lands in later rounds, see README).
+This mirrors the reference's metric of record, the `RealTimeX =
+total_audio/total_time` line of batched-wav-nnet3-cuda2
+(src/cudadecoderbin/batched-wav-nnet3-cuda2.cc:246-249; ~3524x RT on a
+V100 per arXiv:1910.10032).  Prints ONE JSON line {"metric", "value",
+"unit", "vs_baseline"} with vs_baseline relative to that figure.
 
-Methodology: 10 data-dependent forward passes fused into one jitted
-lax.scan with a single host sync at the end — this measures device
-compute (the experimental axon platform's block_until_ready does not
-reliably synchronize, and per-step host syncs would measure tunnel
-latency instead).
+Configuration: 128 lanes x 5s utterances, 16 kHz; flagship LibriSpeech
+chain TDNN-F shape (17x1536, bottleneck 160, 3456 pdfs, ~23M params);
+graph = direct bigram-lexicon HCLG (V=700, 2.2M states / ~5M arcs,
+chain topology, graph_direct.py) decoded EXACTLY (no beam) by the
+gather-free Pallas block-chain kernel (decoder/block_chain.py).
 
-Usage: python bench.py [--quick]  (--quick = tiny shapes for smoke
-tests on CPU; the driver runs the default on the real chip).
+Timing methodology: wall-clock from host wave buffers to host word
+sequences; the traceback transfer forces a real device sync (the axon
+platform's block_until_ready does not reliably synchronize, see
+BASELINE.md).  Stage breakdown and the AM-forward-only secondary
+number go to stderr.
+
+Usage: python bench.py [--quick]
 """
 
 import json
@@ -28,58 +34,76 @@ def main():
     quick = "--quick" in sys.argv
     import jax
     import jax.numpy as jnp
+    from kaldi_tpu.decoder.batched_pipeline2 import (BatchedOfflinePipeline2,
+                                                     PipelineStats)
+    from kaldi_tpu.decoder.block_chain import (BlockChainDecoder,
+                                               BlockChainGraph)
+    from kaldi_tpu.decoder.graph_direct import (DirectGraphSpec, synth_bigram,
+                                                synth_lexicon)
+    from kaldi_tpu.feat.frontend import MfccOptions, OfflineFeature
     from kaldi_tpu.nnet3.models import ChainTdnnf, ChainTdnnfConfig
 
     if quick:
         cfg = ChainTdnnfConfig(feat_dim=40, num_pdfs=256, hidden_dim=128,
                                bottleneck_dim=32, prefinal_dim=64,
                                num_layers=4, subsample_layer=2)
-        B, T = 4, 90
+        spec = DirectGraphSpec(vocab=20, num_phones=10, min_pron=2,
+                               max_pron=4, num_pdfs=256)
+        B, utt_s = 4, 1.0
+        interpret = jax.default_backend() == "cpu"
     else:
-        # production librispeech chain TDNN-F shape (run_tdnn_1d.sh:
-        # 17 layers x 1536, bottleneck 160, ~23M params)
+        # production librispeech chain TDNN-F shape (run_tdnn_1d.sh)
         cfg = ChainTdnnfConfig(feat_dim=40, num_pdfs=3456, hidden_dim=1536,
                                bottleneck_dim=160, prefinal_dim=256,
                                num_layers=17, subsample_layer=8)
-        B, T = 256, 300  # 256 x 3s chunks per step
-    ITERS = 10
+        spec = DirectGraphSpec(vocab=700, num_pdfs=3456)
+        B, utt_s = 128, 5.0
+        interpret = False
 
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    graph = BlockChainGraph.build(synth_lexicon(spec), synth_bigram(spec),
+                                  num_pdfs=spec.num_pdfs)
+    decoder = BlockChainDecoder(graph, interpret=interpret)
+    print(f"# graph: {graph.num_states} states, built in "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
+
+    # model (random weights: throughput of the exact decoder and the AM
+    # is data-independent; WER correctness is covered by tests/)
     model = ChainTdnnf(cfg, train=False)
-    rng = jax.random.PRNGKey(0)
-    feats = jnp.zeros((B, T, cfg.feat_dim), jnp.bfloat16)
-    t0 = time.time()
-    variables = model.init(rng, feats)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
-                          if x.dtype == jnp.float32 else x,
-                          variables["params"])
-    batch_stats = variables.get("batch_stats", {})
+    feats0 = jnp.zeros((2, 50, cfg.feat_dim), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), feats0)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables["params"])
+    mfcc_opts = MfccOptions()
+    mfcc_opts.num_ceps = cfg.feat_dim
+    mfcc_opts.mel_opts.num_bins = cfg.feat_dim
+    fe = OfflineFeature(mfcc_opts)
+    pipe = BatchedOfflinePipeline2(model, params,
+                                   variables.get("batch_stats", {}),
+                                   decoder, fe, acoustic_scale=1.0)
 
-    @jax.jit
-    def forward_chain(params, batch_stats, feats):
-        def body(carry, _):
-            out, _xent = model.apply(
-                {"params": params, "batch_stats": batch_stats}, carry)
-            # data dependency so the scan iterations are sequential
-            carry = feats + (out.mean() * 0).astype(feats.dtype)
-            return carry, out.mean()
-        _, means = jax.lax.scan(body, feats, None, length=ITERS)
-        return means.sum()
-
-    x = jnp.asarray(np.random.default_rng(0)
-                    .normal(size=(B, T, cfg.feat_dim)), jnp.bfloat16)
-    v = float(forward_chain(params, batch_stats, x))  # compile + warmup
-    compile_s = time.time() - t0
-    print(f"# compile+init+warmup: {compile_s:.1f}s (out {v:.3f})",
-          file=sys.stderr)
+    n_samp = int(16000 * utt_s)
+    waves = [rng.normal(size=n_samp).astype(np.float32) * 0.1
+             for _ in range(B)]
 
     t0 = time.time()
-    v = float(forward_chain(params, batch_stats, x))
-    elapsed = time.time() - t0
-    audio_seconds = B * T * 0.01 * ITERS  # 10ms frames
-    xrt = audio_seconds / elapsed
-    baseline = 3524.0  # V100 full-pipeline RTF from arXiv:1910.10032
+    pipe.decode_batch(waves)                    # compile + warm
+    print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    stats = PipelineStats()
+    out = pipe.decode_batch(waves, stats=stats)
+    n_ok = sum(o is not None for o in out)
+    xrt = stats.xrt
+    print(f"# full pipeline: {stats.total_audio_s:.0f}s audio in "
+          f"{stats.wall_s:.2f}s wall (feat {stats.feat_s:.2f}s, am "
+          f"{stats.am_s:.2f}s, search {stats.search_s:.2f}s), "
+          f"{n_ok}/{B} lanes decoded", file=sys.stderr)
+
+    baseline = 3524.0  # V100 full-pipeline RealTimeX, arXiv:1910.10032
     print(json.dumps({
-        "metric": "chain_tdnnf_am_forward_xRT_per_chip",
+        "metric": "full_pipeline_offline_decode_xRT_per_chip",
         "value": round(xrt, 1),
         "unit": "x realtime",
         "vs_baseline": round(xrt / baseline, 3),

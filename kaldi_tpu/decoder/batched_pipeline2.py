@@ -1,0 +1,112 @@
+"""Offline batched full-pipeline decoder: wav -> features -> acoustic
+model -> device Viterbi search -> words, all batched on one chip.
+
+TPU-native equivalent of the reference's offline batched GPU pipeline
+`BatchedThreadedNnet3CudaPipeline2`
+(src/cudadecoder/batched-threaded-nnet3-cuda-pipeline2.h:57, driven by
+src/cudadecoderbin/batched-wav-nnet3-cuda2.cc — whose printed
+`RealTimeX = total_audio/total_time` is the metric of record).  Where
+the reference multiplexes utterance chunks onto GPU lanes with host
+thread pools, the TPU design runs three fully-batched device programs
+back to back:
+
+  1. fused frontend (window/FFT/mel/DCT) over the padded wave batch
+     (kaldi_tpu.feat.frontend, cudafeat equivalent);
+  2. chain TDNN-F forward in bf16, one dispatch for the whole batch
+     (BatchedStaticNnet3 equivalent, batched-static-nnet3.h:42);
+  3. exact batched Viterbi over the decoding graph on device
+     (BlockChainDecoder; cuda-decoder.h:171 lanes == batch dim).
+
+Host work is only wave staging and the final word lookup, mirroring
+the reference's device-search/host-assembly split.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from kaldi_tpu.base.logging import log
+
+
+@dataclass
+class PipelineStats:
+    total_audio_s: float = 0.0
+    wall_s: float = 0.0
+    feat_s: float = 0.0
+    am_s: float = 0.0
+    search_s: float = 0.0
+
+    @property
+    def xrt(self) -> float:
+        return self.total_audio_s / self.wall_s if self.wall_s else 0.0
+
+
+class BatchedOfflinePipeline2:
+    """decode_batch(waves) -> list of (word_ids, total_cost)."""
+
+    def __init__(self, model, params, batch_stats, decoder,
+                 feature_computer, acoustic_scale: float = 1.0,
+                 sample_rate: float = 16000.0):
+        """model: ChainTdnnf (train=False); decoder: BlockChainDecoder
+        or DenseViterbiDecoder (duck-typed decode_batch)."""
+        import jax
+        import jax.numpy as jnp
+        self.model = model
+        self.decoder = decoder
+        self.feats = feature_computer
+        self.acoustic_scale = acoustic_scale
+        self.sample_rate = sample_rate
+        self._params = params
+        self._batch_stats = batch_stats
+
+        def am_forward(feats_b):
+            chain_out, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                feats_b.astype(jnp.bfloat16))
+            return chain_out.astype(jnp.float32)
+
+        self._am_forward = jax.jit(am_forward)
+
+    def decode_batch(self, waves: Sequence[np.ndarray],
+                     stats: Optional[PipelineStats] = None
+                     ) -> List[Optional[Tuple[List[int], float]]]:
+        import jax
+        import jax.numpy as jnp
+        t_all = time.time()
+        B = len(waves)
+        # 1. features (fused batched device program; host-side padding)
+        t0 = time.time()
+        feat_list = self.feats.compute_batch(waves)
+        dims = np.array([f.shape[0] for f in feat_list])
+        T = int(dims.max())
+        fb = np.zeros((B, T, feat_list[0].shape[1]), np.float32)
+        for i, f in enumerate(feat_list):
+            fb[i, :f.shape[0]] = f
+        t_feat = time.time() - t0
+        # 2. acoustic model (one batched dispatch, bf16)
+        t0 = time.time()
+        loglikes = self._am_forward(jnp.asarray(fb))
+        sub = max(1, -(-T // loglikes.shape[1]))
+        out_lens = -(-dims // sub)
+        t_am = time.time() - t0
+        # 3. device search
+        t0 = time.time()
+        hyps = self.decoder.decode_batch(loglikes, self.acoustic_scale,
+                                         lengths=out_lens)
+        t_search = time.time() - t0
+        wall = time.time() - t_all
+        if stats is not None:
+            stats.total_audio_s += sum(len(w) for w in waves) / \
+                self.sample_rate
+            stats.wall_s += wall
+            stats.feat_s += t_feat
+            stats.am_s += t_am
+            stats.search_s += t_search
+        out: List[Optional[Tuple[List[int], float]]] = []
+        for h in hyps:
+            out.append(None if h is None else (h[0], h[2]))
+        return out

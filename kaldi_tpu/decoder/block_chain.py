@@ -1,0 +1,515 @@
+"""Block-chain device decoder: gather-free exact Viterbi for
+lexicon-shaped decoding graphs, as a Pallas TPU kernel.
+
+This is the TPU answer to the cudadecoder batched beam search
+(reference src/cudadecoder/cuda-decoder.h:171, cuda-decoder-kernels.h:
+80-196).  Where dense_relax.py handles ARBITRARY eps-free graphs with
+one big fused gather (bandwidth-limited by XLA's gather, ~25% of HBM
+peak), this module co-designs the GRAPH LAYOUT with the kernel so the
+hot loop contains no gather at all:
+
+  * the graph is the direct HCLG of graph_direct.py (bigram LM x
+    lexicon x 1-state chain topology, reorder=true H expansion), but
+    pronunciations are stored as UNSHARED linear chains bucketed by
+    pronunciation length instead of a prefix trie;
+  * states are laid out (context u, chain row n) so that within a
+    context block the Viterbi in-arc sources are: the row itself
+    (self-loop), the PREVIOUS row (next phone of the same word), or
+    the block's root (word start) — i.e. relaxation = roll(1) + min;
+  * word-end rows of each length bucket sit at a fixed stride, so the
+    cross-block word-transition candidates are strided slices, and the
+    per-frame cross-block reduction (into the V word-root states) is a
+    running min in VMEM scratch across the sequential grid.
+
+Per frame the kernel streams each (N, B) context block HBM->VMEM->HBM
+exactly once: pure sequential traffic, no sorts, no hashing, no
+gathers, exact Viterbi.
+
+Traceback is SINGLE-PASS: every state's per-frame winner is one bit
+(forward vs self-loop), bit-packed 8 states/byte inside the kernel
+(root states store the winning context as an int32 plane).  For B=64
+lanes this is S*B/8 bytes per frame — small enough to keep the whole
+utterance's decisions resident in HBM, so no checkpoint/recompute
+backward pass is needed (compare dense_relax.py's two-pass remat).
+A device-side follow pass walks the bits backward and only the (T, B)
+state trajectory reaches the host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from kaldi_tpu.base.logging import KaldiTpuError, log
+
+LN2 = float(np.log(2.0))
+INF = np.float32(1e30)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pdf_hash(a: np.ndarray, b: np.ndarray, num_pdfs: int,
+              salt: int) -> np.ndarray:
+    h = (np.asarray(a, np.uint64) * np.uint64(2654435761)
+         + np.asarray(b, np.uint64) * np.uint64(40503)
+         + np.uint64(salt) * np.uint64(97))
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return ((h >> np.uint64(17)) % np.uint64(num_pdfs)).astype(np.int32)
+
+
+@dataclass
+class BlockChainGraph:
+    """Direct HCLG in block-chain layout.
+
+    States: chain rows id = u*N + n for u in [0, U), n in [0, N);
+    roots id = U*N + u (u < V: word-u root; u = V: sentence begin).
+    N is padded to a multiple of 8 with inert rows."""
+    prons: List[np.ndarray]          # per word, 1-based phone ids
+    bigram: np.ndarray               # (U, V) -log P(w|u), U = V+1
+    eos_cost: np.ndarray             # (V,)
+    num_pdfs: int
+    # derived (set by build):
+    word_order: np.ndarray = field(default=None)   # layout word index -> word
+    N: int = 0                       # padded rows per block
+    n_true: int = 0
+    row_word: np.ndarray = field(default=None)     # (N,) layout word (or -1)
+    row_pos: np.ndarray = field(default=None)      # (N,) j within chain
+    row_phone: np.ndarray = field(default=None)    # (N,) phone (0 pad)
+    row_is_first: np.ndarray = field(default=None)  # (N,) bool, j == 0
+    end_row: np.ndarray = field(default=None)      # (V,) chain-end row, -1 k=1
+    seg_lens: List[Tuple[int, int, int]] = field(default_factory=list)
+    # pdf tables
+    pdf_fwd_row: np.ndarray = field(default=None)   # (N,)
+    pdf_self_row: np.ndarray = field(default=None)  # (N,)
+    pdf_wend_fwd: np.ndarray = field(default=None)  # (V,) word-end fwd pdf
+    pdf_root_self: np.ndarray = field(default=None)  # (V,)
+
+    @property
+    def V(self) -> int:
+        return len(self.prons)
+
+    @property
+    def U(self) -> int:
+        return self.V + 1
+
+    @property
+    def num_states(self) -> int:
+        return self.U * self.N + self.U
+
+    @classmethod
+    def build(cls, prons: Sequence[np.ndarray], bigram: np.ndarray,
+              eos_cost=2.0, num_pdfs: int = 3456) -> "BlockChainGraph":
+        V = len(prons)
+        if bigram.shape != (V + 1, V):
+            raise KaldiTpuError(f"bigram shape {bigram.shape}")
+        prons = [np.asarray(p, np.int32) for p in prons]
+        if any(len(p) < 1 for p in prons):
+            raise KaldiTpuError("empty pronunciation")
+        eos = np.broadcast_to(np.asarray(eos_cost, np.float32), (V,)).copy()
+        g = cls(prons=list(prons), bigram=np.asarray(bigram, np.float32),
+                eos_cost=eos, num_pdfs=num_pdfs)
+        lens = np.array([len(p) for p in prons])
+        # layout order: words sorted by pron length (stable)
+        order = np.argsort(lens, kind="stable")
+        g.word_order = order.astype(np.int32)
+        row_word, row_pos, row_phone = [], [], []
+        end_row = np.full(V, -1, np.int64)
+        seg_lens = []
+        off = 0
+        for k in sorted(set(lens.tolist())):
+            members = order[lens[order] == k]
+            if k == 1:
+                continue           # no chain rows
+            for w in members:
+                p = prons[w]
+                for j in range(k - 1):
+                    row_word.append(w)
+                    row_pos.append(j)
+                    row_phone.append(int(p[j]))
+                end_row[w] = off + (k - 1) - 1
+                off += k - 1
+            seg_lens.append((k, len(members),
+                             off - len(members) * (k - 1)))
+        n_true = off
+        N = max(8, _round_up(n_true, 8))
+        pad = N - n_true
+        row_word += [-1] * pad
+        row_pos += [0] * pad
+        row_phone += [0] * pad
+        g.N = N
+        g.n_true = n_true
+        g.row_word = np.asarray(row_word, np.int32)
+        g.row_pos = np.asarray(row_pos, np.int32)
+        g.row_phone = np.asarray(row_phone, np.int32)
+        g.row_is_first = (g.row_pos == 0) & (g.row_word >= 0)
+        g.end_row = end_row
+        g.seg_lens = seg_lens
+        # pdfs: forward pdf of row (u,n) = consuming phone row_phone[n]
+        # entering (w, j) — hash on (phone, word*16+pos) to mimic a
+        # context-dependent tree's granularity
+        ctxkey = g.row_word.astype(np.int64) * 16 + g.row_pos
+        g.pdf_fwd_row = _pdf_hash(g.row_phone, ctxkey, num_pdfs, salt=1)
+        g.pdf_self_row = _pdf_hash(g.row_phone, ctxkey, num_pdfs, salt=2)
+        last_phone = np.array([int(p[-1]) for p in prons], np.int32)
+        wkey = np.arange(V, dtype=np.int64) * 16 + 15
+        g.pdf_wend_fwd = _pdf_hash(last_phone, wkey, num_pdfs, salt=1)
+        g.pdf_root_self = _pdf_hash(last_phone, wkey, num_pdfs, salt=2)
+        log(f"BlockChainGraph: V={V}, N={N} rows/block x {V + 1} blocks "
+            f"+ {V + 1} roots = {g.num_states} states")
+        return g
+
+    # -- tids (forward tid = pdf+1, self-loop tid = num_pdfs+pdf+1) ------
+    def fwd_tid(self, pdf: int) -> int:
+        return int(pdf) + 1
+
+    def self_tid(self, pdf: int) -> int:
+        return self.num_pdfs + int(pdf) + 1
+
+    @property
+    def tid2pdf(self) -> np.ndarray:
+        return np.concatenate([[0], np.arange(self.num_pdfs),
+                               np.arange(self.num_pdfs)]).astype(np.int32)
+
+    def to_flat_graph(self):
+        """Equivalent FlatGraph (for host decoders / cross-tests).
+        State numbering identical to the device layout."""
+        from kaldi_tpu.decoder.graph_direct import FlatGraph
+        U, N, V = self.U, self.N, self.V
+        root0 = U * N
+        src, dst, ilab, olab, wgt = [], [], [], [], []
+
+        def add(s, d, tid, ol, w):
+            src.append(s)
+            dst.append(d)
+            ilab.append(tid)
+            olab.append(ol)
+            wgt.append(w)
+
+        for u in range(U):
+            base = u * N
+            for n in range(self.n_true):
+                w = int(self.row_word[n])
+                j = int(self.row_pos[n])
+                s = base + n
+                # self-loop
+                add(s, s, self.self_tid(self.pdf_self_row[n]), 0, LN2)
+                # in-arc (fwd): from previous row or root u
+                p = base + n - 1 if j > 0 else root0 + u
+                add(p, s, self.fwd_tid(self.pdf_fwd_row[n]), 0, LN2)
+            # word transitions into each root w
+            for w in range(V):
+                e = int(self.end_row[w])
+                s = base + e if e >= 0 else root0 + u
+                add(s, root0 + w, self.fwd_tid(self.pdf_wend_fwd[w]),
+                    w + 1, float(self.bigram[u, w]) + LN2)
+        for w in range(V):
+            r = root0 + w
+            add(r, r, self.self_tid(self.pdf_root_self[w]), 0, LN2)
+        S = U * N + U
+        finals = np.full(S, INF, np.float32)
+        finals[root0:root0 + V] = self.eos_cost
+        words = ["<eps>"] + [f"W{w:05d}" for w in range(V)]
+        return FlatGraph(np.asarray(src, np.int32), np.asarray(dst, np.int32),
+                         np.asarray(ilab, np.int32), np.asarray(olab, np.int32),
+                         np.asarray(wgt, np.float32), finals,
+                         start=root0 + V, tid2pdf=self.tid2pdf,
+                         num_pdfs=self.num_pdfs, words=words)
+
+
+class BlockChainDecoder:
+    """Batched exact Viterbi over a BlockChainGraph via the gather-free
+    Pallas block kernel.  decode_batch(loglikes (B,T,P)) -> per lane
+    (words, tids, cost)."""
+
+    def __init__(self, graph: BlockChainGraph, interpret: bool = False):
+        import jax.numpy as jnp
+        g = graph
+        self.g = g
+        self.interpret = interpret
+        U, V, N = g.U, g.V, g.N
+        self.Vp = _round_up(max(V, 8), 8)
+        self.Up = _round_up(U, 8)
+        # device constants
+        self._first = jnp.asarray(g.row_is_first[:, None])       # (N,1)
+        self._alive = jnp.asarray((g.row_word >= 0)[:, None])    # (N,1)
+        big = np.full((self.Up, self.Vp), INF, np.float32)
+        big[:U, :V] = g.bigram + LN2
+        self._bigram = jnp.asarray(big)
+        # segment end-slices: list of (row_offset, V_k, k-1) for k>=2,
+        # and layout indices of those words; k==1 words use the root
+        self._segs = [(off, vk, k - 1) for (k, vk, off) in g.seg_lens]
+        order = g.word_order
+        lens = np.array([len(p) for p in g.prons])
+        self._k1_words = order[lens[order] == 1].astype(np.int32)
+        segw = [order[lens[order] == k].astype(np.int32)
+                for (k, vk, off) in g.seg_lens]
+        self._seg_words = segw
+        # map: position in kernel 'ends' vector -> word id
+        ends_words = np.concatenate([self._k1_words] + segw) \
+            if (len(self._k1_words) or segw) else np.zeros(0, np.int32)
+        assert len(ends_words) == V
+        self._ends_words = ends_words                    # (V,)
+        inv = np.empty(V, np.int64)
+        inv[ends_words] = np.arange(V)
+        self._word_to_endpos = inv
+        # bigram columns permuted to ends order, padded
+        bigp = np.full((self.Up, self.Vp), INF, np.float32)
+        bigp[:U, :V] = (g.bigram + LN2)[:, ends_words]
+        self._bigram_ends = jnp.asarray(bigp)
+        # am row indices
+        self._pdf_fwd_row = jnp.asarray(g.pdf_fwd_row)
+        self._pdf_self_row = jnp.asarray(g.pdf_self_row)
+        self._pdf_wend_ends = jnp.asarray(
+            np.pad(g.pdf_wend_fwd[ends_words], (0, self.Vp - V)))
+        self._pdf_root_self = jnp.asarray(
+            np.pad(g.pdf_root_self, (0, self.Vp - V)))
+        eosp = np.full(self.Vp, INF, np.float32)
+        eosp[:V] = g.eos_cost
+        self._eos = jnp.asarray(eosp)
+        self._jit = {}
+
+    # ------------------------------------------------------------------
+    def _make_step(self, B: int):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        g = self.g
+        U, V, N, Vp, Up = g.U, g.V, g.N, self.Vp, self.Up
+        Nb = N // 8
+        segs = self._segs
+        n_k1 = len(self._k1_words)
+
+        def kernel(cost_ref, ovr_ref, amf_ref, ams_ref, first_ref, big_ref,
+                   out_ref, bits_ref, rootexp_ref, rootarg_ref,
+                   best_s, arg_s):
+            u = pl.program_id(0)
+            blk = cost_ref[0]                              # (N, B)
+            root_row = ovr_ref[u][None, :]                 # (1, B)
+            rolled = pltpu.roll(blk, 1, 0)
+            fwd_src = jnp.where(first_ref[:] > 0.5, root_row, rolled)
+            fwd_cand = fwd_src + (LN2 + amf_ref[:])
+            self_cand = blk + (LN2 + ams_ref[:])
+            take_fwd = fwd_cand < self_cand
+            new = jnp.where(take_fwd, fwd_cand, self_cand)
+            out_ref[0] = new
+            # bit-pack decisions: bit r of byte i = row 8*i+r
+            d3 = take_fwd.astype(jnp.int32).reshape(Nb, 8, B)
+            w8 = (1 << jax.lax.broadcasted_iota(jnp.int32, (Nb, 8, B), 1))
+            bits_ref[0] = (d3 * w8).sum(axis=1).astype(jnp.uint8)
+            # word-transition candidates out of this block (OLD costs)
+            parts = [jnp.broadcast_to(root_row, (n_k1, B))] if n_k1 else []
+            for (off, vk, km1) in segs:
+                seg = blk[off:off + vk * km1].reshape(vk, km1, B)
+                parts.append(seg[:, km1 - 1, :])
+            if Vp > V:
+                parts.append(jnp.full((Vp - V, B), INF, jnp.float32))
+            ends = jnp.concatenate(parts, axis=0)          # (Vp, B)
+            cand = ends + big_ref[u][:, None]              # (Vp, B)
+
+            @pl.when(u == 0)
+            def _():
+                best_s[:] = jnp.full((Vp, B), INF, jnp.float32)
+                arg_s[:] = jnp.zeros((Vp, B), jnp.int32)
+
+            better = cand < best_s[:]
+            best_s[:] = jnp.where(better, cand, best_s[:])
+            arg_s[:] = jnp.where(better, u, arg_s[:])
+
+            @pl.when(u == pl.num_programs(0) - 1)
+            def _():
+                rootexp_ref[:] = best_s[:]
+                rootarg_ref[:] = arg_s[:]
+
+        grid_call = pl.pallas_call(
+            kernel,
+            grid=(U,),
+            in_specs=[
+                pl.BlockSpec((1, N, B), lambda u: (u, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, N, B), lambda u: (u, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Nb, B), lambda u: (u, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((U, N, B), jnp.float32),
+                jax.ShapeDtypeStruct((U, Nb, B), jnp.uint8),
+                jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+                jax.ShapeDtypeStruct((Vp, B), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((Vp, B), jnp.float32),
+                            pltpu.VMEM((Vp, B), jnp.int32)],
+            interpret=self.interpret,
+        )
+
+        pdf_fwd_row = self._pdf_fwd_row
+        pdf_self_row = self._pdf_self_row
+        pdf_wend = self._pdf_wend_ends
+        pdf_root_self = self._pdf_root_self
+        word_to_endpos = jnp.asarray(self._word_to_endpos.astype(np.int32))
+        first_f = jnp.asarray(self.g.row_is_first.astype(np.float32)[:, None])
+        bigram_ends = self._bigram_ends
+
+        def frame(carry, x):
+            cost, ovr = carry                  # (U,N,B), (Up,B)
+            am_t, act = x                      # (P,B), (B,)
+            amf = am_t[pdf_fwd_row]            # (N,B)
+            ams = am_t[pdf_self_row]
+            new, bits, rootexp, rootarg = grid_call(
+                cost, ovr[:U], amf, ams, first_f, bigram_ends)
+            # root update (ends order -> word order)
+            exp_cand = rootexp + am_t[pdf_wend] + 0.0      # (Vp,B)
+            exp_w = exp_cand[word_to_endpos]               # (V,B) word order
+            arg_w = rootarg[word_to_endpos]
+            self_c = ovr[:V] + LN2 + am_t[pdf_root_self[:V]]
+            take_self = self_c <= exp_w
+            root_new = jnp.where(take_self, self_c, exp_w)
+            ovr_new = jnp.concatenate(
+                [root_new, jnp.full((Up - V, B), INF, jnp.float32)], axis=0)
+            # freeze inactive lanes
+            new = jnp.where(act[None, None, :], new, cost)
+            ovr_new = jnp.where(act[None, :], ovr_new, ovr)
+            ys = (bits, arg_w.astype(jnp.int32), take_self)
+            return (new, ovr_new), ys
+
+        def forward(cost0, ovr0, am, active):
+            (cost, ovr), ys = jax.lax.scan(frame, (cost0, ovr0),
+                                           (am, active))
+            return cost, ovr, ys
+
+        # ---- follow pass (device): walk decisions backward ------------
+        row_is_first = jnp.asarray(g.row_is_first)
+        end_row = jnp.asarray(g.end_row.astype(np.int32))
+        k1_mask = jnp.asarray(g.end_row < 0)
+        root0 = U * N
+
+        def follow(ys, active, final_state):
+            bits_all, arg_all, self_all = ys
+            lane = jnp.arange(B)
+
+            def step(cur, x):
+                bits, arg, selfw, act = x
+                is_root = cur >= root0
+                # chain-row predecessor
+                u_c = jnp.clip(cur // N, 0, U - 1)
+                n_c = jnp.clip(cur % N, 0, N - 1)
+                byte = bits[u_c, n_c >> 3, lane].astype(jnp.int32)
+                bit = (byte >> (n_c & 7)) & 1
+                chain_prev = jnp.where(
+                    bit == 1,
+                    jnp.where(row_is_first[n_c], root0 + u_c, cur - 1),
+                    cur)
+                # root predecessor
+                w_r = jnp.clip(cur - root0, 0, V - 1)
+                u_win = arg[w_r, lane]
+                is_begin = cur == root0 + V
+                root_prev = jnp.where(
+                    selfw[w_r, lane] | is_begin,
+                    cur,
+                    jnp.where(k1_mask[w_r], root0 + u_win,
+                              u_win * N + end_row[w_r]))
+                prev = jnp.where(is_root, root_prev, chain_prev)
+                prev = jnp.where(act, prev, cur)
+                return prev, cur
+
+            first_state, states = jax.lax.scan(
+                step, final_state,
+                (bits_all, arg_all, self_all, active), reverse=True)
+            return first_state, states
+
+        fwd_j = jax.jit(forward, donate_argnums=(0,))
+        fol_j = jax.jit(follow)
+        return fwd_j, fol_j
+
+    # ------------------------------------------------------------------
+    def decode_batch(self, loglikes, acoustic_scale: float = 1.0,
+                     lengths: Optional[Sequence[int]] = None
+                     ) -> List[Optional[Tuple[List[int], List[int], float]]]:
+        import jax.numpy as jnp
+        g = self.g
+        U, V, N = g.U, g.V, g.N
+        B, T, P = loglikes.shape
+        if P < g.num_pdfs:
+            raise KaldiTpuError(f"loglikes pdf dim {P} < {g.num_pdfs}")
+        lengths = np.asarray(lengths if lengths is not None else [T] * B,
+                             np.int64)
+        key = B
+        if key not in self._jit:
+            self._jit[key] = self._make_step(B)
+        fwd, fol = self._jit[key]
+
+        am = jnp.transpose(jnp.asarray(loglikes) * (-acoustic_scale),
+                           (1, 2, 0))                       # (T,P,B)
+        active = jnp.asarray(np.arange(T)[:, None] < lengths[None, :])
+        cost0 = jnp.full((U, N, B), INF, jnp.float32)
+        ovr0 = jnp.full((self.Up, B), INF, jnp.float32)
+        ovr0 = ovr0.at[V].set(0.0)                          # begin root
+        cost, ovr, ys = fwd(cost0, ovr0, am, active)
+
+        # best final root per lane
+        total = ovr[:V] + self._eos[:V, None]
+        best_w = jnp.argmin(total, axis=0)
+        best_cost = jnp.min(total, axis=0)
+        final_state = U * N + best_w
+
+        first_state, states = fol(ys, active, final_state)
+        states = np.asarray(states)                         # (T, B)
+        first_state = np.asarray(first_state)
+        best_cost = np.asarray(best_cost)
+        final_state = np.asarray(final_state)
+
+        root0 = U * N
+        out: List[Optional[Tuple[List[int], List[int], float]]] = []
+        for b in range(B):
+            Tb = int(lengths[b])
+            if best_cost[b] >= INF / 2:
+                out.append(None)
+                continue
+            # trajectory: states[t, b] = state AFTER consuming frame t
+            # (follow emitted cur before stepping back); first_state is
+            # the state before frame 0 (must be the begin root).
+            traj = [int(first_state[b])] + \
+                [int(states[t, b]) for t in range(Tb)]
+            words: List[int] = []
+            tids: List[int] = []
+            ok = True
+            for t in range(1, Tb + 1):
+                prev, cur = traj[t - 1], traj[t]
+                if cur >= root0:                       # at a root
+                    w = cur - root0
+                    if prev == cur:                    # root self-loop
+                        tids.append(g.self_tid(g.pdf_root_self[w]))
+                    else:                              # word-final arc
+                        tids.append(g.fwd_tid(g.pdf_wend_fwd[w]))
+                        words.append(w + 1)
+                else:
+                    n = cur % N
+                    if prev == cur:
+                        tids.append(g.self_tid(g.pdf_self_row[n]))
+                    else:
+                        tids.append(g.fwd_tid(g.pdf_fwd_row[n]))
+            if not ok:
+                out.append(None)
+                continue
+            out.append((words, tids, float(best_cost[b])))
+        return out
+
+    def decode(self, loglikes, acoustic_scale: float = 1.0):
+        return self.decode_batch(loglikes[None], acoustic_scale)[0]
