@@ -131,6 +131,7 @@ _register("kaldi_tpu.cli.lat_tools", {
     "lattice-add-penalty": "lattice_add_penalty",
     "lattice-prune": "lattice_prune_cli",
     "lattice-determinize": "lattice_determinize_cli",
+    "lattice-determinize-pruned": "lattice_determinize_pruned_cli",
     "lattice-best-path": "lattice_best_path_cli",
     "lattice-1best": "lattice_1best",
     "lattice-to-nbest": "lattice_to_nbest",

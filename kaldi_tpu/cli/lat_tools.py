@@ -103,6 +103,36 @@ def lattice_determinize_cli(argv: List[str]) -> int:
                  lambda k, l: determinize_lattice(l), "lattice-determinize")
 
 
+def lattice_determinize_pruned_cli(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Determinize lattices, keeping only the best path for each word "
+        "sequence, with interleaved beam pruning (bounded memory; "
+        "parity: latbin/lattice-determinize-pruned.cc).\n"
+        "Usage: lattice-determinize-pruned [options] "
+        "<lattice-rspecifier> <lattice-wspecifier>")
+    acoustic_scale = po.register_value(
+        "acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    beam = po.register_value("beam", 10.0,
+                             "Pruning beam [applied after scaling]")
+    max_states = po.register_value(
+        "max-states", 50000,
+        "Maximum states per determinized lattice (backoff shrinks the "
+        "beam when exceeded, like --max-mem in the reference)")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+
+    def fn(k, lat):
+        from kaldi_tpu.lat.functions import determinize_lattice_pruned
+        scaled = lattice_scale(lat, 1.0, acoustic_scale[0])
+        det = determinize_lattice_pruned(scaled, beam=beam[0],
+                                         max_states=max_states[0])
+        return lattice_scale(det, 1.0, 1.0 / acoustic_scale[0])
+    return _each(po.get_arg(1), po.get_arg(2), fn,
+                 "lattice-determinize-pruned")
+
+
 def lattice_best_path_cli(argv: List[str]) -> int:
     po = ParseOptions(
         "Generate 1-best path through lattices; output as transcriptions and alignments\n"

@@ -278,3 +278,222 @@ def determinize_lattice(lat: Lattice) -> Lattice:
         return lat
     invert(det)
     return det
+
+
+class _DetOverflow(Exception):
+    pass
+
+
+def _det_pruned_once(lat: Lattice, beam: float, max_states: int,
+                     max_elements: int) -> Lattice:
+    """One pass of beam-interleaved lattice determinization.
+
+    Weighted subset determinization over the lattice semiring with
+    transition-id strings (the algorithm of
+    /root/reference/src/lat/determinize-lattice-pruned.h:28-120,
+    re-implemented best-first): det states are normalized subsets of
+    (input state, residual (graph, acoustic) weight, residual tid
+    string); word-eps arcs are closed into the subsets; every subset
+    element is pruned against (forward cost + residual + input-lattice
+    backward best cost) <= best + beam, so the output never grows
+    blowup regions the beam would discard anyway.  Det states are
+    expanded best-first (a priority queue on forward cost) so hitting
+    max_states keeps the most promising part.  Raises _DetOverflow
+    when max_states/max_elements is exceeded (the caller backs off,
+    mirroring DeterminizeLatticePhonePrunedWrapper's retry)."""
+    import heapq
+
+    W = LatticeWeight
+    n = lat.num_states
+    _, beta = _forward_backward_costs(lat)
+    best = beta[lat.start]
+    if best >= INF:
+        return Lattice(semiring=W)
+    cutoff = best + beam
+
+    def closure(elems):
+        """Expand word-eps arcs; keep per-state min-cost element.
+        elems: dict state -> (gcost, acost, string)."""
+        stack = list(elems.keys())
+        while stack:
+            s = stack.pop()
+            g, a, st = elems[s]
+            for arc in lat.arcs[s]:
+                if arc.olabel != EPS:
+                    continue
+                ng = g + arc.weight[0]
+                na = a + arc.weight[1]
+                nst = st + ((arc.ilabel,) if arc.ilabel else ())
+                old = elems.get(arc.nextstate)
+                if old is None or ng + na < old[0] + old[1] - 1e-12:
+                    elems[arc.nextstate] = (ng, na, nst)
+                    stack.append(arc.nextstate)
+        return elems
+
+    def normalize(elems, fwd_cost):
+        """Prune vs beam, subtract the min weight and common string
+        prefix.  Returns (divisor (g, a), prefix, key, kept-elems)."""
+        kept = {s: v for s, v in elems.items()
+                if fwd_cost + v[0] + v[1] + beta[s] <= cutoff + 1e-9}
+        if not kept:
+            return None
+        div = None
+        for s, (g, a, st) in kept.items():
+            if div is None or (g + a, g) < (div[0] + div[1], div[0]):
+                div = (g, a)
+        strings = [v[2] for v in kept.values()]
+        prefix = strings[0]
+        for st in strings[1:]:
+            k = 0
+            while k < len(prefix) and k < len(st) and prefix[k] == st[k]:
+                k += 1
+            prefix = prefix[:k]
+        p = len(prefix)
+        norm = {s: (g - div[0], a - div[1], st[p:])
+                for s, (g, a, st) in kept.items()}
+        key = tuple(sorted(
+            (s, round(g, 6), round(a, 6), st)
+            for s, (g, a, st) in norm.items()))
+        return div, prefix, key, norm
+
+    out = Lattice(semiring=W)
+    subsets: Dict[tuple, int] = {}      # key -> det id
+    det_elems: List[dict] = []
+    det_fwd: List[float] = []
+    det_out: List[int] = []             # det id -> output state
+    heap: List[Tuple[float, int]] = []
+    done = set()
+    n_elements = 0
+
+    def get_state(elems, fwd_cost):
+        """Returns (det id or None, divisor, prefix)."""
+        nonlocal n_elements
+        res = normalize(closure(elems), fwd_cost)
+        if res is None:
+            return None, None, None
+        div, prefix, key, norm = res
+        did = subsets.get(key)
+        if did is None:
+            did = len(det_elems)
+            subsets[key] = did
+            det_elems.append(norm)
+            det_fwd.append(fwd_cost + div[0] + div[1])
+            det_out.append(out.add_state())
+            heapq.heappush(heap, (det_fwd[did], did))
+            n_elements += len(norm)
+            if len(det_elems) > max_states or n_elements > max_elements:
+                raise _DetOverflow()
+        else:
+            # reached again via a cheaper prefix: children were pruned
+            # against the old (higher) forward cost — lower it and
+            # re-expand (Dijkstra decrease-key with re-expansion)
+            nf = fwd_cost + div[0] + div[1]
+            if nf < det_fwd[did] - 1e-9:
+                det_fwd[did] = nf
+                done.discard(did)
+                heapq.heappush(heap, (nf, did))
+        return did, div, prefix
+
+    def emit_chain(src, word, weight, string, dest):
+        """Arc chain carrying the word + tid string + weight."""
+        cur = src
+        if not string:
+            out.add_arc(cur, Arc(0, word, weight, dest))
+            return
+        for i, tid in enumerate(string):
+            last = i == len(string) - 1
+            nxt = dest if last else out.add_state()
+            out.add_arc(cur, Arc(tid, word if i == 0 else 0,
+                                 weight if i == 0 else W.one, nxt))
+            cur = nxt
+
+    start_elems = {lat.start: (0.0, 0.0, ())}
+    did, div, prefix = get_state(start_elems, 0.0)
+    if did is None:
+        return Lattice(semiring=W)
+    # initial divisor/prefix folded into a dedicated start chain
+    if div != (0.0, 0.0) or prefix:
+        real_start = out.add_state()
+        out.start = real_start
+        emit_chain(real_start, 0, div, prefix, det_out[did])
+    else:
+        out.start = det_out[did]
+
+    while heap:
+        fwd_cost, d = heapq.heappop(heap)
+        if d in done or fwd_cost > det_fwd[d] + 1e-12:
+            continue
+        done.add(d)
+        elems = det_elems[d]
+        d_state = det_out[d]
+        # re-expansion after decrease-key: drop previously emitted arcs
+        # (orphaned chain states are swept by the final connect())
+        out.arcs[d_state] = []
+        out.finals[d_state] = W.zero
+        # final weight: min over final elements (emit trailing string)
+        best_fin = None
+        for s, (g, a, st) in elems.items():
+            fw = lat.finals[s]
+            if fw == W.zero:
+                continue
+            cand = (g + fw[0], a + fw[1], st)
+            if fwd_cost + cand[0] + cand[1] > cutoff + 1e-9:
+                continue                    # final exceeds the beam
+            if best_fin is None or (cand[0] + cand[1]
+                                    < best_fin[0] + best_fin[1]):
+                best_fin = cand
+        if best_fin is not None:
+            if best_fin[2]:
+                fs = out.add_state()
+                out.set_final(fs, W.one)
+                emit_chain(d_state, 0, (best_fin[0], best_fin[1]),
+                           best_fin[2], fs)
+            else:
+                out.set_final(d_state, (best_fin[0], best_fin[1]))
+        # group outgoing non-eps word arcs by word
+        by_word: Dict[int, dict] = {}
+        for s, (g, a, st) in elems.items():
+            for arc in lat.arcs[s]:
+                if arc.olabel == EPS:
+                    continue
+                ng = g + arc.weight[0]
+                na = a + arc.weight[1]
+                nst = st + ((arc.ilabel,) if arc.ilabel else ())
+                tgt = by_word.setdefault(arc.olabel, {})
+                old = tgt.get(arc.nextstate)
+                if old is None or ng + na < old[0] + old[1] - 1e-12:
+                    tgt[arc.nextstate] = (ng, na, nst)
+        for word, nelems in sorted(by_word.items()):
+            ndid, ndiv, nprefix = get_state(nelems, fwd_cost)
+            if ndid is None:
+                continue
+            emit_chain(d_state, word, ndiv, nprefix, det_out[ndid])
+    connect(out)
+    return out
+
+
+def determinize_lattice_pruned(lat: Lattice, beam: float = 10.0,
+                               max_states: int = 50000,
+                               max_elements: int = 2_000_000,
+                               num_retries: int = 4) -> Lattice:
+    """Beam-interleaved word-level lattice determinization with bounded
+    memory (parity: lat/determinize-lattice-pruned.h incl. the
+    max_mem/beam backoff of DeterminizeLatticePhonePrunedWrapper:
+    on overflow, the beam shrinks and the input is pre-pruned, then
+    determinization reruns).  Output: word-deterministic lattice
+    (expanded form — arc chains carry the tid strings) containing
+    exactly the word sequences within `beam` of the best path, each
+    with its best-path weight and alignment."""
+    b = beam
+    work = lat
+    for attempt in range(num_retries):
+        try:
+            return _det_pruned_once(work, b, max_states, max_elements)
+        except _DetOverflow:
+            b *= 0.6
+            work = lattice_prune(work, b)
+            warn(f"determinize_lattice_pruned: overflow, retrying with "
+                 f"beam {b:.2f}")
+    warn("determinize_lattice_pruned: giving up, returning tight-pruned "
+         "non-deterministic lattice")
+    return lattice_prune(lat, b)
