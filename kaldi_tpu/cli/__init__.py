@@ -139,6 +139,9 @@ _register("kaldi_tpu.cli.lat_tools", {
     "lattice-to-post": "lattice_to_post",
     "lattice-align-words": "lattice_align_words",
     "lattice-rmali": "lattice_rmali",
+    "arpa-to-const-arpa": "arpa_to_const_arpa",
+    "lattice-lmrescore-const-arpa": "lattice_lmrescore_const_arpa",
+    "lattice-lmrescore-pruned": "lattice_lmrescore_pruned_cli",
 })
 
 

@@ -317,3 +317,113 @@ def lattice_rmali(argv: List[str]) -> int:
         n += 1
     writer.close()
     return 0 if n else 1
+
+
+# ---------------------------------------------------------------------------
+# ConstArpaLm rescoring family (parity: lmbin/arpa-to-const-arpa.cc,
+# latbin/lattice-lmrescore-const-arpa.cc, lattice-lmrescore-pruned.cc)
+
+def arpa_to_const_arpa(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Convert an ARPA format language model into ConstArpaLm format.\n"
+        "Usage: arpa-to-const-arpa [opts] <arpa-rxfilename> "
+        "<const-arpa-wxfilename>")
+    bos = po.register_value("bos-symbol", -1,
+                            "Symbol id for <s> (integer-word ARPA)")
+    eos = po.register_value("eos-symbol", -1,
+                            "Symbol id for </s> (integer-word ARPA)")
+    unk = po.register_value("unk-symbol", -1, "Symbol id for <unk>")
+    symtab = po.register_value("read-symbol-table", "",
+                               "words.txt mapping word strings to ids "
+                               "(for string-word ARPA)")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.lm.const_arpa import ConstArpaLm
+    symbols = None
+    if symtab[0]:
+        symbols = {}
+        with open(symtab[0]) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    symbols[parts[0]] = int(parts[1])
+    lm = ConstArpaLm.build_from_arpa(po.get_arg(1), symbols=symbols)
+    if int(bos[0]) >= 0:
+        lm.bos_id = int(bos[0])
+    if int(eos[0]) >= 0:
+        lm.eos_id = int(eos[0])
+    if int(unk[0]) >= 0:
+        lm.unk_id = int(unk[0])
+    if lm.bos_id < 0 or lm.eos_id < 0:
+        warn("bos/eos ids unresolved; pass --bos-symbol/--eos-symbol "
+             "or --read-symbol-table")
+    lm.write(po.get_arg(2))
+    log(f"wrote ConstArpaLm order {lm.order}, ngrams {lm.num_ngrams}")
+    return 0
+
+
+def lattice_lmrescore_const_arpa(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Adds lm_scale * [cost of best path through ConstArpaLm] to "
+        "graph costs.\n"
+        "Usage: lattice-lmrescore-const-arpa [options] "
+        "<lattice-rspecifier> <const-arpa-rxfilename> "
+        "<lattice-wspecifier>")
+    lm_scale = po.register_value("lm-scale", 1.0,
+                                 "Scaling factor for LM costs")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.lm.const_arpa import ConstArpaLm
+    from kaldi_tpu.lm.rescore import lattice_lmrescore
+    lm = ConstArpaLm.read(po.get_arg(2))
+    return _each(po.get_arg(1), po.get_arg(3),
+                 lambda k, lat: lattice_lmrescore(lat, lm, lm_scale[0]),
+                 "lattice-lmrescore-const-arpa")
+
+
+def lattice_lmrescore_pruned_cli(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Replace LM scores with a big LM using pruned composition: "
+        "subtract the old (small) ARPA G exactly, add the new "
+        "ConstArpaLm within a compose beam.\n"
+        "Usage: lattice-lmrescore-pruned [options] <lattice-rspecifier> "
+        "<old-arpa-rxfilename> <words-txt> <const-arpa-rxfilename> "
+        "<lattice-wspecifier>")
+    lm_scale = po.register_value("lm-scale", 1.0,
+                                 "Scale for the LM being added")
+    beam = po.register_value("compose-beam", 6.0,
+                             "Pruning beam of the composed output")
+    max_arcs = po.register_value("max-arcs", 100000,
+                                 "Arc budget per lattice")
+    po.read(argv)
+    if po.num_args() != 5:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.lat.compose_pruned import compose_lattice_pruned
+    from kaldi_tpu.lm.arpa import parse_arpa
+    from kaldi_tpu.lm.const_arpa import ConstArpaLm
+    from kaldi_tpu.lm.rescore import DeterministicLm, lattice_lmrescore
+    from kaldi_tpu.util import kaldi_io
+    with kaldi_io.input_stream(po.get_arg(2)) as f:
+        old = parse_arpa(f.read().decode("utf-8"))
+    names = {}
+    with open(po.get_arg(3)) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                names[int(parts[1])] = parts[0]
+    old_det = DeterministicLm(old, names)
+    new_lm = ConstArpaLm.read(po.get_arg(4))
+
+    def fn(key, lat):
+        sub = lattice_lmrescore(lat, old_det, -lm_scale[0])
+        return compose_lattice_pruned(sub, new_lm, lm_scale[0],
+                                      beam=beam[0],
+                                      max_arcs=int(max_arcs[0]))
+
+    return _each(po.get_arg(1), po.get_arg(5), fn,
+                 "lattice-lmrescore-pruned")

@@ -72,8 +72,14 @@ class BatchedOfflinePipeline2:
         self._am_forward = jax.jit(am_forward)
 
     def decode_batch(self, waves: Sequence[np.ndarray],
-                     stats: Optional[PipelineStats] = None
-                     ) -> List[Optional[Tuple[List[int], float]]]:
+                     stats: Optional[PipelineStats] = None,
+                     generate_lattices: bool = False,
+                     lattice_beam: float = 8.0):
+        """generate_lattices=False: per lane (word_ids, total_cost).
+        generate_lattices=True: per lane (word_ids, total_cost,
+        word Lattice) — the search runs in lattice mode (device dumps
+        of top-J word predecessors, host assembly, cudadecoder's
+        GetRawLattice + LatticePostprocessor split)."""
         import jax
         import jax.numpy as jnp
         t_all = time.time()
@@ -93,10 +99,24 @@ class BatchedOfflinePipeline2:
         sub = max(1, -(-T // loglikes.shape[1]))
         out_lens = -(-dims // sub)
         t_am = time.time() - t0
-        # 3. device search
+        # 3. device search (+ lattice assembly)
         t0 = time.time()
-        hyps = self.decoder.decode_batch(loglikes, self.acoustic_scale,
-                                         lengths=out_lens)
+        if generate_lattices:
+            from kaldi_tpu.lat.functions import lattice_best_path
+            lats = self.decoder.decode_batch_lattice(
+                loglikes, self.acoustic_scale, lengths=out_lens,
+                lattice_beam=lattice_beam)
+            out = []
+            for lt in lats:
+                if lt is None:
+                    out.append(None)
+                    continue
+                _ali, words, cost = lattice_best_path(lt)
+                out.append((words, cost, lt))
+        else:
+            hyps = self.decoder.decode_batch(loglikes, self.acoustic_scale,
+                                             lengths=out_lens)
+            out = [None if h is None else (h[0], h[2]) for h in hyps]
         t_search = time.time() - t0
         wall = time.time() - t_all
         if stats is not None:
@@ -106,7 +126,4 @@ class BatchedOfflinePipeline2:
             stats.feat_s += t_feat
             stats.am_s += t_am
             stats.search_s += t_search
-        out: List[Optional[Tuple[List[int], float]]] = []
-        for h in hyps:
-            out.append(None if h is None else (h[0], h[2]))
         return out

@@ -439,6 +439,309 @@ class BlockChainDecoder:
         return fwd_j, fol_j
 
     # ------------------------------------------------------------------
+    def _make_lattice_step(self, B: int, J: int):
+        """Forward pass variant for lattice generation: propagates each
+        state's word-entry frame alongside its cost and collects the
+        top-J (context, entry-time, cost) predecessors per (word,
+        frame) on device — the equivalent of the cudadecoder token
+        dumps that its host lattice workers consume
+        (cuda-decoder.h GetRawLattice / lattice-postprocessor.h:73)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        g = self.g
+        U, V, N, Vp, Up = g.U, g.V, g.N, self.Vp, self.Up
+        segs = self._segs
+        n_k1 = len(self._k1_words)
+
+        def kernel(t_ref, cost_ref, ent_ref, ovr_ref, amf_ref, ams_ref,
+                   first_ref, big_ref,
+                   out_ref, eout_ref, rc_ref, ru_ref, re_ref,
+                   c_s, u_s, e_s):
+            u = pl.program_id(0)
+            t = t_ref[0]
+            blk = cost_ref[0]                              # (N, B)
+            ent = ent_ref[0].astype(jnp.int32)             # (N, B)
+            root_row = ovr_ref[u][None, :]
+            first = first_ref[:] > 0.5
+            rolled = pltpu.roll(blk, 1, 0)
+            rolled_e = pltpu.roll(ent, 1, 0)
+            fwd_src = jnp.where(first, root_row, rolled)
+            fwd_ent = jnp.where(first, t, rolled_e)
+            fwd_cand = fwd_src + (LN2 + amf_ref[:])
+            self_cand = blk + (LN2 + ams_ref[:])
+            take_fwd = fwd_cand < self_cand
+            out_ref[0] = jnp.where(take_fwd, fwd_cand, self_cand)
+            eout_ref[0] = jnp.where(take_fwd, fwd_ent, ent).astype(jnp.int16)
+            # word-transition candidates (OLD costs/entries)
+            parts = [jnp.broadcast_to(root_row, (n_k1, B))] if n_k1 else []
+            eparts = [jnp.full((n_k1, B), t, jnp.int32)] if n_k1 else []
+            for (off, vk, km1) in segs:
+                seg = blk[off:off + vk * km1].reshape(vk, km1, B)
+                parts.append(seg[:, km1 - 1, :])
+                es = ent[off:off + vk * km1].reshape(vk, km1, B)
+                eparts.append(es[:, km1 - 1, :])
+            if Vp > V:
+                parts.append(jnp.full((Vp - V, B), INF, jnp.float32))
+                eparts.append(jnp.zeros((Vp - V, B), jnp.int32))
+            cand = jnp.concatenate(parts, 0) + big_ref[u % 8][:, None]
+            cand_e = jnp.concatenate(eparts, 0)
+
+            @pl.when(u == 0)
+            def _():
+                c_s[:] = jnp.full((J, Vp, B), INF, jnp.float32)
+                u_s[:] = jnp.zeros((J, Vp, B), jnp.int16)
+                e_s[:] = jnp.zeros((J, Vp, B), jnp.int16)
+
+            # bubble the candidate into the sorted top-J planes
+            cu = jnp.full((Vp, B), u, jnp.int16)
+            ce = cand_e
+            cc = cand
+            for j in range(J):
+                better = cc < c_s[j]
+                c_old, u_old, e_old = c_s[j], u_s[j], e_s[j]
+                c_s[j] = jnp.where(better, cc, c_old)
+                u_s[j] = jnp.where(better, cu, u_old)
+                e_s[j] = jnp.where(better, ce.astype(jnp.int16), e_old)
+                cc = jnp.where(better, c_old, cc)
+                cu = jnp.where(better, u_old, cu)
+                ce = jnp.where(better, e_old.astype(jnp.int32), ce)
+
+            @pl.when(u == pl.num_programs(0) - 1)
+            def _():
+                rc_ref[:] = c_s[:]
+                ru_ref[:] = u_s[:]
+                re_ref[:] = e_s[:]
+
+        grid_call = pl.pallas_call(
+            kernel,
+            grid=(U,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, N, B), lambda u: (u, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, B), lambda u: (u, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
+                pl.BlockSpec((8, Vp), lambda u: (u // 8, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, N, B), lambda u: (u, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, B), lambda u: (u, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((U, N, B), jnp.float32),
+                jax.ShapeDtypeStruct((U, N, B), jnp.int16),
+                jax.ShapeDtypeStruct((J, Vp, B), jnp.float32),
+                jax.ShapeDtypeStruct((J, Vp, B), jnp.int16),
+                jax.ShapeDtypeStruct((J, Vp, B), jnp.int16),
+            ],
+            scratch_shapes=[pltpu.VMEM((J, Vp, B), jnp.float32),
+                            pltpu.VMEM((J, Vp, B), jnp.int16),
+                            pltpu.VMEM((J, Vp, B), jnp.int16)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=self.interpret,
+        )
+
+        pdf_fwd_row = self._pdf_fwd_row
+        pdf_self_row = self._pdf_self_row
+        pdf_wend = self._pdf_wend_ends
+        pdf_root_self = self._pdf_root_self
+        word_to_endpos = jnp.asarray(self._word_to_endpos.astype(np.int32))
+        first_f = jnp.asarray(self.g.row_is_first.astype(np.float32)[:, None])
+        bigram_ends = self._bigram_ends
+
+        def frame(carry, x):
+            cost, ent, ovr, t = carry
+            am_t, act = x
+            amf = am_t[pdf_fwd_row]
+            ams = am_t[pdf_self_row]
+            am_rs = am_t[pdf_root_self]                    # (Vp, B)
+            new, ent_new, rc, ru, re = grid_call(
+                jnp.full((1,), t, jnp.int32), cost, ent, ovr[:U],
+                amf, ams, first_f, bigram_ends)
+            exp_all = rc + am_t[pdf_wend][None]            # (J, Vp, B)
+            exp_w = exp_all[:, word_to_endpos]             # word order
+            arg_w = ru[:, word_to_endpos]
+            ent_w = re[:, word_to_endpos]
+            self_c = ovr[:V] + LN2 + am_rs[:V]
+            take_self = self_c <= exp_w[0]
+            root_new = jnp.where(take_self, self_c, exp_w[0])
+            ovr_new = jnp.concatenate(
+                [root_new, jnp.full((Up - V, B), INF, jnp.float32)], 0)
+            new = jnp.where(act[None, None, :], new, cost)
+            ent_new = jnp.where(act[None, None, :], ent_new, ent)
+            ovr_new = jnp.where(act[None, :], ovr_new, ovr)
+            ys = (exp_w, arg_w, ent_w, ovr_new[:Up], am_rs)
+            return (new, ent_new, ovr_new, t + 1), ys
+
+        def forward(cost0, ent0, ovr0, am, active):
+            (cost, ent, ovr, _), ys = jax.lax.scan(
+                frame, (cost0, ent0, ovr0, jnp.int32(0)), (am, active))
+            return ovr, ys
+
+        return jax.jit(forward, donate_argnums=(0, 1))
+
+    def decode_batch_lattice(self, loglikes, acoustic_scale: float = 1.0,
+                             lengths: Optional[Sequence[int]] = None,
+                             lattice_beam: float = 8.0, J: int = 4):
+        """Full-lattice decode: returns per lane a word Lattice
+        (ilabel=tid, olabel=word, weights (graph, acoustic)) pruned to
+        `lattice_beam`, or None.  Word alternatives carry exact costs
+        and exact (graph, acoustic) splits; within-word alignments of
+        non-best paths distribute self-loop frames on the last chain
+        row (the reference recovers exact alignments only for paths the
+        token store kept; same contract here).  Determinize with
+        lat.functions.determinize_lattice_pruned afterwards."""
+        import jax.numpy as jnp
+        g = self.g
+        U, V, N = g.U, g.V, g.N
+        B, T, P = loglikes.shape
+        lengths = np.asarray(lengths if lengths is not None else [T] * B,
+                             np.int64)
+        key = ("lat", B, J)
+        if key not in self._jit:
+            self._jit[key] = self._make_lattice_step(B, J)
+        fwd = self._jit[key]
+        am = jnp.transpose(jnp.asarray(loglikes) * (-acoustic_scale),
+                           (1, 2, 0))
+        active = jnp.asarray(np.arange(T)[:, None] < lengths[None, :])
+        cost0 = jnp.full((U, N, B), INF, jnp.float32)
+        ent0 = jnp.zeros((U, N, B), jnp.int16)
+        ovr0 = jnp.full((self.Up, B), INF, jnp.float32).at[V].set(0.0)
+        ovr_fin, (exp_w, arg_w, ent_w, ovr_all, am_rs) = \
+            fwd(cost0, ent0, ovr0, am, active)
+        # host dumps
+        exp_w = np.asarray(exp_w)          # (T, J, V, B) entry costs
+        arg_w = np.asarray(arg_w)          # (T, J, V, B) context u
+        ent_w = np.asarray(ent_w)          # (T, J, V, B) entry frame
+        alpha = np.asarray(ovr_all)        # (T, Up, B) root costs
+        am_rs = np.asarray(am_rs)          # (T, Vp, B) root self am
+        return [self._assemble_lattice(
+                    b, int(lengths[b]), exp_w[..., b], arg_w[..., b],
+                    ent_w[..., b], alpha[..., b], am_rs[..., b],
+                    lattice_beam)
+                for b in range(B)]
+
+    def _assemble_lattice(self, b, Tb, exp_w, arg_w, ent_w, alpha, am_rs,
+                          beam):
+        """Build the word lattice for one lane from the device dumps.
+
+        exp_w/arg_w/ent_w: (T, J, V); alpha: (T, Up); am_rs: (T, Vp)."""
+        from kaldi_tpu.fstext.fst import Arc, LatticeWeight, VectorFst
+        from kaldi_tpu.fstext.ops import connect
+        g = self.g
+        V, U = g.V, g.U
+        if Tb == 0:
+            return None
+        fin = alpha[Tb - 1, :V] + g.eos_cost
+        best = fin.min()
+        if not np.isfinite(best) or best >= INF / 2:
+            return None
+        cutoff = best + beam
+        # survivors: (t, j, w) entries whose entry cost + a lower bound
+        # on the completion could beat the cutoff.  Lower bound: the
+        # remaining per-frame best-case cost is >= 0 only for
+        # normalized scores, so prune vs the frame alpha beam instead.
+        a_best = alpha[:Tb, :V].min(axis=1)                 # (Tb,)
+        keep = exp_w[:Tb] <= (a_best[:, None, None] + beam)
+        ts, js, ws = np.nonzero(keep)
+        lat = VectorFst(LatticeWeight)
+        nodes = {}
+
+        def node(w, t):
+            k = (w, t)
+            s = nodes.get(k)
+            if s is None:
+                s = lat.add_state()
+                nodes[k] = s
+            return s
+
+        start = lat.add_state()
+        lat.set_start(start)
+        prons = g.prons
+        raw_big = g.bigram
+        for t, j, w in zip(ts.tolist(), js.tolist(), ws.tolist()):
+            c = float(exp_w[t, j, w])
+            u = int(arg_w[t, j, w])
+            te = int(ent_w[t, j, w])
+            # source node: root u at frame te-1 (begin root if te==0
+            # and u == U-1)
+            if te - 1 < 0:
+                if u != U - 1:
+                    continue
+                src = start
+                a_src = 0.0
+            else:
+                if u >= U - 1:
+                    # begin root mid-utterance is unreachable
+                    continue
+                src = node(u, te - 1)
+                a_src = float(alpha[te - 1, u])
+            if not np.isfinite(a_src) or a_src >= INF / 2:
+                continue
+            dur = t - te + 1
+            graph = float(raw_big[u, w]) + dur * LN2
+            acoustic = c - a_src - graph
+            dst = node(w, t)
+            k = len(prons[w])
+            # within-word alignment: k forward tids + self frames on
+            # the last chain row (approximate for alternatives)
+            tids = []
+            e = int(g.end_row[w])
+            if e >= 0:
+                first_row = e - (k - 2)
+                tids = [g.fwd_tid(g.pdf_fwd_row[r])
+                        for r in range(first_row, e + 1)]
+                tids += [g.self_tid(g.pdf_self_row[e])] * (dur - k)
+            tids.append(g.fwd_tid(g.pdf_wend_fwd[w]))
+            # chain of arcs carrying the alignment; word+weight on first
+            cur = src
+            for i, tid in enumerate(tids):
+                last = i == len(tids) - 1
+                nxt = dst if last else lat.add_state()
+                wgt = (graph, acoustic) if i == 0 else (0.0, 0.0)
+                lat.add_arc(cur, Arc(tid, (w + 1) if i == 0 else 0,
+                                     wgt, nxt))
+                cur = nxt
+        # root self-extension arcs between consecutive frames
+        by_word: Dict[int, List[int]] = {}
+        for (w, t) in nodes:
+            by_word.setdefault(w, []).append(t)
+        for w, tl in by_word.items():
+            tl = sorted(set(tl))
+            for i in range(len(tl) - 1):
+                t0, t1 = tl[i], tl[i + 1]
+                src, dst = nodes[(w, t0)], nodes[(w, t1)]
+                tid = g.self_tid(g.pdf_root_self[w])
+                gcost = (t1 - t0) * LN2
+                acost = float(am_rs[t0 + 1:t1 + 1, w].sum())
+                cur = src
+                for tt in range(t0 + 1, t1 + 1):
+                    last = tt == t1
+                    nxt = dst if last else lat.add_state()
+                    wgt = (gcost, acost) if tt == t0 + 1 else (0.0, 0.0)
+                    lat.add_arc(cur, Arc(tid, 0, wgt, nxt))
+                    cur = nxt
+        # finals
+        for (w, t), s in nodes.items():
+            if t == Tb - 1:
+                fw = float(g.eos_cost[w])
+                lat.set_final(s, (fw, 0.0))
+        connect(lat)
+        if lat.num_states == 0 or lat.start is None:
+            return None
+        return lat
+
     def decode_batch(self, loglikes, acoustic_scale: float = 1.0,
                      lengths: Optional[Sequence[int]] = None
                      ) -> List[Optional[Tuple[List[int], List[int], float]]]:

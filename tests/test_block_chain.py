@@ -49,3 +49,31 @@ def test_exact_match_host(seed):
             f"lane {b}: {cost} vs {r_cost}"
         assert words == r_words
         assert tids == r_ali
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_lattice_mode(seed):
+    from kaldi_tpu.lat.functions import (determinize_lattice_pruned,
+                                         lattice_best_path)
+    g = build_small(seed=seed)
+    dec = BlockChainDecoder(g, interpret=True)
+    rng = np.random.default_rng(seed + 30)
+    B, T = 2, 8
+    ll = rng.normal(size=(B, T, g.num_pdfs)).astype(np.float32)
+    best = dec.decode_batch(ll, acoustic_scale=1.0)
+    lats = dec.decode_batch_lattice(ll, acoustic_scale=1.0,
+                                    lattice_beam=20.0, J=4)
+    for b in range(B):
+        assert lats[b] is not None and best[b] is not None
+        words0, _tids, cost0 = best[b]
+        _ali, words1, cost1 = lattice_best_path(lats[b])
+        assert words1 == words0
+        assert abs(cost1 - cost0) < 1e-3, f"{cost1} vs {cost0}"
+        # alternatives exist at a wide beam
+        n_arcs = sum(len(lats[b].arcs[s]) for s in range(lats[b].num_states))
+        assert n_arcs > len(words0) + T
+        # determinizes cleanly, best path preserved
+        det = determinize_lattice_pruned(lats[b], beam=10.0)
+        _a2, words2, cost2 = lattice_best_path(det)
+        assert words2 == words0
+        assert abs(cost2 - cost0) < 1e-3
