@@ -463,7 +463,7 @@ class BlockChainDecoder:
             u = pl.program_id(0)
             t = t_ref[0]
             blk = cost_ref[0]                              # (N, B)
-            ent = ent_ref[0].astype(jnp.int32)             # (N, B)
+            ent = ent_ref[0]                               # (N, B) int32
             root_row = ovr_ref[u][None, :]
             first = first_ref[:] > 0.5
             rolled = pltpu.roll(blk, 1, 0)
@@ -474,7 +474,7 @@ class BlockChainDecoder:
             self_cand = blk + (LN2 + ams_ref[:])
             take_fwd = fwd_cand < self_cand
             out_ref[0] = jnp.where(take_fwd, fwd_cand, self_cand)
-            eout_ref[0] = jnp.where(take_fwd, fwd_ent, ent).astype(jnp.int16)
+            eout_ref[0] = jnp.where(take_fwd, fwd_ent, ent)
             # word-transition candidates (OLD costs/entries)
             parts = [jnp.broadcast_to(root_row, (n_k1, B))] if n_k1 else []
             eparts = [jnp.full((n_k1, B), t, jnp.int32)] if n_k1 else []
@@ -492,11 +492,11 @@ class BlockChainDecoder:
             @pl.when(u == 0)
             def _():
                 c_s[:] = jnp.full((J, Vp, B), INF, jnp.float32)
-                u_s[:] = jnp.zeros((J, Vp, B), jnp.int16)
-                e_s[:] = jnp.zeros((J, Vp, B), jnp.int16)
+                u_s[:] = jnp.zeros((J, Vp, B), jnp.int32)
+                e_s[:] = jnp.zeros((J, Vp, B), jnp.int32)
 
             # bubble the candidate into the sorted top-J planes
-            cu = jnp.full((Vp, B), u, jnp.int16)
+            cu = jnp.full((Vp, B), u, jnp.int32)
             ce = cand_e
             cc = cand
             for j in range(J):
@@ -504,10 +504,10 @@ class BlockChainDecoder:
                 c_old, u_old, e_old = c_s[j], u_s[j], e_s[j]
                 c_s[j] = jnp.where(better, cc, c_old)
                 u_s[j] = jnp.where(better, cu, u_old)
-                e_s[j] = jnp.where(better, ce.astype(jnp.int16), e_old)
+                e_s[j] = jnp.where(better, ce, e_old)
                 cc = jnp.where(better, c_old, cc)
                 cu = jnp.where(better, u_old, cu)
-                ce = jnp.where(better, e_old.astype(jnp.int32), ce)
+                ce = jnp.where(better, e_old, ce)
 
             @pl.when(u == pl.num_programs(0) - 1)
             def _():
@@ -539,14 +539,14 @@ class BlockChainDecoder:
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((U, N, B), jnp.float32),
-                jax.ShapeDtypeStruct((U, N, B), jnp.int16),
+                jax.ShapeDtypeStruct((U, N, B), jnp.int32),
                 jax.ShapeDtypeStruct((J, Vp, B), jnp.float32),
-                jax.ShapeDtypeStruct((J, Vp, B), jnp.int16),
-                jax.ShapeDtypeStruct((J, Vp, B), jnp.int16),
+                jax.ShapeDtypeStruct((J, Vp, B), jnp.int32),
+                jax.ShapeDtypeStruct((J, Vp, B), jnp.int32),
             ],
             scratch_shapes=[pltpu.VMEM((J, Vp, B), jnp.float32),
-                            pltpu.VMEM((J, Vp, B), jnp.int16),
-                            pltpu.VMEM((J, Vp, B), jnp.int16)],
+                            pltpu.VMEM((J, Vp, B), jnp.int32),
+                            pltpu.VMEM((J, Vp, B), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=self.interpret,
@@ -616,7 +616,7 @@ class BlockChainDecoder:
                            (1, 2, 0))
         active = jnp.asarray(np.arange(T)[:, None] < lengths[None, :])
         cost0 = jnp.full((U, N, B), INF, jnp.float32)
-        ent0 = jnp.zeros((U, N, B), jnp.int16)
+        ent0 = jnp.zeros((U, N, B), jnp.int32)
         ovr0 = jnp.full((self.Up, B), INF, jnp.float32).at[V].set(0.0)
         ovr_fin, (exp_w, arg_w, ent_w, ovr_all, am_rs) = \
             fwd(cost0, ent0, ovr0, am, active)

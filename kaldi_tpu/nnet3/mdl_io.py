@@ -148,23 +148,83 @@ _TOKEN_KINDS = {
     "<DerivAvg>": "vector", "<OderivSumsq>": "vector",
     "<StatsMean>": "vector", "<StatsVar>": "vector",
     "<Scales>": "vector", "<Offsets>": "vector",
+    # component-zoo tail (round 2)
+    "<AddLogStddev>": "bool", "<ColumnMap>": "ints", "<Sizes>": "ints",
+    "<Scale>": "float", "<ClippingThreshold>": "float",
+    "<NormBasedClipping>": "bool",
+    "<SelfRepairClippedProportionThreshold>": "float",
+    "<NumElementsClipped>": "double", "<NumElementsProcessed>": "double",
+    "<NumSelfRepaired>": "double", "<NumBackpropped>": "double",
+    "<ZeroingThreshold>": "float", "<ZeroingInterval>": "int",
+    "<RecurrenceInterval>": "int", "<NumElementsZeroed>": "double",
+    "<NumZeroingBoundaries>": "double",
+    "<InputPeriod>": "int", "<OutputPeriod>": "int",
+    "<IncludeVarinance>": "bool",  # sic — reference's own spelling
+    "<LeftContext>": "int", "<RightContext>": "int",
+    "<NumLogCountFeatures>": "int", "<OutputStddevs>": "bool",
+    "<VarianceFloor>": "float", "<NumBlocks>": "int",
+    "<NumRepeats>": "int", "<Output>": "vector", "<Bias>": "vector",
+    "<MaxMemoryMb>": "float", "<NumMinibatchesHistory>": "float",
+    "<RankInOut>": "int2", "<Model>": "convmodel",
 }
 
 
-def _read_fields(stream, binary, end_token) -> Dict[str, object]:
+def _read_conv_model(stream, binary) -> Dict[str, object]:
+    """convolution.cc ConvolutionModel::Read (the <ConvolutionModel>
+    block nested inside TimeHeightConvolutionComponent)."""
+    iof.expect_token(stream, binary, "<ConvolutionModel>")
+    m: Dict[str, object] = {}
+    for tok, key in (("<NumFiltersIn>", "num_filters_in"),
+                     ("<NumFiltersOut>", "num_filters_out"),
+                     ("<HeightIn>", "height_in"),
+                     ("<HeightOut>", "height_out"),
+                     ("<HeightSubsampleOut>", "height_subsample_out")):
+        iof.expect_token(stream, binary, tok)
+        m[key] = iof.read_int32(stream, binary)
+    iof.expect_token(stream, binary, "<Offsets>")
+    m["offsets"] = iof.read_int_pair_vector(stream, binary)
+    iof.expect_token(stream, binary, "<RequiredTimeOffsets>")
+    m["required_time_offsets"] = iof.read_int_vector(stream, binary)
+    iof.expect_token(stream, binary, "</ConvolutionModel>")
+    return m
+
+
+def _write_conv_model(stream, binary, m: Dict[str, object]) -> None:
+    iof.write_token(stream, binary, "<ConvolutionModel>")
+    for tok, key in (("<NumFiltersIn>", "num_filters_in"),
+                     ("<NumFiltersOut>", "num_filters_out"),
+                     ("<HeightIn>", "height_in"),
+                     ("<HeightOut>", "height_out"),
+                     ("<HeightSubsampleOut>", "height_subsample_out")):
+        iof.write_token(stream, binary, tok)
+        iof.write_int32(stream, binary, int(m[key]))
+    iof.write_token(stream, binary, "<Offsets>")
+    iof.write_int_pair_vector(stream, binary, list(m["offsets"]))
+    iof.write_token(stream, binary, "<RequiredTimeOffsets>")
+    iof.write_int_vector(stream, binary,
+                         list(m["required_time_offsets"]))
+    iof.write_token(stream, binary, "</ConvolutionModel>")
+
+
+def _read_fields(stream, binary, end_token,
+                 overrides: Optional[Dict[str, str]] = None
+                 ) -> Dict[str, object]:
     """Token-driven field reader until end_token."""
     fields: Dict[str, object] = {}
     while True:
         tok = iof.read_token(stream, binary)
         if tok == end_token:
             return fields
-        kind = _TOKEN_KINDS.get(tok)
+        kind = (overrides or {}).get(tok) or _TOKEN_KINDS.get(tok)
         key = tok[1:-1]
         if kind == "float" or kind == "double":
             fields[key] = iof.read_float(stream, binary)
         elif kind == "float2":
             fields[key] = (iof.read_float(stream, binary),
                            iof.read_float(stream, binary))
+        elif kind == "int2":
+            fields[key] = (iof.read_int32(stream, binary),
+                           iof.read_int32(stream, binary))
         elif kind == "int":
             fields[key] = iof.read_int32(stream, binary)
         elif kind == "bool":
@@ -175,6 +235,8 @@ def _read_fields(stream, binary, end_token) -> Dict[str, object]:
             fields[key] = iof.read_vector(stream, binary)
         elif kind == "matrix":
             fields[key] = iof.read_matrix(stream, binary)
+        elif kind == "convmodel":
+            fields[key] = _read_conv_model(stream, binary)
         elif tok.startswith("<Components"):  # nested NG state blocks
             continue
         else:
@@ -185,6 +247,9 @@ def _read_fields(stream, binary, end_token) -> Dict[str, object]:
 
 class Component:
     TYPE = "Component"
+    # per-class token-kind overrides (e.g. <Params> is a vector for
+    # per-element components but a matrix for LinearComponent)
+    TOKEN_OVERRIDES: Dict[str, str] = {}
 
     def __init__(self, **fields):
         self.fields = fields
@@ -192,7 +257,8 @@ class Component:
     # -- shared serialization helpers --
     @classmethod
     def read(cls, stream, binary):
-        return cls(**_read_fields(stream, binary, f"</{cls.TYPE}>"))
+        return cls(**_read_fields(stream, binary, f"</{cls.TYPE}>",
+                                  cls.TOKEN_OVERRIDES))
 
     def _write_fields(self, stream, binary, order: Sequence[str]):
         for key in order:
@@ -200,7 +266,7 @@ class Component:
                 continue
             val = self.fields[key]
             tok = f"<{key}>"
-            kind = _TOKEN_KINDS[tok]
+            kind = self.TOKEN_OVERRIDES.get(tok) or _TOKEN_KINDS[tok]
             iof.write_token(stream, binary, tok)
             if kind == "float":
                 iof.write_float(stream, binary, float(val))
@@ -212,12 +278,20 @@ class Component:
                 iof.write_bool(stream, binary, bool(val))
             elif kind == "ints":
                 iof.write_int_vector(stream, binary, list(val))
+            elif kind == "float2":
+                iof.write_float(stream, binary, float(val[0]))
+                iof.write_float(stream, binary, float(val[1]))
+            elif kind == "int2":
+                iof.write_int32(stream, binary, int(val[0]))
+                iof.write_int32(stream, binary, int(val[1]))
             elif kind == "vector":
                 iof.write_vector(stream, binary,
                                  np.asarray(val, np.float32))
             elif kind == "matrix":
                 iof.write_matrix(stream, binary,
                                  np.asarray(val, np.float32))
+            elif kind == "convmodel":
+                _write_conv_model(stream, binary, val)
 
     WRITE_ORDER: Sequence[str] = ()
 
@@ -396,12 +470,399 @@ class ScaleAndOffsetComponent(Component):
         return int(self.fields["Dim"])
 
 
+class NormalizeComponent(Component):
+    """nnet-normalize-component.h:63: scale each row to target-rms,
+    optionally appending log(rms) as an extra output dim."""
+    TYPE = "NormalizeComponent"
+    WRITE_ORDER = ("InputDim", "BlockDim", "TargetRms", "AddLogStddev")
+
+    def forward(self, x):
+        d = int(self.fields.get("BlockDim",
+                                self.fields["InputDim"]))
+        target_rms = float(self.fields.get("TargetRms", 1.0))
+        xb = x.reshape(x.shape[0], -1, d)
+        ss = np.maximum((xb * xb).sum(-1), 2.0 ** -66)
+        scale = target_rms / np.sqrt(ss / d)
+        out = (xb * scale[..., None]).reshape(x.shape[0], -1)
+        if self.fields.get("AddLogStddev", False):
+            log_stddev = 0.5 * np.log(ss / d).reshape(x.shape[0], -1)
+            out = np.concatenate([out, log_stddev], axis=-1)
+        return out
+
+    @property
+    def input_dim(self):
+        return int(self.fields["InputDim"])
+
+
+class PerElementScaleComponent(Component):
+    TYPE = "PerElementScaleComponent"
+    TOKEN_OVERRIDES = {"<Params>": "vector"}
+    WRITE_ORDER = ("LearningRate", "Params")
+
+    def forward(self, x):
+        return x * np.asarray(self.fields["Params"])
+
+    @property
+    def input_dim(self):
+        return np.asarray(self.fields["Params"]).size
+
+
+class NaturalGradientPerElementScaleComponent(PerElementScaleComponent):
+    TYPE = "NaturalGradientPerElementScaleComponent"
+    WRITE_ORDER = ("LearningRate", "Params", "Rank", "UpdatePeriod",
+                   "NumSamplesHistory", "Alpha")
+
+
+class PerElementOffsetComponent(Component):
+    """Offsets may be block-repeated: dim a multiple of offsets size
+    (nnet-simple-component.h:1377)."""
+    TYPE = "PerElementOffsetComponent"
+    WRITE_ORDER = ("LearningRate", "Offsets", "Dim", "UseNaturalGradient")
+
+    def forward(self, x):
+        off = np.asarray(self.fields["Offsets"])
+        if x.shape[-1] != off.size:
+            off = np.tile(off, x.shape[-1] // off.size)
+        return x + off
+
+    @property
+    def input_dim(self):
+        return int(self.fields.get("Dim",
+                                   np.asarray(self.fields["Offsets"]).size))
+
+
+class PermuteComponent(Component):
+    TYPE = "PermuteComponent"
+    WRITE_ORDER = ("ColumnMap",)
+
+    def forward(self, x):
+        return x[:, np.asarray(self.fields["ColumnMap"], np.int64)]
+
+    @property
+    def input_dim(self):
+        return len(self.fields["ColumnMap"])
+
+
+class SumGroupComponent(Component):
+    TYPE = "SumGroupComponent"
+    WRITE_ORDER = ("Sizes",)
+
+    def forward(self, x):
+        sizes = list(self.fields["Sizes"])
+        idx = np.repeat(np.arange(len(sizes)), sizes)
+        out = np.zeros((x.shape[0], len(sizes)), x.dtype)
+        np.add.at(out, (slice(None), idx), x)
+        return out
+
+    @property
+    def input_dim(self):
+        return int(sum(self.fields["Sizes"]))
+
+
+class ClipGradientComponent(Component):
+    """Gradient clipping only affects backprop; inference = identity."""
+    TYPE = "ClipGradientComponent"
+    WRITE_ORDER = ("Dim", "ClippingThreshold", "NormBasedClipping",
+                   "SelfRepairClippedProportionThreshold",
+                   "SelfRepairTarget", "SelfRepairScale",
+                   "NumElementsClipped", "NumElementsProcessed",
+                   "NumSelfRepaired", "NumBackpropped")
+
+    def forward(self, x):
+        return x
+
+    @property
+    def input_dim(self):
+        return int(self.fields["Dim"])
+
+
+class BackpropTruncationComponent(Component):
+    """nnet-general-component.h:466: forward is y = scale * x; the
+    truncation/zeroing applies to gradients only."""
+    TYPE = "BackpropTruncationComponent"
+    WRITE_ORDER = ("Dim", "Scale", "ClippingThreshold", "ZeroingThreshold",
+                   "ZeroingInterval", "RecurrenceInterval",
+                   "NumElementsClipped", "NumElementsZeroed",
+                   "NumElementsProcessed", "NumZeroingBoundaries")
+
+    def forward(self, x):
+        return x * float(self.fields.get("Scale", 1.0))
+
+    @property
+    def input_dim(self):
+        return int(self.fields["Dim"])
+
+
+class ElementwiseProductComponent(Component):
+    TYPE = "ElementwiseProductComponent"
+    WRITE_ORDER = ("InputDim", "OutputDim")
+
+    def forward(self, x):
+        od = int(self.fields["OutputDim"])
+        xb = x.reshape(x.shape[0], -1, od)
+        return np.prod(xb, axis=1)
+
+    @property
+    def input_dim(self):
+        return int(self.fields["InputDim"])
+
+
+class PnormComponent(Component):
+    """Group 2-norm (the reference hardcodes p=2 on GPU)."""
+    TYPE = "PnormComponent"
+    WRITE_ORDER = ("InputDim", "OutputDim")
+
+    def forward(self, x):
+        od = int(self.fields["OutputDim"])
+        xb = x.reshape(x.shape[0], od, -1)
+        return np.sqrt((xb * xb).sum(-1))
+
+    @property
+    def input_dim(self):
+        return int(self.fields["InputDim"])
+
+
+class SumBlockComponent(Component):
+    TYPE = "SumBlockComponent"
+    WRITE_ORDER = ("InputDim", "OutputDim", "Scale")
+
+    def forward(self, x):
+        od = int(self.fields["OutputDim"])
+        scale = float(self.fields.get("Scale", 1.0))
+        return x.reshape(x.shape[0], -1, od).sum(1) * scale
+
+    @property
+    def input_dim(self):
+        return int(self.fields["InputDim"])
+
+
+class FixedScaleComponent(Component):
+    TYPE = "FixedScaleComponent"
+    WRITE_ORDER = ("Scales",)
+
+    def forward(self, x):
+        return x * np.asarray(self.fields["Scales"])
+
+    @property
+    def input_dim(self):
+        return np.asarray(self.fields["Scales"]).size
+
+
+class FixedBiasComponent(Component):
+    TYPE = "FixedBiasComponent"
+    WRITE_ORDER = ("Bias",)
+
+    def forward(self, x):
+        return x + np.asarray(self.fields["Bias"])
+
+    @property
+    def input_dim(self):
+        return np.asarray(self.fields["Bias"]).size
+
+
+class ConstantComponent(Component):
+    """Output is a learned constant vector, input-independent."""
+    TYPE = "ConstantComponent"
+    WRITE_ORDER = ("LearningRate", "Output", "IsUpdatable",
+                   "UseNaturalGradient")
+
+    def forward(self, x):
+        out = np.asarray(self.fields["Output"])
+        return np.broadcast_to(out, (x.shape[0], out.size)).copy()
+
+    @property
+    def input_dim(self):
+        return 0
+
+
+class ConstantFunctionComponent(ConstantComponent):
+    TYPE = "ConstantFunctionComponent"
+    WRITE_ORDER = ("LearningRate", "InputDim", "Output", "IsUpdatable",
+                   "UseNaturalGradient")
+
+    @property
+    def input_dim(self):
+        return int(self.fields["InputDim"])
+
+
+class BlockAffineComponent(Component):
+    """Block-diagonal affine: LinearParams is (output_dim,
+    input_dim/num_blocks), rows grouped per block."""
+    TYPE = "BlockAffineComponent"
+    WRITE_ORDER = ("LearningRate", "NumBlocks", "LinearParams",
+                   "BiasParams")
+
+    def forward(self, x):
+        nb = int(self.fields["NumBlocks"])
+        W = np.asarray(self.fields["LinearParams"])  # (od, id/nb)
+        b = np.asarray(self.fields["BiasParams"])
+        od, bin_ = W.shape[0] // nb, W.shape[1]
+        xb = x.reshape(x.shape[0], nb, bin_)
+        Wb = W.reshape(nb, od, bin_)
+        out = np.einsum("tnb,nob->tno", xb, Wb)
+        return out.reshape(x.shape[0], -1) + b
+
+    @property
+    def input_dim(self):
+        return np.asarray(self.fields["LinearParams"]).shape[1] * \
+            int(self.fields["NumBlocks"])
+
+
+class RepeatedAffineComponent(Component):
+    """One small affine applied to each of num_repeats input blocks."""
+    TYPE = "RepeatedAffineComponent"
+    WRITE_ORDER = ("LearningRate", "NumRepeats", "LinearParams",
+                   "BiasParams")
+
+    def forward(self, x):
+        nr = int(self.fields["NumRepeats"])
+        W = np.asarray(self.fields["LinearParams"])  # (od, id) per block
+        b = np.asarray(self.fields["BiasParams"])
+        xb = x.reshape(x.shape[0], nr, W.shape[1])
+        out = np.einsum("tnb,ob->tno", xb, W) + b
+        return out.reshape(x.shape[0], -1)
+
+    @property
+    def input_dim(self):
+        return np.asarray(self.fields["LinearParams"]).shape[1] * \
+            int(self.fields["NumRepeats"])
+
+
+class NaturalGradientRepeatedAffineComponent(RepeatedAffineComponent):
+    TYPE = "NaturalGradientRepeatedAffineComponent"
+
+
+class StatisticsExtractionComponent(Component):
+    """nnet-general-component.h:163: per output frame, [count, sum x,
+    (sum x^2)] over the input frames it covers."""
+    TYPE = "StatisticsExtractionComponent"
+    WRITE_ORDER = ("InputDim", "InputPeriod", "OutputPeriod",
+                   "IncludeVarinance")
+
+    def forward(self, x):
+        T, D = x.shape
+        ip = int(self.fields.get("InputPeriod", 1))
+        op = int(self.fields.get("OutputPeriod", 1))
+        k = max(op // ip, 1)
+        var = bool(self.fields.get("IncludeVarinance", True))
+        out_dim = 1 + D + (D if var else 0)
+        out = np.zeros((T, out_dim), x.dtype)
+        for t in range(T):
+            sel = x[t:min(t + k, T)]
+            out[t, 0] = sel.shape[0]
+            out[t, 1:1 + D] = sel.sum(0)
+            if var:
+                out[t, 1 + D:] = (sel * sel).sum(0)
+        return out
+
+    @property
+    def input_dim(self):
+        return int(self.fields["InputDim"])
+
+
+class StatisticsPoolingComponent(Component):
+    """nnet-general-component.h:276: aggregate extraction stats over
+    [t+left, t+right] -> [log-count x n, mean, (stddev)]."""
+    TYPE = "StatisticsPoolingComponent"
+    WRITE_ORDER = ("InputDim", "InputPeriod", "LeftContext",
+                   "RightContext", "NumLogCountFeatures", "OutputStddevs",
+                   "VarianceFloor")
+
+    def forward(self, x):
+        T, SD = x.shape
+        ip = int(self.fields.get("InputPeriod", 1))
+        left = int(self.fields["LeftContext"])
+        right = int(self.fields["RightContext"])
+        nlog = int(self.fields.get("NumLogCountFeatures", 0))
+        stddevs = bool(self.fields.get("OutputStddevs", True))
+        floor = float(self.fields.get("VarianceFloor", 1e-10))
+        D = (SD - 1) // 2 if stddevs else SD - 1
+        out_dim = nlog + D + (D if stddevs else 0)
+        out = np.zeros((T, out_dim), x.dtype)
+        for t in range(T):
+            lo, hi = max(0, t + left), min(T - 1, t + right)
+            ts = [tt for tt in range(lo, hi + 1) if tt % ip == 0]
+            if not ts:
+                ts = [min(max(lo, 0), T - 1)]
+            stats = x[ts].sum(0)
+            count = max(stats[0], 1e-10)
+            mean = stats[1:1 + D] / count
+            cols = [np.full(nlog, np.log(count))] if nlog else []
+            cols.append(mean)
+            if stddevs:
+                var = stats[1 + D:1 + 2 * D] / count - mean * mean
+                cols.append(np.sqrt(np.maximum(var, floor)))
+            out[t] = np.concatenate(cols)
+        return out
+
+    @property
+    def input_dim(self):
+        return int(self.fields["InputDim"])
+
+
+class TimeHeightConvolutionComponent(Component):
+    """nnet-convolutional-component.h:212: general 2-D convolution over
+    (time, height) with explicit (time-offset, height-offset) taps.
+    LinearParams rows = filters-out; columns grouped per tap as
+    filters-in. Out-of-range height taps contribute zero; time is
+    edge-clamped (the reference arranges real context via the
+    compiler's t-range bookkeeping)."""
+    TYPE = "TimeHeightConvolutionComponent"
+    WRITE_ORDER = ("LearningRate", "Model", "LinearParams", "BiasParams",
+                   "MaxMemoryMb", "UseNaturalGradient",
+                   "NumMinibatchesHistory", "AlphaInOut", "RankInOut")
+
+    def forward(self, x):
+        m = self.fields["Model"]
+        fin, fout = m["num_filters_in"], m["num_filters_out"]
+        hin, hout = m["height_in"], m["height_out"]
+        sub = m["height_subsample_out"]
+        offsets = m["offsets"]
+        W = np.asarray(self.fields["LinearParams"])
+        b = np.asarray(self.fields["BiasParams"])
+        T = x.shape[0]
+        xb = x.reshape(T, hin, fin)
+        t_idx = np.arange(T)
+        h_out = np.arange(hout)
+        out = np.zeros((T, hout, fout), x.dtype)
+        for k, (dt, dh) in enumerate(offsets):
+            Wk = W[:, k * fin:(k + 1) * fin]          # (fout, fin)
+            h_src = h_out * sub + dh
+            valid = (h_src >= 0) & (h_src < hin)
+            if not valid.any():
+                continue
+            xt = xb[np.clip(t_idx + dt, 0, T - 1)]    # (T, hin, fin)
+            src = xt[:, np.clip(h_src, 0, hin - 1), :]
+            src = np.where(valid[None, :, None], src, 0.0)
+            out += np.einsum("thf,of->tho", src, Wk)
+        if b.size == fout:
+            out = out + b.reshape(1, 1, -1)
+        elif b.size:
+            out = out + b.reshape(1, hout, fout)
+        return out.reshape(T, hout * fout)
+
+    @property
+    def input_dim(self):
+        m = self.fields["Model"]
+        return m["height_in"] * m["num_filters_in"]
+
+
 COMPONENT_TYPES = {c.TYPE: c for c in [
     AffineComponent, NaturalGradientAffineComponent, FixedAffineComponent,
     LinearComponent, TdnnComponent, RectifiedLinearComponent,
     SigmoidComponent, TanhComponent, LogSoftmaxComponent, SoftmaxComponent,
     NoOpComponent, BatchNormComponent, GeneralDropoutComponent,
     DropoutComponent, ScaleAndOffsetComponent,
+    NormalizeComponent, PerElementScaleComponent,
+    NaturalGradientPerElementScaleComponent, PerElementOffsetComponent,
+    PermuteComponent, SumGroupComponent, ClipGradientComponent,
+    BackpropTruncationComponent, ElementwiseProductComponent,
+    PnormComponent, SumBlockComponent, FixedScaleComponent,
+    FixedBiasComponent, ConstantComponent, ConstantFunctionComponent,
+    BlockAffineComponent, RepeatedAffineComponent,
+    NaturalGradientRepeatedAffineComponent,
+    StatisticsExtractionComponent, StatisticsPoolingComponent,
+    TimeHeightConvolutionComponent,
 ]}
 
 
