@@ -37,8 +37,11 @@ class RnnLm(nn.Module):
     cfg: RnnLmConfig
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray, init_state=None):
-        """tokens (B, T) -> (logprobs (B, T, V), final_state)."""
+    def __call__(self, tokens: jnp.ndarray, init_state=None,
+                 return_hidden: bool = False):
+        """tokens (B, T) -> (logprobs (B, T, V), final_state); with
+        return_hidden, (hidden (B, T, H), final_state) BEFORE the
+        output projection (for sampled-softmax training)."""
         cfg = self.cfg
         x = nn.Embed(cfg.vocab_size, cfg.embed_dim, name="embed")(tokens)
         states = []
@@ -57,6 +60,8 @@ class RnnLm(nn.Module):
                 split_rngs={"params": False}, in_axes=1, out_axes=1)
             carry, x = scanned(cell, carry, x)
             states.append(carry)
+        if return_hidden:
+            return x, states
         logits = nn.Dense(cfg.vocab_size, name="output")(x)
         return jax.nn.log_softmax(logits, axis=-1), states
 

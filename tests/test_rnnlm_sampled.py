@@ -1,0 +1,130 @@
+"""Sampled-softmax RNNLM: sampler math (inclusion probabilities,
+PPS-without-replacement statistics), the pruned proposal LM, and
+end-to-end sampled training quality (parity targets:
+rnnlm/sampler-test.cc, sampling-lm-estimate.h, rnnlm-example-utils.cc
+ProcessRnnlmOutput)."""
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.rnnlm.sampling import (Sampler, SamplingLm,
+                                      SamplingLmOptions,
+                                      sample_for_chunk,
+                                      train_rnnlm_sampled)
+
+
+class TestInclusionProbs:
+    def test_sums_to_k_and_capped(self):
+        rng = np.random.default_rng(0)
+        for k in (3, 10, 50):
+            p = rng.dirichlet(np.ones(200) * 0.3)
+            q = Sampler.inclusion_probs(p, k)
+            assert q.sum() == pytest.approx(k, abs=1e-6)
+            assert (q <= 1.0 + 1e-12).all() and (q >= 0).all()
+            # uncapped entries proportional to p
+            un = q < 1.0 - 1e-12
+            if un.any() and (~un).any():
+                alpha = q[un] / p[un]
+                assert np.ptp(alpha) < 1e-6 * alpha.mean()
+
+    def test_fewer_nonzero_than_k(self):
+        p = np.array([0.5, 0.5, 0.0, 0.0])
+        q = Sampler.inclusion_probs(p, 3)
+        assert q.tolist() == [1.0, 1.0, 0.0, 0.0]
+
+
+class TestSampler:
+    def test_exactly_k_distinct(self):
+        rng = np.random.default_rng(1)
+        p = rng.dirichlet(np.ones(500))
+        s = Sampler(seed=2)
+        ids, q = s.sample(p, 40)
+        assert len(ids) == len(set(ids.tolist()))
+        assert len(ids) == 40
+        assert (q > 0).all()
+
+    def test_empirical_inclusion_matches_q(self):
+        """First-order inclusion frequencies of systematic PPS must
+        track q(i) (the property the importance weights rely on)."""
+        rng = np.random.default_rng(3)
+        V, k, n_trials = 50, 8, 2000
+        p = rng.dirichlet(np.ones(V) * 0.5)
+        q = Sampler.inclusion_probs(p, k)
+        s = Sampler(seed=4)
+        counts = np.zeros(V)
+        for _ in range(n_trials):
+            ids, _ = s.sample(p, k)
+            counts[ids] += 1
+        freq = counts / n_trials
+        # 5-sigma binomial tolerance per word
+        tol = 5 * np.sqrt(q * (1 - q) / n_trials) + 5e-3
+        assert (np.abs(freq - q) <= tol).all(), \
+            np.abs(freq - q).max()
+
+
+class TestSamplingLm:
+    def _toy(self):
+        lm = SamplingLm(SamplingLmOptions(vocab_size=10))
+        rng = np.random.default_rng(5)
+        for _ in range(300):
+            L = rng.integers(2, 6)
+            lm.process_line(1.0, [3 + (i % 2) for i in range(L)])
+        for _ in range(30):                # rare words
+            lm.process_line(1.0, [5, 6])
+        lm.estimate()
+        return lm
+
+    def test_distribution_is_normalized(self):
+        lm = self._toy()
+        assert lm.unigram.sum() == pytest.approx(1.0, abs=1e-9)
+        for h in (1, 3, 4, 5):
+            uw, kept = lm.distribution(h)
+            total = uw * 1.0 + sum(pr for _, pr in kept)
+            # additive mixture stays close to a distribution
+            assert 0.5 < total < 1.5
+
+    def test_strong_bigrams_kept(self):
+        lm = self._toy()
+        # 3 -> 4 is near-deterministic in the toy grammar
+        _, kept = lm.distribution(3)
+        assert any(w == 4 for w, _ in kept)
+
+    def test_chunk_distribution_and_sample_for_chunk(self):
+        lm = self._toy()
+        s = Sampler(seed=6)
+        hists = np.array([1, 3, 4, 3])
+        targets = np.array([3, 4, 3, 0])
+        ids, w = sample_for_chunk(lm, s, hists, targets, num_samples=5)
+        # all targets present with weight 1
+        for t in (3, 4):
+            i = np.nonzero(ids == t)[0]
+            assert len(i) == 1 and w[i[0]] == 1.0
+        assert (w > 0).all()
+
+
+class TestTraining:
+    def test_sampled_training_learns_grammar(self):
+        from kaldi_tpu.rnnlm.model import RnnLmConfig, sentence_logprob
+        rng = np.random.default_rng(0)
+        sents = []
+        for _ in range(200):
+            L = rng.integers(2, 6)
+            sents.append([3 + (i % 2) for i in range(L)])
+        cfg = RnnLmConfig(vocab_size=64, embed_dim=16, hidden_dim=32)
+        model, params = train_rnnlm_sampled(
+            cfg, sents, num_samples=12, num_epochs=15, batch_size=16,
+            learning_rate=2e-3)
+        good = sentence_logprob(model, params, [3, 4, 3, 4])
+        bad = sentence_logprob(model, params, [4, 4, 4, 4])
+        assert good > bad
+        # roughly self-normalized: total mass within a few nats
+        import jax.numpy as jnp
+        from kaldi_tpu.rnnlm.model import _pad_batch
+        inp, _ = _pad_batch([[3, 4]])
+        h, _ = model.apply({"params": params}, jnp.asarray(inp),
+                           return_hidden=True)
+        W = params["output"]["kernel"]
+        b = params["output"]["bias"]
+        logits = np.asarray(h @ W + b)
+        z = np.exp(logits).sum(-1)
+        assert (np.abs(np.log(z)) < 3.5).all(), z
