@@ -461,9 +461,9 @@ class BlockChainDecoder:
                    out_ref, eout_ref, rc_ref, ru_ref, re_ref,
                    c_s, u_s, e_s):
             u = pl.program_id(0)
-            t = t_ref[0]
+            t = t_ref[0].astype(jnp.float32)
             blk = cost_ref[0]                              # (N, B)
-            ent = ent_ref[0]                               # (N, B) int32
+            ent = ent_ref[0]                               # (N, B) f32 frames
             root_row = ovr_ref[u][None, :]
             first = first_ref[:] > 0.5
             rolled = pltpu.roll(blk, 1, 0)
@@ -477,7 +477,8 @@ class BlockChainDecoder:
             eout_ref[0] = jnp.where(take_fwd, fwd_ent, ent)
             # word-transition candidates (OLD costs/entries)
             parts = [jnp.broadcast_to(root_row, (n_k1, B))] if n_k1 else []
-            eparts = [jnp.full((n_k1, B), t, jnp.int32)] if n_k1 else []
+            eparts = [jnp.full((n_k1, B), 0.0, jnp.float32) + t] \
+                if n_k1 else []
             for (off, vk, km1) in segs:
                 seg = blk[off:off + vk * km1].reshape(vk, km1, B)
                 parts.append(seg[:, km1 - 1, :])
@@ -485,18 +486,19 @@ class BlockChainDecoder:
                 eparts.append(es[:, km1 - 1, :])
             if Vp > V:
                 parts.append(jnp.full((Vp - V, B), INF, jnp.float32))
-                eparts.append(jnp.zeros((Vp - V, B), jnp.int32))
+                eparts.append(jnp.zeros((Vp - V, B), jnp.float32))
             cand = jnp.concatenate(parts, 0) + big_ref[u % 8][:, None]
             cand_e = jnp.concatenate(eparts, 0)
 
             @pl.when(u == 0)
             def _():
                 c_s[:] = jnp.full((J, Vp, B), INF, jnp.float32)
-                u_s[:] = jnp.zeros((J, Vp, B), jnp.int32)
-                e_s[:] = jnp.zeros((J, Vp, B), jnp.int32)
+                u_s[:] = jnp.zeros((J, Vp, B), jnp.float32)
+                e_s[:] = jnp.zeros((J, Vp, B), jnp.float32)
 
             # bubble the candidate into the sorted top-J planes
-            cu = jnp.full((Vp, B), u, jnp.int32)
+            cu = jnp.zeros((Vp, B), jnp.float32) + \
+                u.astype(jnp.float32)
             ce = cand_e
             cc = cand
             for j in range(J):
@@ -539,14 +541,14 @@ class BlockChainDecoder:
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((U, N, B), jnp.float32),
-                jax.ShapeDtypeStruct((U, N, B), jnp.int32),
+                jax.ShapeDtypeStruct((U, N, B), jnp.float32),
                 jax.ShapeDtypeStruct((J, Vp, B), jnp.float32),
-                jax.ShapeDtypeStruct((J, Vp, B), jnp.int32),
-                jax.ShapeDtypeStruct((J, Vp, B), jnp.int32),
+                jax.ShapeDtypeStruct((J, Vp, B), jnp.float32),
+                jax.ShapeDtypeStruct((J, Vp, B), jnp.float32),
             ],
             scratch_shapes=[pltpu.VMEM((J, Vp, B), jnp.float32),
-                            pltpu.VMEM((J, Vp, B), jnp.int32),
-                            pltpu.VMEM((J, Vp, B), jnp.int32)],
+                            pltpu.VMEM((J, Vp, B), jnp.float32),
+                            pltpu.VMEM((J, Vp, B), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=self.interpret,
@@ -591,9 +593,78 @@ class BlockChainDecoder:
 
         return jax.jit(forward, donate_argnums=(0, 1))
 
+    def _make_lat_post(self, B: int, J: int, beam: float):
+        """Device-side pruning + packing after the lattice forward —
+        the analogue of the cudadecoder's in-GPU lattice-beam token
+        pruning before host copy (cuda-decoder.cc PruneAndCopyToHost):
+        only a survivor BITMASK and small per-frame reductions cross
+        the (slow, tunneled) D2H link; survivor payloads are fetched
+        afterwards with targeted device gathers."""
+        import jax
+        import jax.numpy as jnp
+        V, Vp, Up = self.g.V, self.Vp, self.Up
+
+        def post(exp_w, alpha, am_rs, lengths):
+            T = exp_w.shape[0]
+            a_best = jnp.min(alpha[:, :V, :], axis=1)        # (T, B)
+            keep = (exp_w[:, :, :V, :] <=
+                    (a_best[:, None, None, :] + beam))
+            keepp = jnp.concatenate(
+                [keep, jnp.zeros((T, J, Vp - V, B), bool)], axis=2)
+            flat = keepp.reshape(T, (J * Vp) // 8, 8, B).astype(jnp.int32)
+            w8 = (1 << jax.lax.broadcasted_iota(jnp.int32,
+                                                (1, 1, 8, 1), 2))
+            bits = (flat * w8).sum(axis=2).astype(jnp.uint8)
+            idx = jnp.maximum(lengths - 1, 0)[None, None, :]
+            alpha_fin = jnp.take_along_axis(
+                alpha, jnp.broadcast_to(idx, (1, Up, B)), axis=0)[0]
+            am_cs = jnp.cumsum(am_rs, axis=0)                # (T, Vp, B)
+            return bits, a_best, alpha_fin, am_cs
+
+        return jax.jit(post)
+
+    def _gather3(self, arrs, t, j, w, b):
+        """Fetch survivor payloads exp/arg/ent at (t, j, w, b)."""
+        import jax
+        import jax.numpy as jnp
+        S = 1 << max(int(np.ceil(np.log2(max(len(t), 1)))), 4)
+        key = ("g3", S)
+        if key not in self._jit:
+            @jax.jit
+            def g3(e, a, en, ti, ji, wi, bi):
+                return (e[ti, ji, wi, bi], a[ti, ji, wi, bi],
+                        en[ti, ji, wi, bi])
+            self._jit[key] = g3
+        pad = S - len(t)
+        ti = jnp.asarray(np.pad(t, (0, pad)))
+        ji = jnp.asarray(np.pad(j, (0, pad)))
+        wi = jnp.asarray(np.pad(w, (0, pad)))
+        bi = jnp.asarray(np.pad(b, (0, pad)))
+        e, a, en = self._jit[key](*arrs, ti, ji, wi, bi)
+        n = len(t)
+        return (np.asarray(e)[:n], np.asarray(a)[:n], np.asarray(en)[:n])
+
+    def _gather2(self, arr, i0, i1, b, name):
+        """Fetch arr[i0, i1, b] (alpha sources / am cumsums)."""
+        import jax
+        import jax.numpy as jnp
+        S = 1 << max(int(np.ceil(np.log2(max(len(i0), 1)))), 4)
+        key = (name, S)
+        if key not in self._jit:
+            @jax.jit
+            def g2(a, x, y, z):
+                return a[x, y, z]
+            self._jit[key] = g2
+        pad = S - len(i0)
+        x = jnp.asarray(np.pad(i0, (0, pad)))
+        y = jnp.asarray(np.pad(i1, (0, pad)))
+        z = jnp.asarray(np.pad(b, (0, pad)))
+        return np.asarray(self._jit[key](arr, x, y, z))[:len(i0)]
+
     def decode_batch_lattice(self, loglikes, acoustic_scale: float = 1.0,
                              lengths: Optional[Sequence[int]] = None,
-                             lattice_beam: float = 8.0, J: int = 4):
+                             lattice_beam: float = 8.0, J: int = 4,
+                             stats: Optional[Dict[str, float]] = None):
         """Full-lattice decode: returns per lane a word Lattice
         (ilabel=tid, olabel=word, weights (graph, acoustic)) pruned to
         `lattice_beam`, or None.  Word alternatives carry exact costs
@@ -601,7 +672,12 @@ class BlockChainDecoder:
         non-best paths distribute self-loop frames on the last chain
         row (the reference recovers exact alignments only for paths the
         token store kept; same contract here).  Determinize with
-        lat.functions.determinize_lattice_pruned afterwards."""
+        lat.functions.determinize_lattice_pruned afterwards.
+
+        Wire budget: the dense per-frame dumps stay ON DEVICE; the host
+        receives a survivor bitmask (T*J*Vp/8 bytes per lane) plus
+        per-survivor gathers, mirroring the reference's GPU-side
+        lattice-beam pruning before host lattice assembly."""
         import jax.numpy as jnp
         g = self.g
         U, V, N = g.U, g.V, g.N
@@ -616,86 +692,225 @@ class BlockChainDecoder:
                            (1, 2, 0))
         active = jnp.asarray(np.arange(T)[:, None] < lengths[None, :])
         cost0 = jnp.full((U, N, B), INF, jnp.float32)
-        ent0 = jnp.zeros((U, N, B), jnp.int32)
+        ent0 = jnp.zeros((U, N, B), jnp.float32)
         ovr0 = jnp.full((self.Up, B), INF, jnp.float32).at[V].set(0.0)
+        import time as _time
+        _t0 = _time.time()
         ovr_fin, (exp_w, arg_w, ent_w, ovr_all, am_rs) = \
             fwd(cost0, ent0, ovr0, am, active)
-        # host dumps
-        exp_w = np.asarray(exp_w)          # (T, J, V, B) entry costs
-        arg_w = np.asarray(arg_w)          # (T, J, V, B) context u
-        ent_w = np.asarray(ent_w)          # (T, J, V, B) entry frame
-        alpha = np.asarray(ovr_all)        # (T, Up, B) root costs
-        am_rs = np.asarray(am_rs)          # (T, Vp, B) root self am
-        return [self._assemble_lattice(
-                    b, int(lengths[b]), exp_w[..., b], arg_w[..., b],
-                    ent_w[..., b], alpha[..., b], am_rs[..., b],
-                    lattice_beam)
-                for b in range(B)]
+        ovr_fin.block_until_ready()
+        if stats is not None:
+            stats["fwd_s"] = _time.time() - _t0
+        _t0 = _time.time()
+        pkey = ("latpost", B, J, float(lattice_beam))
+        if pkey not in self._jit:
+            self._jit[pkey] = self._make_lat_post(B, J, lattice_beam)
+        bits_d, a_best_d, alpha_fin_d, am_cs_d = self._jit[pkey](
+            exp_w, ovr_all, am_rs, jnp.asarray(lengths.astype(np.int32)))
+        bits = np.asarray(bits_d)          # (T, J*Vp/8, B) uint8
+        a_best = np.asarray(a_best_d)      # (T, B)
+        alpha_fin = np.asarray(alpha_fin_d)  # (Up, B)
+        if stats is not None:
+            stats["post_s"] = _time.time() - _t0
+        _t0 = _time.time()
+        # unpack survivor indices (all lanes at once)
+        u8 = np.unpackbits(bits.transpose(2, 0, 1).reshape(B, T, -1),
+                           axis=2, bitorder="little")
+        u8 = u8.reshape(B, T, J, self.Vp)[:, :, :, :V]
+        bs, ts, js, ws = np.nonzero(u8)
+        # filter t >= lengths[b]
+        m = ts < lengths[bs]
+        bs, ts, js, ws = bs[m], ts[m], js[m], ws[m]
+        if stats is not None:
+            stats["unpack_s"] = _time.time() - _t0
+            stats["n_survivors"] = len(ts)
+        _t0 = _time.time()
+        cvals, uvals, tevals = self._gather3(
+            (exp_w, arg_w, ent_w), ts, js, ws, bs)
+        uvals = np.rint(uvals).astype(np.int64)
+        tevals = np.rint(tevals).astype(np.int64)
+        # source alpha: alpha[te-1, u, b] for entries with te >= 1
+        src_m = tevals >= 1
+        a_src = np.full(len(ts), 0.0, np.float32)
+        if src_m.any():
+            a_src[src_m] = self._gather2(
+                ovr_all, tevals[src_m] - 1,
+                np.minimum(uvals[src_m], self.Up - 1), bs[src_m], "asrc")
+        # vectorized validity filter (mirrors the reference's token
+        # sanity checks before GetRawLattice)
+        begin = tevals == 0
+        valid = np.isfinite(cvals) & (cvals < INF / 2)
+        valid &= np.where(begin, uvals == U - 1, uvals < U - 1)
+        valid &= begin | (np.isfinite(a_src) & (a_src < INF / 2))
+        bs, ts, ws = bs[valid], ts[valid], ws[valid]
+        cvals, uvals, tevals = cvals[valid], uvals[valid], tevals[valid]
+        a_src, begin = a_src[valid], begin[valid]
+        arc_cost = (cvals - a_src).astype(np.float64)
 
-    def _assemble_lattice(self, b, Tb, exp_w, arg_w, ent_w, alpha, am_rs,
-                          beam):
-        """Build the word lattice for one lane from the device dumps.
+        # node table per lane: (w, t) word-end nodes, encoded w*T + t
+        dst_key = ws * T + ts
+        src_key = np.where(begin, -1, uvals * T + (tevals - 1))
+        lane_nodes: List[np.ndarray] = []
+        lane_info = []
+        for b in range(B):
+            sel = np.nonzero(bs == b)[0]
+            keys = np.unique(np.concatenate(
+                [dst_key[sel], src_key[sel][~begin[sel]]]))
+            lane_nodes.append(keys)
+            lane_info.append(sel)
+        # batched node-alpha gather: alpha[t, w, b] for every node
+        all_nw = np.concatenate([k // T for k in lane_nodes]) \
+            if lane_nodes else np.zeros(0, np.int64)
+        all_nt = np.concatenate([k % T for k in lane_nodes]) \
+            if lane_nodes else np.zeros(0, np.int64)
+        all_nb = np.concatenate(
+            [np.full(len(k), b, np.int64)
+             for b, k in enumerate(lane_nodes)]) \
+            if lane_nodes else np.zeros(0, np.int64)
+        node_alpha_all = self._gather2(ovr_all, all_nt, all_nw, all_nb,
+                                       "asrc") \
+            if len(all_nt) else np.zeros(0, np.float32)
+        if stats is not None:
+            stats["gather_s"] = _time.time() - _t0
+        _t0 = _time.time()
+        # batched am-cumsum gather for per-word consecutive self spans
+        self_src_l, self_dst_l, self_b, self_t0, self_t1, self_w = \
+            [], [], [], [], [], []
+        off = 0
+        node_off = []
+        for b in range(B):
+            node_off.append(off)
+            keys = lane_nodes[b]
+            kw, kt = keys // T, keys % T
+            # consecutive node times within each word: keys are sorted
+            # by (w, t) already (encoded w*T + t)
+            if len(keys) > 1:
+                same_w = kw[1:] == kw[:-1]
+                idx = np.nonzero(same_w)[0]
+                self_src_l.append(idx + off)
+                self_dst_l.append(idx + 1 + off)
+                self_b.append(np.full(len(idx), b, np.int64))
+                self_t0.append(kt[idx])
+                self_t1.append(kt[idx + 1])
+                self_w.append(kw[idx])
+            off += len(keys)
+        if self_b:
+            s_src = np.concatenate(self_src_l)
+            s_dst = np.concatenate(self_dst_l)
+            s_b = np.concatenate(self_b)
+            s_t0 = np.concatenate(self_t0)
+            s_t1 = np.concatenate(self_t1)
+            s_w = np.concatenate(self_w)
+            hi = self._gather2(am_cs_d, s_t1, s_w, s_b, "amcs")
+            lo = self._gather2(am_cs_d, s_t0, s_w, s_b, "amcs")
+            s_ac = (hi - lo).astype(np.float64)
+        else:
+            s_src = s_dst = s_b = s_t0 = s_t1 = s_w = \
+                np.zeros(0, np.int64)
+            s_ac = np.zeros(0)
+        if stats is not None:
+            stats["selfseg_s"] = _time.time() - _t0
+        _t0 = _time.time()
+        lats: List[Optional[object]] = []
+        for b in range(B):
+            sel = lane_info[b]
+            keys = lane_nodes[b]
+            n0 = node_off[b]
+            ssel = np.nonzero(s_b == b)[0]
+            lats.append(self._assemble_lane_pruned(
+                b, int(lengths[b]), T, keys,
+                node_alpha_all[n0:n0 + len(keys)],
+                ts[sel], ws[sel], uvals[sel], tevals[sel],
+                cvals[sel], a_src[sel], arc_cost[sel], begin[sel],
+                s_src[ssel] - n0, s_dst[ssel] - n0, s_t0[ssel],
+                s_t1[ssel], s_w[ssel], s_ac[ssel],
+                alpha_fin[:, b], lattice_beam))
+        if stats is not None:
+            stats["assemble_s"] = _time.time() - _t0
+        return lats
 
-        exp_w/arg_w/ent_w: (T, J, V); alpha: (T, Up); am_rs: (T, Vp)."""
+    def _assemble_lane_pruned(self, b, Tb, T, node_keys, node_alpha,
+                              ts, ws, uvals, tevals, cvals, a_src,
+                              arc_cost, begin, ss, sd, st0, st1, sw,
+                              s_ac, alpha_fin, beam):
+        """Host lattice assembly for one lane with EXACT alpha+beta
+        lattice-beam pruning on the word-level survivor graph BEFORE
+        any FST objects are built (the reference's raw-lattice
+        extra-cost pruning, lattice-faster-decoder.cc PruneActiveTokens
+        / determinize-lattice-pruned.h beam semantics)."""
         from kaldi_tpu.fstext.fst import Arc, LatticeWeight, VectorFst
         from kaldi_tpu.fstext.ops import connect
         g = self.g
         V, U = g.V, g.U
-        if Tb == 0:
+        if Tb == 0 or len(node_keys) == 0:
             return None
-        fin = alpha[Tb - 1, :V] + g.eos_cost
-        best = fin.min()
+        fin = alpha_fin[:V] + g.eos_cost
+        best = float(fin.min())
         if not np.isfinite(best) or best >= INF / 2:
             return None
-        cutoff = best + beam
-        # survivors: (t, j, w) entries whose entry cost + a lower bound
-        # on the completion could beat the cutoff.  Lower bound: the
-        # remaining per-frame best-case cost is >= 0 only for
-        # normalized scores, so prune vs the frame alpha beam instead.
-        a_best = alpha[:Tb, :V].min(axis=1)                 # (Tb,)
-        keep = exp_w[:Tb] <= (a_best[:, None, None] + beam)
-        ts, js, ws = np.nonzero(keep)
+        cutoff = best + beam + 1e-4
+        n = len(node_keys)
+        node_w = node_keys // T
+        node_t = node_keys % T
+        # word-arc endpoints as node indices
+        dst_i = np.searchsorted(node_keys, ws * T + ts)
+        src_i = np.where(begin, -1,
+                         np.searchsorted(node_keys,
+                                         np.where(begin, 0, uvals) * T
+                                         + (tevals - 1)))
+        # ---- beta (backward best completion) over the node graph ----
+        beta = np.full(n, np.inf)
+        last = node_t == Tb - 1
+        beta[last] = g.eos_cost[node_w[last]]
+        self_cost = (st1 - st0) * LN2 + s_ac
+        # group arcs by source frame, process frames descending
+        a_src_t = np.where(begin, -1, tevals - 1)
+        for f in range(Tb - 2, -2, -1):
+            if f < 0:
+                break
+            wa = np.nonzero(a_src_t == f)[0]
+            if len(wa):
+                cand = arc_cost[wa] + beta[dst_i[wa]]
+                np.minimum.at(beta, src_i[wa], cand)
+            sa = np.nonzero(st0 == f)[0]
+            if len(sa):
+                cand = self_cost[sa] + beta[sd[sa]]
+                np.minimum.at(beta, ss[sa], cand)
+        # ---- prune ----
+        na = node_alpha.astype(np.float64)
+        keep_node = na + beta <= cutoff
+        keep_arc = np.where(
+            begin, arc_cost + beta[dst_i] <= cutoff,
+            a_src.astype(np.float64) + arc_cost + beta[dst_i] <= cutoff)
+        keep_arc &= keep_node[dst_i]
+        if not keep_arc.any():
+            return None
+        # ---- build ----
         lat = VectorFst(LatticeWeight)
-        nodes = {}
+        nodes: Dict[int, int] = {}
 
-        def node(w, t):
-            k = (w, t)
-            s = nodes.get(k)
+        def node_state(i):
+            s = nodes.get(i)
             if s is None:
                 s = lat.add_state()
-                nodes[k] = s
+                nodes[i] = s
             return s
 
         start = lat.add_state()
         lat.set_start(start)
         prons = g.prons
         raw_big = g.bigram
-        for t, j, w in zip(ts.tolist(), js.tolist(), ws.tolist()):
-            c = float(exp_w[t, j, w])
-            u = int(arg_w[t, j, w])
-            te = int(ent_w[t, j, w])
-            # source node: root u at frame te-1 (begin root if te==0
-            # and u == U-1)
-            if te - 1 < 0:
-                if u != U - 1:
-                    continue
-                src = start
-                a_src = 0.0
-            else:
-                if u >= U - 1:
-                    # begin root mid-utterance is unreachable
-                    continue
-                src = node(u, te - 1)
-                a_src = float(alpha[te - 1, u])
-            if not np.isfinite(a_src) or a_src >= INF / 2:
-                continue
+        for i in np.nonzero(keep_arc)[0]:
+            t, w = int(ts[i]), int(ws[i])
+            u = int(uvals[i])
+            te = int(tevals[i])
+            c = float(cvals[i])
+            src = start if begin[i] else node_state(int(src_i[i]))
             dur = t - te + 1
             graph = float(raw_big[u, w]) + dur * LN2
-            acoustic = c - a_src - graph
-            dst = node(w, t)
+            acoustic = c - float(a_src[i]) - graph
+            dst = node_state(int(dst_i[i]))
             k = len(prons[w])
-            # within-word alignment: k forward tids + self frames on
-            # the last chain row (approximate for alternatives)
             tids = []
             e = int(g.end_row[w])
             if e >= 0:
@@ -704,39 +919,52 @@ class BlockChainDecoder:
                         for r in range(first_row, e + 1)]
                 tids += [g.self_tid(g.pdf_self_row[e])] * (dur - k)
             tids.append(g.fwd_tid(g.pdf_wend_fwd[w]))
-            # chain of arcs carrying the alignment; word+weight on first
             cur = src
-            for i, tid in enumerate(tids):
-                last = i == len(tids) - 1
-                nxt = dst if last else lat.add_state()
-                wgt = (graph, acoustic) if i == 0 else (0.0, 0.0)
-                lat.add_arc(cur, Arc(tid, (w + 1) if i == 0 else 0,
+            for q, tid in enumerate(tids):
+                lastq = q == len(tids) - 1
+                nxt = dst if lastq else lat.add_state()
+                wgt = (graph, acoustic) if q == 0 else (0.0, 0.0)
+                lat.add_arc(cur, Arc(tid, (w + 1) if q == 0 else 0,
                                      wgt, nxt))
                 cur = nxt
-        # root self-extension arcs between consecutive frames
-        by_word: Dict[int, List[int]] = {}
-        for (w, t) in nodes:
-            by_word.setdefault(w, []).append(t)
-        for w, tl in by_word.items():
-            tl = sorted(set(tl))
-            for i in range(len(tl) - 1):
-                t0, t1 = tl[i], tl[i + 1]
-                src, dst = nodes[(w, t0)], nodes[(w, t1)]
-                tid = g.self_tid(g.pdf_root_self[w])
-                gcost = (t1 - t0) * LN2
-                acost = float(am_rs[t0 + 1:t1 + 1, w].sum())
-                cur = src
-                for tt in range(t0 + 1, t1 + 1):
-                    last = tt == t1
-                    nxt = dst if last else lat.add_state()
-                    wgt = (gcost, acost) if tt == t0 + 1 else (0.0, 0.0)
-                    lat.add_arc(cur, Arc(tid, 0, wgt, nxt))
-                    cur = nxt
+        # self-extension arcs re-linked across pruned-away nodes:
+        # within a word, connect consecutive KEPT nodes; span costs are
+        # partial sums of the consecutive raw segments
+        kept_set = set(int(i) for i in nodes)
+        for w in np.unique(sw):
+            seg_sel = np.nonzero(sw == w)[0]
+            if not len(seg_sel):
+                continue
+            # chain of nodes for this word, in time order
+            first = int(ss[seg_sel[0]])
+            prev_kept = first if first in kept_set else None
+            prev_t = int(node_t[first])
+            run_ac = 0.0
+            for i in seg_sel:
+                nxt_node = int(sd[i])
+                run_ac += float(s_ac[i])
+                if nxt_node in kept_set:
+                    if prev_kept is not None:
+                        t0, t1 = prev_t, int(node_t[nxt_node])
+                        gcost = (t1 - t0) * LN2
+                        tid = g.self_tid(g.pdf_root_self[int(w)])
+                        cur = nodes[prev_kept]
+                        dsts = nodes[nxt_node]
+                        for tt in range(t0 + 1, t1 + 1):
+                            lastq = tt == t1
+                            nxt2 = dsts if lastq else lat.add_state()
+                            wgt = (gcost, run_ac) if tt == t0 + 1 \
+                                else (0.0, 0.0)
+                            lat.add_arc(cur, Arc(tid, 0, wgt, nxt2))
+                            cur = nxt2
+                    prev_kept = nxt_node
+                    prev_t = int(node_t[nxt_node])
+                    run_ac = 0.0
         # finals
-        for (w, t), s in nodes.items():
-            if t == Tb - 1:
-                fw = float(g.eos_cost[w])
-                lat.set_final(s, (fw, 0.0))
+        for i, s in nodes.items():
+            if int(node_t[i]) == Tb - 1:
+                lat.set_final(s, (float(g.eos_cost[int(node_w[i])]),
+                                  0.0))
         connect(lat)
         if lat.num_states == 0 or lat.start is None:
             return None

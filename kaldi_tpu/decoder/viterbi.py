@@ -261,23 +261,26 @@ def align_equal(graph: VectorFst, num_frames: int, tm,
                 return a
         return None
 
-    loopable = [a for a in path if a.ilabel != EPS
+    # key by POSITION in the path, not arc identity: repeated words
+    # can reuse the same Arc objects (the compiler shares per-word
+    # sub-FSTs), and an id()-keyed share table would then double-count
+    loopable = [i for i, a in enumerate(path) if a.ilabel != EPS
                 and self_loop_arc(a.nextstate) is not None]
     extra = num_frames - n
     if extra > 0 and not loopable:
         warn("align_equal: no self-loops available to fill frames")
         return None
-    shares = {}
+    shares: Dict[int, int] = {}
     if loopable:
         base, rem = divmod(extra, len(loopable))
-        for i, a in enumerate(loopable):
-            shares[id(a)] = base + (1 if i < rem else 0)
+        for rank, pos in enumerate(loopable):
+            shares[pos] = base + (1 if rank < rem else 0)
     alignment: List[int] = []
-    for a in path:
+    for i, a in enumerate(path):
         if a.ilabel == EPS:
             continue
         alignment.append(a.ilabel)
-        k = shares.get(id(a), 0)
+        k = shares.get(i, 0)
         if k:
             sl = self_loop_arc(a.nextstate)
             alignment.extend([sl.ilabel] * k)

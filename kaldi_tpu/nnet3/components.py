@@ -105,22 +105,33 @@ class TdnnfLayer(nn.Module):
         b2 = self.param("bias", nn.initializers.zeros, (self.dim,))
 
         if ts:
-            # x shifted right by ts (edge replication): frame t sees t-ts
-            left = jnp.concatenate([jnp.repeat(x[:, :1], ts, axis=1),
-                                    x[:, :-ts]], axis=1)
-            cat1 = jnp.concatenate([left, x], axis=-1)
+            # Concat-free formulation (same math as the reference's
+            # Append(Offset(x,-ts), x) pair): shifting a per-frame
+            # matmul's OUTPUT equals shifting its input, so compute
+            # both weight halves in one full-K matmul and roll the
+            # half that looks at t-ts. Avoids materializing the
+            # (B, T, 2D) concat — the layer was HBM-bound on it.
+            bn = self.bottleneck_dim
+            w1p = w1.reshape(bn, 2, D)
+            w1cat = jnp.concatenate([w1p[:, 0], w1p[:, 1]], axis=0)
+            xw = jnp.einsum("btd,od->bto", x, w1cat)     # (B, T, 2bn)
+            xa, xb = xw[..., :bn], xw[..., bn:]
+            # xa needs x[t-ts]: shift right with edge replication
+            xa = jnp.concatenate([jnp.repeat(xa[:, :1], ts, axis=1),
+                                  xa[:, :-ts]], axis=1)
+            bottleneck = xa + xb
+            w2p = w2.reshape(self.dim, 2, bn)
+            w2cat = jnp.concatenate([w2p[:, 0], w2p[:, 1]], axis=0)
+            yw = jnp.einsum("bto,po->btp", bottleneck, w2cat)
+            ya, yb = yw[..., :self.dim], yw[..., self.dim:]
+            # yb needs bottleneck[t+ts]: shift left, edge replication
+            yb = jnp.concatenate([yb[:, ts:],
+                                  jnp.repeat(yb[:, -1:], ts, axis=1)],
+                                 axis=1)
+            y = ya + yb + b2
         else:
-            cat1 = x
-        bottleneck = jnp.einsum("btd,od->bto", cat1, w1)
-        if ts:
-            # bottleneck shifted left by ts: frame t sees t+ts
-            right = jnp.concatenate(
-                [bottleneck[:, ts:],
-                 jnp.repeat(bottleneck[:, -1:], ts, axis=1)], axis=1)
-            cat2 = jnp.concatenate([bottleneck, right], axis=-1)
-        else:
-            cat2 = bottleneck
-        y = jnp.einsum("bto,po->btp", cat2, w2) + b2
+            bottleneck = jnp.einsum("btd,od->bto", x, w1)
+            y = jnp.einsum("bto,po->btp", bottleneck, w2) + b2
         y = nn.relu(y)
         y = BatchNorm(use_running_average=not self.train)(y)
         if D == self.dim:
