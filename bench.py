@@ -85,7 +85,9 @@ def main():
                                    decoder, fe, acoustic_scale=1.0)
 
     n_samp = int(16000 * utt_s)
-    waves = [rng.normal(size=n_samp).astype(np.float32) * 0.1
+    # int16 PCM (the wire format of real audio): halves the host->
+    # device transfer, which bounds the tunnel-attached chip's xRT
+    waves = [(rng.normal(size=n_samp) * 3276).astype(np.int16)
              for _ in range(B)]
 
     t0 = time.time()

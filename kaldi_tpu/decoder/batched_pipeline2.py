@@ -84,18 +84,17 @@ class BatchedOfflinePipeline2:
         import jax.numpy as jnp
         t_all = time.time()
         B = len(waves)
-        # 1. features (fused batched device program; host-side padding)
+        # 1. features: fused batched device program; waves ship as
+        # int16 when possible (the tunnel link is the bottleneck) and
+        # the features STAY on device for the AM
         t0 = time.time()
-        feat_list = self.feats.compute_batch(waves)
-        dims = np.array([f.shape[0] for f in feat_list])
-        T = int(dims.max())
-        fb = np.zeros((B, T, feat_list[0].shape[1]), np.float32)
-        for i, f in enumerate(feat_list):
-            fb[i, :f.shape[0]] = f
+        feats_d, dims = self.feats.compute_batch_device(waves)
+        T = int(feats_d.shape[1])
         t_feat = time.time() - t0
-        # 2. acoustic model (one batched dispatch, bf16)
+        # 2. acoustic model (one batched dispatch, bf16); padded
+        # feature rows are garbage but masked by out_lens downstream
         t0 = time.time()
-        loglikes = self._am_forward(jnp.asarray(fb))
+        loglikes = self._am_forward(feats_d)
         sub = max(1, -(-T // loglikes.shape[1]))
         out_lens = -(-dims // sub)
         t_am = time.time() - t0

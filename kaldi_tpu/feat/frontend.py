@@ -28,6 +28,11 @@ from kaldi_tpu.feat import window as win
 from kaldi_tpu.feat import mel as melmod
 
 _FLT_EPS = float(np.finfo(np.float32).eps)
+
+
+@jax.jit
+def _widen_i16(x):
+    return x.astype(jnp.float32)
 _FLT_MIN_LOG = float(np.log(np.finfo(np.float32).tiny))
 
 
@@ -279,21 +284,38 @@ class OfflineFeature:
     def compute_batch(self, waves: Sequence[np.ndarray],
                       vtln_warp: float = 1.0,
                       seed: Optional[int] = None) -> List[np.ndarray]:
+        feats, nframes = self.compute_batch_device(waves, vtln_warp,
+                                                   seed)
+        feats = np.asarray(feats)
+        return [feats[i, :nframes[i]] for i in range(len(waves))]
+
+    def compute_batch_device(self, waves: Sequence[np.ndarray],
+                             vtln_warp: float = 1.0,
+                             seed: Optional[int] = None):
+        """Device-resident variant: returns (feats (B, F_bucket, dim)
+        ON DEVICE, nframes (B,) numpy).  Rows past nframes[i] are
+        garbage (reflection-gathered) — consumers mask by length.
+        int16 input waves are uploaded as int16 and widened on device,
+        halving the host->device transfer (the tunnel link is the
+        bottleneck of the offline pipeline; see BASELINE.md)."""
         fo = self.opts.frame_opts
         lengths = np.array([len(w) for w in waves], dtype=np.int32)
         nframes = np.array([win.num_frames(int(n), fo) for n in lengths],
                            dtype=np.int32)
         max_f = int(nframes.max(initial=0))
         if max_f == 0:
-            return [np.zeros((0, self.dim()), np.float32) for _ in waves]
+            return (jnp.zeros((len(waves), 0, self.dim()), jnp.float32),
+                    nframes)
         bucket_f = _bucket(max_f)
         # padded sample budget covering bucket_f frames; reflection maps any
         # out-of-range index back into [0, true_length)
         need = win.first_sample_of_frame(bucket_f - 1, fo) + fo.window_size()
         T = max(need, int(lengths.max(initial=1)))
-        batch = np.zeros((len(waves), T), dtype=np.float32)
+        wire_dtype = np.int16 if all(
+            np.asarray(w).dtype == np.int16 for w in waves) else np.float32
+        batch = np.zeros((len(waves), T), dtype=wire_dtype)
         for i, w in enumerate(waves):
-            batch[i, :len(w)] = np.asarray(w, dtype=np.float32)
+            batch[i, :len(w)] = np.asarray(w, dtype=wire_dtype)
 
         params = {"window_fn": jnp.asarray(self.window_fn)}
         if self.type in ("mfcc", "fbank", "plp"):
@@ -316,10 +338,15 @@ class OfflineFeature:
                 seed = int(self._rng.integers(2 ** 31 - 1))
             params["key"] = jax.random.PRNGKey(seed)
 
-        frames = self._gather_frames(jnp.asarray(batch), lengths, bucket_f)
+        wb = jnp.asarray(batch)
+        if wb.dtype == jnp.int16:
+            # widen on device FIRST: the wire stays int16 (half the
+            # transfer) but the gather/FFT programs stay float32 —
+            # int16 gathers hit TPU compiler pathologies
+            wb = _widen_i16(wb)
+        frames = self._gather_frames(wb, lengths, bucket_f)
         feats = self._compute_frames(frames, params, use_dither)
-        feats = np.asarray(feats)
-        return [feats[i, :nframes[i]] for i in range(len(waves))]
+        return feats, nframes
 
 
 def make_feature_computer(feature_type: str, opts=None) -> OfflineFeature:
