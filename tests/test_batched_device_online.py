@@ -1,0 +1,90 @@
+"""Device-resident batched online pipeline: streaming chunked decode
+must match the offline batched decode exactly (the reference's
+online/offline-equivalence contract for
+batched-threaded-nnet3-cuda-online-pipeline), including ragged chunk
+arrivals, idle lanes, and lane reuse."""
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.decoder.block_chain import BlockChainDecoder
+from kaldi_tpu.online.batched_device_pipeline import \
+    BatchedDeviceOnlinePipeline
+from tests.test_block_chain import build_small
+
+
+def identity_scorer(feats):
+    return feats           # features ARE loglikes in these tests
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_streaming_matches_offline(seed):
+    g = build_small(seed=seed)
+    dec = BlockChainDecoder(g, interpret=True)
+    rng = np.random.default_rng(seed + 7)
+    B, Tc = 3, 4
+    lens = [11, 7, 9]
+    lls = [rng.normal(size=(T, g.num_pdfs)).astype(np.float32)
+           for T in lens]
+    pipe = BatchedDeviceOnlinePipeline(
+        dec, identity_scorer, feat_dim=g.num_pdfs, num_lanes=B,
+        chunk_frames=Tc)
+    for b in range(B):
+        pipe.init_channel(b, f"utt{b}")
+    # ragged arrival: feed random-size pieces
+    cursors = [0] * B
+    while any(c < lens[b] for b, c in enumerate(cursors)):
+        for b in range(B):
+            if cursors[b] < lens[b]:
+                n = int(rng.integers(1, 5))
+                n = min(n, lens[b] - cursors[b])
+                pipe.accept_features(b, lls[b][cursors[b]:cursors[b] + n])
+                cursors[b] += n
+        pipe.compute()
+    while pipe.compute():
+        pass
+    results = [pipe.finalize(b) for b in range(B)]
+
+    Tmax = max(lens)
+    batch = np.zeros((B, Tmax, g.num_pdfs), np.float32)
+    for b in range(B):
+        batch[b, :lens[b]] = lls[b]
+    ref = dec.decode_batch(batch, acoustic_scale=1.0, lengths=lens)
+    for b in range(B):
+        assert results[b] is not None and ref[b] is not None
+        words, tids, cost = results[b]
+        r_words, r_tids, r_cost = ref[b]
+        assert words == r_words, f"lane {b}"
+        assert tids == r_tids, f"lane {b}"
+        assert cost == pytest.approx(r_cost, abs=1e-3)
+
+
+def test_partials_progress_and_lane_reuse():
+    g = build_small(seed=0)
+    dec = BlockChainDecoder(g, interpret=True)
+    rng = np.random.default_rng(11)
+    pipe = BatchedDeviceOnlinePipeline(
+        dec, identity_scorer, feat_dim=g.num_pdfs, num_lanes=2,
+        chunk_frames=4)
+    ll1 = rng.normal(size=(8, g.num_pdfs)).astype(np.float32)
+    pipe.init_channel(0, "a")
+    pipe.accept_features(0, ll1[:4])
+    pipe.compute()
+    part = pipe.get_partial(0)
+    assert part is not None and len(part[1]) == 4   # 4 frames aligned
+    pipe.accept_features(0, ll1[4:])
+    pipe.compute()
+    final1 = pipe.finalize(0)
+    ref1 = dec.decode_batch(ll1[None], 1.0)[0]
+    assert final1[0] == ref1[0] and final1[1] == ref1[1]
+    pipe.free_channel(0)
+    # reuse lane 0 for a NEW utterance; lane 1 still idle
+    ll2 = rng.normal(size=(6, g.num_pdfs)).astype(np.float32)
+    pipe.init_channel(0, "b")
+    pipe.accept_features(0, ll2)
+    while pipe.compute():
+        pass
+    final2 = pipe.finalize(0)
+    ref2 = dec.decode_batch(ll2[None], 1.0)[0]
+    assert final2[0] == ref2[0] and final2[1] == ref2[1]
+    assert final2[2] == pytest.approx(ref2[2], abs=1e-3)
