@@ -41,6 +41,14 @@ _register("kaldi_tpu.cli.feat_tools", {
     "extract-segments": "extract_segments",
     "matrix-sum": "matrix_sum",
     "vector-sum": "vector_sum",
+    "shift-feats": "shift_feats",
+    "subsample-feats": "subsample_feats",
+    "concat-feats": "concat_feats",
+    "compare-feats": "compare_feats",
+    "append-vector-to-feats": "append_vector_to_feats",
+    "post-to-feats": "post_to_feats",
+    "wav-copy": "wav_copy",
+    "extract-feature-segments": "extract_feature_segments",
 })
 
 _register("kaldi_tpu.cli.gmm_tools", {
@@ -142,6 +150,22 @@ _register("kaldi_tpu.cli.lat_tools", {
     "arpa-to-const-arpa": "arpa_to_const_arpa",
     "lattice-lmrescore-const-arpa": "lattice_lmrescore_const_arpa",
     "lattice-lmrescore-pruned": "lattice_lmrescore_pruned_cli",
+})
+
+_register("kaldi_tpu.cli.lat_tools2", {
+    "lattice-union": "lattice_union",
+    "lattice-reverse": "lattice_reverse",
+    "lattice-project": "lattice_project",
+    "lattice-to-fst": "lattice_to_fst_cli",
+    "lattice-to-phone-lattice": "lattice_to_phone_lattice",
+    "lattice-depth-per-frame": "lattice_depth_per_frame",
+    "lattice-limit-depth": "lattice_limit_depth",
+    "lattice-arc-post": "lattice_arc_post",
+    "lattice-confidence": "lattice_confidence",
+    "lattice-equivalent": "lattice_equivalent",
+    "lattice-boost-ali": "lattice_boost_ali",
+    "linear-to-nbest": "linear_to_nbest",
+    "nbest-to-ctm": "nbest_to_ctm",
 })
 
 

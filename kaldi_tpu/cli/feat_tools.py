@@ -546,3 +546,243 @@ def vector_sum(argv: List[str]) -> int:
     kaldi_io.write_kaldi_object(
         lambda s, b: iof.write_vector(s, b, total), po.get_arg(2))
     return 0
+
+
+# ---------------------------------------------------------------------------
+# featbin tail (round 2): shift-feats, subsample-feats, concat-feats,
+# compare-feats, append-vector-to-feats, post-to-feats, wav-copy,
+# extract-feature-segments (parity with the same-named featbin tools)
+
+def shift_feats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Copy features, and possibly shift them while maintaining the "
+        "num-frames.\n"
+        "Usage: shift-feats [options] <feature-rspecifier> "
+        "<feature-wspecifier>")
+    shift = po.register_value("shift", 0, "Number of frames by which to "
+                              "shift the features (+ -> later in time)")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.util.table import MatrixHolder
+    writer = TableWriter(MatrixHolder(), po.get_arg(2))
+    n = 0
+    for key, feats in SequentialTableReader(MatrixHolder(), po.get_arg(1)):
+        k = int(shift[0])
+        out = np.empty_like(feats)
+        if k >= 0:
+            out[k:] = feats[:len(feats) - k] if k < len(feats) else 0
+            out[:k] = feats[0]
+        else:
+            k = -k
+            out[:len(feats) - k] = feats[k:]
+            out[len(feats) - k:] = feats[-1]
+        writer.write(key, out)
+        n += 1
+    writer.close()
+    log(f"shift-feats: {n} utterances")
+    return 0
+
+
+def subsample_feats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Sub-samples features (or repeats them): output every n'th "
+        "frame (negative n -> repeat each frame n times).\n"
+        "Usage: subsample-feats [options] <feature-rspecifier> "
+        "<feature-wspecifier>")
+    n_opt = po.register_value("n", 1, "Frame subsampling factor")
+    offset = po.register_value("offset", 0, "Phase of subsampling")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.util.table import MatrixHolder
+    writer = TableWriter(MatrixHolder(), po.get_arg(2))
+    cnt = 0
+    for key, feats in SequentialTableReader(MatrixHolder(), po.get_arg(1)):
+        n = int(n_opt[0])
+        if n > 0:
+            out = feats[int(offset[0])::n]
+        else:
+            out = np.repeat(feats, -n, axis=0)
+        writer.write(key, out)
+        cnt += 1
+    writer.close()
+    log(f"subsample-feats: {cnt} utterances")
+    return 0
+
+
+def concat_feats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Concatenate feature files (in time).\n"
+        "Usage: concat-feats <in-rxfilename1> <in-rxfilename2> "
+        "[<in-rxfilenameN>...] <out-wxfilename>")
+    po.read(argv)
+    if po.num_args() < 3:
+        po.print_usage()
+        return 1
+    mats = []
+    for i in range(1, po.num_args()):
+        with kaldi_io.open_input(po.get_arg(i)) as f:
+            binary = iof.init_input_stream(f)
+            mats.append(iof.read_matrix(f, binary))
+    out = np.concatenate(mats, axis=0)
+    with kaldi_io.output_stream(po.get_arg(po.num_args())) as f:
+        iof.init_output_stream(f, True)
+        iof.write_matrix(f, True, out.astype(np.float32))
+    return 0
+
+
+def compare_feats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Computes relative difference between two sets of features "
+        "per-utterance; print the average similarity (1.0 = identical).\n"
+        "Usage: compare-feats [options] <in-rspecifier1> <in-rspecifier2>")
+    threshold = po.register_value("threshold", 0.99,
+                                  "Similarity threshold for success")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.util.table import MatrixHolder, RandomAccessTableReader
+    second = RandomAccessTableReader(MatrixHolder(), po.get_arg(2))
+    sims = []
+    for key, a in SequentialTableReader(MatrixHolder(), po.get_arg(1)):
+        if not second.has_key(key):
+            warn(f"compare-feats: no second features for {key}")
+            continue
+        b = second[key]
+        if a.shape != b.shape:
+            sims.append(0.0)
+            continue
+        num = float((a * b).sum())
+        den = float(np.sqrt((a * a).sum() * (b * b).sum()))
+        sims.append(num / den if den else 1.0)
+    mean = float(np.mean(sims)) if sims else 0.0
+    print(f"Average similarity is {mean} with similarity threshold "
+          f"{threshold[0]}", file=sys.stderr)
+    return 0 if sims and mean >= threshold[0] else 1
+
+
+def append_vector_to_feats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Append a vector to each row of input feature files.\n"
+        "Usage: append-vector-to-feats <in-rspecifier1> "
+        "<vec-rspecifier2> <out-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.util.table import (MatrixHolder,
+                                      RandomAccessTableReader,
+                                      VectorHolder)
+    vecs = RandomAccessTableReader(VectorHolder(), po.get_arg(2))
+    writer = TableWriter(MatrixHolder(), po.get_arg(3))
+    n = 0
+    for key, feats in SequentialTableReader(MatrixHolder(), po.get_arg(1)):
+        if not vecs.has_key(key):
+            warn(f"append-vector-to-feats: no vector for {key}")
+            continue
+        v = vecs[key]
+        out = np.concatenate(
+            [feats, np.broadcast_to(v, (len(feats), len(v)))], axis=1)
+        writer.write(key, out.astype(np.float32))
+        n += 1
+    writer.close()
+    log(f"append-vector-to-feats: {n} utterances")
+    return 0
+
+
+def post_to_feats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Convert posteriors to features (a dense matrix with one "
+        "column per posterior entry id).\n"
+        "Usage: post-to-feats [options] <post-rspecifier> "
+        "<feats-wspecifier>")
+    post_dim = po.register_value("post-dim", 0,
+                                 "Dimensionality of the output")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    if post_dim[0] <= 0:
+        warn("post-to-feats: --post-dim must be set")
+        return 1
+    from kaldi_tpu.util.table import MatrixHolder
+    writer = TableWriter(MatrixHolder(), po.get_arg(2))
+    n = 0
+    for key, post in SequentialTableReader("posterior", po.get_arg(1)):
+        T = len(post)
+        out = np.zeros((T, int(post_dim[0])), np.float32)
+        for t, row in enumerate(post):
+            for pid, w in row:
+                if pid < post_dim[0]:
+                    out[t, pid] += w
+        writer.write(key, out)
+        n += 1
+    writer.close()
+    log(f"post-to-feats: {n} utterances")
+    return 0
+
+
+def wav_copy(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Copy wave file or archives of wave files.\n"
+        "Usage: wav-copy [options] <wav-rspecifier> <wav-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.util.table import WaveHolder
+    writer = TableWriter(WaveHolder(), po.get_arg(2))
+    n = 0
+    for key, wav in SequentialTableReader(WaveHolder(), po.get_arg(1)):
+        writer.write(key, wav)
+        n += 1
+    writer.close()
+    log(f"wav-copy: {n} files")
+    return 0
+
+
+def extract_feature_segments(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Create feature files for segments from an input 'segments' "
+        "file (each line: <segment-id> <utt-id> <start-time> "
+        "<end-time>).\n"
+        "Usage: extract-feature-segments [options] "
+        "<feats-rspecifier> <segments-file> <feats-wspecifier>")
+    frame_shift = po.register_value("frame-shift", 0.01,
+                                    "Frame shift in seconds")
+    min_segment_length = po.register_value("min-segment-length", 0.1,
+                                           "Minimum segment length "
+                                           "in seconds")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.util.table import MatrixHolder, RandomAccessTableReader
+    feats = RandomAccessTableReader(MatrixHolder(), po.get_arg(1))
+    writer = TableWriter(MatrixHolder(), po.get_arg(3))
+    n = skipped = 0
+    with open(po.get_arg(2)) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 4:
+                continue
+            seg, utt, t0, t1 = parts[0], parts[1], float(parts[2]), \
+                float(parts[3])
+            if t1 - t0 < min_segment_length[0] or not feats.has_key(utt):
+                skipped += 1
+                continue
+            mat = feats[utt]
+            i0 = int(round(t0 / frame_shift[0]))
+            i1 = min(int(round(t1 / frame_shift[0])), len(mat))
+            if i1 <= i0:
+                skipped += 1
+                continue
+            writer.write(seg, mat[i0:i1])
+            n += 1
+    writer.close()
+    log(f"extract-feature-segments: {n} segments ({skipped} skipped)")
+    return 0
