@@ -287,75 +287,92 @@ class BlockChainDecoder:
         segs = self._segs
         n_k1 = len(self._k1_words)
 
+        G = 8                     # context blocks per grid step: the
+        # per-step overhead (DMA issue + sequential-grid latency) was
+        # the wall at ~12us/step; processing 8 blocks per step cuts
+        # the sequential step count 8x for the same total traffic
+        assert Up % G == 0
+
         def kernel(cost_ref, ovr_ref, amf_ref, ams_ref, first_ref, big_ref,
                    out_ref, bits_ref, rootexp_ref, rootarg_ref,
                    best_s, arg_s):
-            u = pl.program_id(0)
-            blk = cost_ref[0]                              # (N, B)
-            root_row = ovr_ref[u][None, :]                 # (1, B)
-            rolled = pltpu.roll(blk, 1, 0)
-            fwd_src = jnp.where(first_ref[:] > 0.5, root_row, rolled)
-            fwd_cand = fwd_src + (LN2 + amf_ref[:])
-            self_cand = blk + (LN2 + ams_ref[:])
-            take_fwd = fwd_cand < self_cand
-            new = jnp.where(take_fwd, fwd_cand, self_cand)
-            out_ref[0] = new
-            # bit-pack decisions: bit r of byte i = row 8*i+r
-            d3 = take_fwd.astype(jnp.int32).reshape(Nb, 8, B)
-            w8 = (1 << jax.lax.broadcasted_iota(jnp.int32, (Nb, 8, B), 1))
-            bits_ref[0] = (d3 * w8).sum(axis=1).astype(jnp.uint8)
-            # word-transition candidates out of this block (OLD costs)
-            parts = [jnp.broadcast_to(root_row, (n_k1, B))] if n_k1 else []
-            for (off, vk, km1) in segs:
-                seg = blk[off:off + vk * km1].reshape(vk, km1, B)
-                parts.append(seg[:, km1 - 1, :])
-            if Vp > V:
-                parts.append(jnp.full((Vp - V, B), INF, jnp.float32))
-            ends = jnp.concatenate(parts, axis=0)          # (Vp, B)
-            cand = ends + big_ref[u][:, None]              # (Vp, B)
+            ub = pl.program_id(0)
+            first = first_ref[:] > 0.5
+            amf = LN2 + amf_ref[:]
+            ams = LN2 + ams_ref[:]
+            for g_i in range(G):
+                u = ub * G + g_i
+                blk = cost_ref[g_i]                        # (N, B)
+                root_row = ovr_ref[u][None, :]             # (1, B)
+                rolled = pltpu.roll(blk, 1, 0)
+                fwd_src = jnp.where(first, root_row, rolled)
+                fwd_cand = fwd_src + amf
+                self_cand = blk + ams
+                take_fwd = fwd_cand < self_cand
+                new = jnp.where(take_fwd, fwd_cand, self_cand)
+                out_ref[g_i] = new
+                # bit-pack decisions: bit r of byte i = row 8*i+r
+                d3 = take_fwd.astype(jnp.int32).reshape(Nb, 8, B)
+                w8 = (1 << jax.lax.broadcasted_iota(jnp.int32,
+                                                    (Nb, 8, B), 1))
+                bits_ref[g_i] = (d3 * w8).sum(axis=1).astype(jnp.uint8)
+                # word-transition candidates out of this block (OLD)
+                parts = [jnp.broadcast_to(root_row, (n_k1, B))] \
+                    if n_k1 else []
+                for (off, vk, km1) in segs:
+                    seg = blk[off:off + vk * km1].reshape(vk, km1, B)
+                    parts.append(seg[:, km1 - 1, :])
+                if Vp > V:
+                    parts.append(jnp.full((Vp - V, B), INF, jnp.float32))
+                ends = jnp.concatenate(parts, axis=0)      # (Vp, B)
+                cand = ends + big_ref[g_i][:, None]        # (Vp, B)
 
-            @pl.when(u == 0)
-            def _():
-                best_s[:] = jnp.full((Vp, B), INF, jnp.float32)
-                arg_s[:] = jnp.zeros((Vp, B), jnp.int32)
+                if g_i == 0:
+                    @pl.when(ub == 0)
+                    def _():
+                        best_s[:] = jnp.full((Vp, B), INF, jnp.float32)
+                        arg_s[:] = jnp.zeros((Vp, B), jnp.int32)
 
-            better = cand < best_s[:]
-            best_s[:] = jnp.where(better, cand, best_s[:])
-            arg_s[:] = jnp.where(better, u, arg_s[:])
+                better = cand < best_s[:]
+                best_s[:] = jnp.where(better, cand, best_s[:])
+                arg_s[:] = jnp.where(better, u, arg_s[:])
 
-            @pl.when(u == pl.num_programs(0) - 1)
+            @pl.when(ub == pl.num_programs(0) - 1)
             def _():
                 rootexp_ref[:] = best_s[:]
                 rootarg_ref[:] = arg_s[:]
 
         grid_call = pl.pallas_call(
             kernel,
-            grid=(U,),
+            grid=(Up // G,),
             in_specs=[
-                pl.BlockSpec((1, N, B), lambda u: (u, 0, 0),
+                pl.BlockSpec((G, N, B), lambda u: (u, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, Vp), lambda u: (u, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, N, B), lambda u: (u, 0, 0),
+                pl.BlockSpec((G, N, B), lambda u: (u, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Nb, B), lambda u: (u, 0, 0),
+                pl.BlockSpec((G, Nb, B), lambda u: (u, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((U, N, B), jnp.float32),
-                jax.ShapeDtypeStruct((U, Nb, B), jnp.uint8),
+                jax.ShapeDtypeStruct((Up, N, B), jnp.float32),
+                jax.ShapeDtypeStruct((Up, Nb, B), jnp.uint8),
                 jax.ShapeDtypeStruct((Vp, B), jnp.float32),
                 jax.ShapeDtypeStruct((Vp, B), jnp.int32),
             ],
             scratch_shapes=[pltpu.VMEM((Vp, B), jnp.float32),
                             pltpu.VMEM((Vp, B), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=self.interpret,
         )
 
@@ -368,12 +385,12 @@ class BlockChainDecoder:
         bigram_ends = self._bigram_ends
 
         def frame(carry, x):
-            cost, ovr = carry                  # (U,N,B), (Up,B)
+            cost, ovr = carry                  # (Up,N,B), (Up,B)
             am_t, act = x                      # (P,B), (B,)
             amf = am_t[pdf_fwd_row]            # (N,B)
             ams = am_t[pdf_self_row]
             new, bits, rootexp, rootarg = grid_call(
-                cost, ovr[:U], amf, ams, first_f, bigram_ends)
+                cost, ovr, amf, ams, first_f, bigram_ends)
             # root update (ends order -> word order)
             exp_cand = rootexp + am_t[pdf_wend] + 0.0      # (Vp,B)
             exp_w = exp_cand[word_to_endpos]               # (V,B) word order
@@ -989,7 +1006,7 @@ class BlockChainDecoder:
         am = jnp.transpose(jnp.asarray(loglikes) * (-acoustic_scale),
                            (1, 2, 0))                       # (T,P,B)
         active = jnp.asarray(np.arange(T)[:, None] < lengths[None, :])
-        cost0 = jnp.full((U, N, B), INF, jnp.float32)
+        cost0 = jnp.full((self.Up, N, B), INF, jnp.float32)
         ovr0 = jnp.full((self.Up, B), INF, jnp.float32)
         ovr0 = ovr0.at[V].set(0.0)                          # begin root
         cost, ovr, ys = fwd(cost0, ovr0, am, active)

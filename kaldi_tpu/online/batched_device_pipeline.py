@@ -75,7 +75,8 @@ class BatchedDeviceOnlinePipeline:
         self._fwd, self._fol = decoder._jit[num_lanes]
         self.channels: List[Optional[_Channel]] = [None] * num_lanes
         # device carry
-        self._cost = jnp.full((g.U, g.N, self.B), INF, jnp.float32)
+        self._cost = jnp.full((decoder.Up, g.N, self.B), INF,
+                              jnp.float32)
         self._ovr = jnp.full((decoder.Up, self.B), INF, jnp.float32)
         self._ys: List[Tuple] = []     # per-chunk (bits, arg, self) + act
         self._acts: List[np.ndarray] = []
