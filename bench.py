@@ -103,6 +103,21 @@ def main():
           f"{stats.am_s:.2f}s, search {stats.search_s:.2f}s), "
           f"{n_ok}/{B} lanes decoded", file=sys.stderr)
 
+    if "--with-lattices" in sys.argv:
+        # secondary line: the same pipeline in lattice-generating mode
+        # (device top-J dumps + bitmask D2H + pruned host assembly)
+        t0 = time.time()
+        pipe.decode_batch(waves, generate_lattices=True)  # compile+warm
+        print(f"# lattice-mode compile+warmup: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        lstats = PipelineStats()
+        lout = pipe.decode_batch(waves, stats=lstats,
+                                 generate_lattices=True)
+        n_lat = sum(o is not None and o[2] is not None for o in lout)
+        print(f"# lattice pipeline: {lstats.total_audio_s:.0f}s audio "
+              f"in {lstats.wall_s:.2f}s = {lstats.xrt:.1f}x RT, "
+              f"{n_lat}/{B} lattices", file=sys.stderr)
+
     baseline = 3524.0  # V100 full-pipeline RealTimeX, arXiv:1910.10032
     print(json.dumps({
         "metric": "full_pipeline_offline_decode_xRT_per_chip",

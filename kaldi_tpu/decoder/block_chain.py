@@ -473,62 +473,72 @@ class BlockChainDecoder:
         segs = self._segs
         n_k1 = len(self._k1_words)
 
+        G = 4               # context blocks per grid step (VMEM:
+        # the lattice variant streams 2x the planes of _make_step)
+        assert Up % G == 0
+
         def kernel(t_ref, cost_ref, ent_ref, ovr_ref, amf_ref, ams_ref,
                    first_ref, big_ref,
                    out_ref, eout_ref, rc_ref, ru_ref, re_ref,
                    c_s, u_s, e_s):
-            u = pl.program_id(0)
+            ub = pl.program_id(0)
             t = t_ref[0].astype(jnp.float32)
-            blk = cost_ref[0]                              # (N, B)
-            ent = ent_ref[0]                               # (N, B) f32 frames
-            root_row = ovr_ref[u][None, :]
             first = first_ref[:] > 0.5
-            rolled = pltpu.roll(blk, 1, 0)
-            rolled_e = pltpu.roll(ent, 1, 0)
-            fwd_src = jnp.where(first, root_row, rolled)
-            fwd_ent = jnp.where(first, t, rolled_e)
-            fwd_cand = fwd_src + (LN2 + amf_ref[:])
-            self_cand = blk + (LN2 + ams_ref[:])
-            take_fwd = fwd_cand < self_cand
-            out_ref[0] = jnp.where(take_fwd, fwd_cand, self_cand)
-            eout_ref[0] = jnp.where(take_fwd, fwd_ent, ent)
-            # word-transition candidates (OLD costs/entries)
-            parts = [jnp.broadcast_to(root_row, (n_k1, B))] if n_k1 else []
-            eparts = [jnp.full((n_k1, B), 0.0, jnp.float32) + t] \
-                if n_k1 else []
-            for (off, vk, km1) in segs:
-                seg = blk[off:off + vk * km1].reshape(vk, km1, B)
-                parts.append(seg[:, km1 - 1, :])
-                es = ent[off:off + vk * km1].reshape(vk, km1, B)
-                eparts.append(es[:, km1 - 1, :])
-            if Vp > V:
-                parts.append(jnp.full((Vp - V, B), INF, jnp.float32))
-                eparts.append(jnp.zeros((Vp - V, B), jnp.float32))
-            cand = jnp.concatenate(parts, 0) + big_ref[u % 8][:, None]
-            cand_e = jnp.concatenate(eparts, 0)
+            amf = LN2 + amf_ref[:]
+            ams = LN2 + ams_ref[:]
+            for g_i in range(G):
+                u = ub * G + g_i
+                blk = cost_ref[g_i]                        # (N, B)
+                ent = ent_ref[g_i]                         # (N, B) f32
+                root_row = ovr_ref[u][None, :]
+                rolled = pltpu.roll(blk, 1, 0)
+                rolled_e = pltpu.roll(ent, 1, 0)
+                fwd_src = jnp.where(first, root_row, rolled)
+                fwd_ent = jnp.where(first, t, rolled_e)
+                fwd_cand = fwd_src + amf
+                self_cand = blk + ams
+                take_fwd = fwd_cand < self_cand
+                out_ref[g_i] = jnp.where(take_fwd, fwd_cand, self_cand)
+                eout_ref[g_i] = jnp.where(take_fwd, fwd_ent, ent)
+                # word-transition candidates (OLD costs/entries)
+                parts = [jnp.broadcast_to(root_row, (n_k1, B))] \
+                    if n_k1 else []
+                eparts = [jnp.full((n_k1, B), 0.0, jnp.float32) + t] \
+                    if n_k1 else []
+                for (off, vk, km1) in segs:
+                    seg = blk[off:off + vk * km1].reshape(vk, km1, B)
+                    parts.append(seg[:, km1 - 1, :])
+                    es = ent[off:off + vk * km1].reshape(vk, km1, B)
+                    eparts.append(es[:, km1 - 1, :])
+                if Vp > V:
+                    parts.append(jnp.full((Vp - V, B), INF, jnp.float32))
+                    eparts.append(jnp.zeros((Vp - V, B), jnp.float32))
+                cand = jnp.concatenate(parts, 0) + big_ref[u][:, None]
+                cand_e = jnp.concatenate(eparts, 0)
 
-            @pl.when(u == 0)
-            def _():
-                c_s[:] = jnp.full((J, Vp, B), INF, jnp.float32)
-                u_s[:] = jnp.zeros((J, Vp, B), jnp.float32)
-                e_s[:] = jnp.zeros((J, Vp, B), jnp.float32)
+                if g_i == 0:
+                    @pl.when(ub == 0)
+                    def _():
+                        c_s[:] = jnp.full((J, Vp, B), INF, jnp.float32)
+                        u_s[:] = jnp.zeros((J, Vp, B), jnp.float32)
+                        e_s[:] = jnp.zeros((J, Vp, B), jnp.float32)
 
-            # bubble the candidate into the sorted top-J planes
-            cu = jnp.zeros((Vp, B), jnp.float32) + \
-                u.astype(jnp.float32)
-            ce = cand_e
-            cc = cand
-            for j in range(J):
-                better = cc < c_s[j]
-                c_old, u_old, e_old = c_s[j], u_s[j], e_s[j]
-                c_s[j] = jnp.where(better, cc, c_old)
-                u_s[j] = jnp.where(better, cu, u_old)
-                e_s[j] = jnp.where(better, ce, e_old)
-                cc = jnp.where(better, c_old, cc)
-                cu = jnp.where(better, u_old, cu)
-                ce = jnp.where(better, e_old, ce)
+                # bubble the candidate into the sorted top-J planes
+                cu = jnp.zeros((Vp, B), jnp.float32) + \
+                    u.astype(jnp.float32)
+                ce = cand_e
+                cc = cand
+                for j in range(J):
+                    better = cc < c_s[j]
+                    c_old, u_old, e_old = c_s[j], u_s[j], e_s[j]
+                    c_s[j] = jnp.where(better, cc, c_old)
+                    u_s[j] = jnp.where(better, cu, u_old)
+                    e_s[j] = jnp.where(better, ce, e_old)
+                    cc = jnp.where(better, c_old, cc)
+                    cu = jnp.where(better, u_old, cu)
+                    ce = jnp.where(better, e_old, ce)
 
-            @pl.when(u == pl.num_programs(0) - 1)
+            @pl.when(ub == pl.num_programs(0) - 1)
             def _():
                 rc_ref[:] = c_s[:]
                 ru_ref[:] = u_s[:]
@@ -536,29 +546,26 @@ class BlockChainDecoder:
 
         grid_call = pl.pallas_call(
             kernel,
-            grid=(U,),
+            grid=(Up // G,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, N, B), lambda u: (u, 0, 0),
+                pl.BlockSpec((G, N, B), lambda u: (u, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, N, B), lambda u: (u, 0, 0),
+                pl.BlockSpec((G, N, B), lambda u: (u, 0, 0),
                              memory_space=pltpu.VMEM),
-            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
-                pl.BlockSpec((8, Vp), lambda u: (u // 8, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_specs=[
-                pl.BlockSpec((1, N, B), lambda u: (u, 0, 0),
+                pl.BlockSpec((G, N, B), lambda u: (u, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, N, B), lambda u: (u, 0, 0),
+                pl.BlockSpec((G, N, B), lambda u: (u, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((U, N, B), jnp.float32),
-                jax.ShapeDtypeStruct((U, N, B), jnp.float32),
+                jax.ShapeDtypeStruct((Up, N, B), jnp.float32),
+                jax.ShapeDtypeStruct((Up, N, B), jnp.float32),
                 jax.ShapeDtypeStruct((J, Vp, B), jnp.float32),
                 jax.ShapeDtypeStruct((J, Vp, B), jnp.float32),
                 jax.ShapeDtypeStruct((J, Vp, B), jnp.float32),
@@ -567,7 +574,7 @@ class BlockChainDecoder:
                             pltpu.VMEM((J, Vp, B), jnp.float32),
                             pltpu.VMEM((J, Vp, B), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=self.interpret,
         )
 
@@ -586,7 +593,7 @@ class BlockChainDecoder:
             ams = am_t[pdf_self_row]
             am_rs = am_t[pdf_root_self]                    # (Vp, B)
             new, ent_new, rc, ru, re = grid_call(
-                jnp.full((1,), t, jnp.int32), cost, ent, ovr[:U],
+                jnp.full((1,), t, jnp.int32), cost, ent, ovr,
                 amf, ams, first_f, bigram_ends)
             exp_all = rc + am_t[pdf_wend][None]            # (J, Vp, B)
             exp_w = exp_all[:, word_to_endpos]             # word order
@@ -640,26 +647,38 @@ class BlockChainDecoder:
 
         return jax.jit(post)
 
-    def _gather3(self, arrs, t, j, w, b):
-        """Fetch survivor payloads exp/arg/ent at (t, j, w, b)."""
+    def _gather3(self, arrs, ovr_all, t, j, w, b):
+        """Fetch survivor payloads exp/arg/ent at (t, j, w, b) AND the
+        source alpha ovr[ent-1, arg, b] in ONE device call (the chained
+        dependency stays on device; each host round-trip over the
+        tunnel costs more than the gather itself)."""
         import jax
         import jax.numpy as jnp
         S = 1 << max(int(np.ceil(np.log2(max(len(t), 1)))), 4)
         key = ("g3", S)
         if key not in self._jit:
+            Up = self.Up
+
             @jax.jit
-            def g3(e, a, en, ti, ji, wi, bi):
-                return (e[ti, ji, wi, bi], a[ti, ji, wi, bi],
-                        en[ti, ji, wi, bi])
+            def g3(e, a, en, ovr, ti, ji, wi, bi):
+                ev = e[ti, ji, wi, bi]
+                av = a[ti, ji, wi, bi]
+                env = en[ti, ji, wi, bi]
+                te = env.astype(jnp.int32)
+                u = jnp.clip(av.astype(jnp.int32), 0, Up - 1)
+                src = ovr[jnp.maximum(te - 1, 0), u, bi]
+                src = jnp.where(te >= 1, src, 0.0)
+                return ev, av, env, src
             self._jit[key] = g3
         pad = S - len(t)
         ti = jnp.asarray(np.pad(t, (0, pad)))
         ji = jnp.asarray(np.pad(j, (0, pad)))
         wi = jnp.asarray(np.pad(w, (0, pad)))
         bi = jnp.asarray(np.pad(b, (0, pad)))
-        e, a, en = self._jit[key](*arrs, ti, ji, wi, bi)
+        e, a, en, src = self._jit[key](*arrs, ovr_all, ti, ji, wi, bi)
         n = len(t)
-        return (np.asarray(e)[:n], np.asarray(a)[:n], np.asarray(en)[:n])
+        return (np.asarray(e)[:n], np.asarray(a)[:n],
+                np.asarray(en)[:n], np.asarray(src)[:n])
 
     def _gather2(self, arr, i0, i1, b, name):
         """Fetch arr[i0, i1, b] (alpha sources / am cumsums)."""
@@ -708,8 +727,8 @@ class BlockChainDecoder:
         am = jnp.transpose(jnp.asarray(loglikes) * (-acoustic_scale),
                            (1, 2, 0))
         active = jnp.asarray(np.arange(T)[:, None] < lengths[None, :])
-        cost0 = jnp.full((U, N, B), INF, jnp.float32)
-        ent0 = jnp.zeros((U, N, B), jnp.float32)
+        cost0 = jnp.full((self.Up, N, B), INF, jnp.float32)
+        ent0 = jnp.zeros((self.Up, N, B), jnp.float32)
         ovr0 = jnp.full((self.Up, B), INF, jnp.float32).at[V].set(0.0)
         import time as _time
         _t0 = _time.time()
@@ -742,17 +761,10 @@ class BlockChainDecoder:
             stats["unpack_s"] = _time.time() - _t0
             stats["n_survivors"] = len(ts)
         _t0 = _time.time()
-        cvals, uvals, tevals = self._gather3(
-            (exp_w, arg_w, ent_w), ts, js, ws, bs)
+        cvals, uvals, tevals, a_src = self._gather3(
+            (exp_w, arg_w, ent_w), ovr_all, ts, js, ws, bs)
         uvals = np.rint(uvals).astype(np.int64)
         tevals = np.rint(tevals).astype(np.int64)
-        # source alpha: alpha[te-1, u, b] for entries with te >= 1
-        src_m = tevals >= 1
-        a_src = np.full(len(ts), 0.0, np.float32)
-        if src_m.any():
-            a_src[src_m] = self._gather2(
-                ovr_all, tevals[src_m] - 1,
-                np.minimum(uvals[src_m], self.Up - 1), bs[src_m], "asrc")
         # vectorized validity filter (mirrors the reference's token
         # sanity checks before GetRawLattice)
         begin = tevals == 0
