@@ -109,7 +109,7 @@ def system():
     sys_ = train_mono(lang, train_feats, train,
                       TrainMonoOptions(num_iters=12))
     hclg = make_hclg(sys_, unigram_g(lang))
-    return sys_, hclg, test_feats, test
+    return sys_, hclg, test_feats, test, lang, train_feats, train
 
 
 class TestSensitiveWer:
@@ -117,7 +117,7 @@ class TestSensitiveWer:
         """Pinned band: hard corpus must land at non-zero but usable
         WER.  A silent quality regression (bad priors, mis-scaled
         loglikes, broken transition costs) moves this out of band."""
-        sys_, hclg, test_feats, test = system
+        sys_, hclg, test_feats, test = system[:4]
         hyps = decode(sys_, hclg, test_feats, acoustic_scale=0.1,
                       beam=16.0)
         wer = wer_of(hyps, test)
@@ -126,14 +126,38 @@ class TestSensitiveWer:
     def test_broken_acoustic_scale_detected(self, system):
         """x20 acoustic scale must degrade WER well past the band —
         proves the corpus actually reacts to scale bugs."""
-        sys_, hclg, test_feats, test = system
+        sys_, hclg, test_feats, test = system[:4]
         good = wer_of(decode(sys_, hclg, test_feats, 0.1, 16.0), test)
         bad = wer_of(decode(sys_, hclg, test_feats, 2.0, 16.0), test)
         assert bad > good + 10.0, (good, bad)
 
     def test_collapsed_beam_detected(self, system):
         """A beam collapse (e.g. a pruning bug) must show up."""
-        sys_, hclg, test_feats, test = system
+        sys_, hclg, test_feats, test = system[:4]
         good = wer_of(decode(sys_, hclg, test_feats, 0.1, 16.0), test)
         bad = wer_of(decode(sys_, hclg, test_feats, 0.1, 1.0), test)
         assert bad > good + 10.0, (good, bad)
+
+    def test_tri_stage_band(self, system):
+        """Second recipe stage (delta triphones on mono alignments):
+        must land in its own band and not regress past the mono system
+        — the per-stage pinning of egs/*/RESULTS."""
+        from kaldi_tpu.decoder.graph import TrainingGraphCompiler
+        from kaldi_tpu.recipes.deltas import (TrainDeltasOptions,
+                                              train_deltas)
+        from kaldi_tpu.recipes.mono import _align_all
+        sys_, hclg, test_feats, test, lang, train_feats, train = system
+        mono_wer = wer_of(decode(sys_, hclg, test_feats, 0.1, 16.0),
+                          test)
+        compiler = TrainingGraphCompiler(sys_.tm, sys_.tree, lang)
+        graphs = {u: compiler.compile(train[u]) for u in train_feats}
+        ali = _align_all(sys_, graphs, train_feats, 10.0, 0.1, 1.0)
+        tri = train_deltas(lang, train_feats, train, sys_, ali,
+                           TrainDeltasOptions(num_leaves=24,
+                                              totgauss=160))
+        hclg_tri = make_hclg(tri, unigram_g(lang))
+        tri_wer = wer_of(decode(tri, hclg_tri, test_feats, 0.1, 16.0),
+                         test)
+        # its own pinned band + no regression beyond noise
+        assert 0.0 <= tri_wer <= 30.0, f"tri WER {tri_wer:.1f}%"
+        assert tri_wer <= mono_wer + 4.0, (mono_wer, tri_wer)
