@@ -166,6 +166,9 @@ _register("kaldi_tpu.cli.lat_tools2", {
     "lattice-boost-ali": "lattice_boost_ali",
     "linear-to-nbest": "linear_to_nbest",
     "nbest-to-ctm": "nbest_to_ctm",
+    "lattice-compose": "lattice_compose",
+    "lattice-interp": "lattice_interp",
+    "lattice-push": "lattice_push",
 })
 
 

@@ -567,3 +567,179 @@ def nbest_to_ctm(argv: List[str]) -> int:
         f.write("".join(lines).encode())
     log(f"nbest-to-ctm: wrote {len(lines)} entries")
     return 0
+
+
+# -- composition family ------------------------------------------------------
+
+def compose_lattice_fst_op(lat: Lattice, fst: VectorFst) -> Lattice:
+    """Compose a lattice's word (output) side with a tropical FST,
+    adding FST costs to graph costs (latbin/lattice-compose.cc with an
+    fst as arg2). FST input-eps arcs advance the FST freely; lattice
+    eps-word arcs advance the lattice freely."""
+    from collections import deque
+    out = VectorFst(LatticeWeight)
+    state_map: Dict[Tuple[int, int], int] = {}
+    work = deque()
+
+    def get(ls, fs):
+        key = (ls, fs)
+        s = state_map.get(key)
+        if s is None:
+            s = out.add_state()
+            state_map[key] = s
+            work.append(key)
+        return s
+
+    if lat.num_states == 0 or lat.start is None or \
+            fst.num_states == 0 or fst.start is None:
+        return out
+    # sort fst arcs by ilabel for lookup
+    by_label: List[Dict[int, List[Arc]]] = []
+    for s in range(fst.num_states):
+        d: Dict[int, List[Arc]] = {}
+        for a in fst.arcs[s]:
+            d.setdefault(a.ilabel, []).append(a)
+        by_label.append(d)
+    start = get(lat.start, fst.start)
+    out.set_start(start)
+    while work:
+        ls, fs = work.popleft()
+        cur = state_map[(ls, fs)]
+        if lat.finals[ls] != LatticeWeight.zero and \
+                fst.finals[fs] != TropicalWeight.zero:
+            g, ac = lat.finals[ls]
+            out.finals[cur] = (g + float(fst.finals[fs]), ac)
+        # fst eps-input arcs: free advance
+        for fa in by_label[fs].get(EPS, []):
+            g = float(fa.weight)
+            ns = get(ls, fa.nextstate)
+            out.add_arc(cur, Arc(EPS, fa.olabel, (g, 0.0), ns))
+        for a in lat.arcs[ls]:
+            if a.olabel == EPS:
+                ns = get(a.nextstate, fs)
+                out.add_arc(cur, Arc(a.ilabel, a.olabel, a.weight, ns))
+                continue
+            for fa in by_label[fs].get(a.olabel, []):
+                g, ac = a.weight
+                ns = get(a.nextstate, fa.nextstate)
+                out.add_arc(cur, Arc(a.ilabel, fa.olabel,
+                                     (g + float(fa.weight), ac), ns))
+    from kaldi_tpu.fstext.ops import connect
+    connect(out)
+    return out
+
+
+def lattice_compose(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Composes lattices (on the word level) with a tropical FST "
+        "(e.g. a grammar or LM fst read once).\n"
+        "Usage: lattice-compose [options] <lattice-rspecifier1> "
+        "<fst-rxfilename> <lattice-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.fstext.openfst_io import read_fst_file
+    fst = read_fst_file(po.get_arg(2))
+    return _each(po.get_arg(1), po.get_arg(3),
+                 lambda k, lat: compose_lattice_fst_op(lat, fst),
+                 "lattice-compose")
+
+
+def lattice_interp(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Takes two archives of lattices (indexed by utterances) and "
+        "composes the individual lattice pairs (one from each "
+        "archive), with weights scaled by alpha and 1-alpha.\n"
+        "Usage: lattice-interp [options] <lattice-rspecifier-a> "
+        "<lattice-rspecifier-b> <lattice-wspecifier>")
+    alpha = po.register_value("alpha", 0.5,
+                              "Scale of the first lattice's weights")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.fstext.ops import rm_epsilon
+    second = RandomAccessTableReader(LatticeHolder(), po.get_arg(2))
+    n_ok = [0]
+
+    def fn(key, lat):
+        a = alpha[0]
+        la = lattice_scale(lat, a, a)
+        if not second.has_key(key):
+            warn(f"lattice-interp: no second lattice for {key}")
+            return None
+        lb = lattice_scale(second[key], 1.0 - a, 1.0 - a)
+        # project b onto words as a tropical fst, compose with a
+        proj = VectorFst(TropicalWeight)
+        for _ in range(lb.num_states):
+            proj.add_state()
+        proj.set_start(lb.start)
+        for s in range(lb.num_states):
+            for arc in lb.arcs[s]:
+                g, ac = arc.weight
+                proj.add_arc(s, Arc(arc.olabel, arc.olabel, g + ac,
+                                    arc.nextstate))
+            if lb.finals[s] != LatticeWeight.zero:
+                g, ac = lb.finals[s]
+                proj.set_final(s, g + ac)
+        proj = rm_epsilon(proj)
+        comp = compose_lattice_fst_op(la, proj)
+        if comp.num_states == 0:
+            warn(f"lattice-interp: empty composition for {key}; "
+                 "keeping scaled first lattice")
+            return lattice_scale(lat, 1.0, 1.0)
+        n_ok[0] += 1
+        return comp
+
+    return _each(po.get_arg(1), po.get_arg(3), fn, "lattice-interp")
+
+
+def lattice_push(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Push lattices, in the tropical semiring sense: move the total "
+        "cost as early as possible without changing any path cost.\n"
+        "Usage: lattice-push [options] <lattice-rspecifier> "
+        "<lattice-wspecifier>")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+
+    def fn(key, lat):
+        if lat.num_states == 0 or lat.start is None:
+            return lat
+        _fwd, bwd = _forward_backward_costs(lat)
+        out = VectorFst(LatticeWeight)
+        for _ in range(lat.num_states):
+            out.add_state()
+        out.set_start(lat.start)
+        for s in range(lat.num_states):
+            for a in lat.arcs[s]:
+                g, ac = a.weight
+                # shift the GRAPH part only (the acoustic split is
+                # preserved; path totals telescope unchanged)
+                delta = bwd[a.nextstate] - bwd[s] if \
+                    np.isfinite(bwd[a.nextstate]) and \
+                    np.isfinite(bwd[s]) else 0.0
+                out.add_arc(s, Arc(a.ilabel, a.olabel,
+                                   (g + delta, ac), a.nextstate))
+            if lat.finals[s] != LatticeWeight.zero:
+                g, ac = lat.finals[s]
+                delta = -bwd[s] if np.isfinite(bwd[s]) else 0.0
+                out.finals[s] = (g + delta, ac)
+        # total path cost moved to the start: put it on an initial
+        # epsilon arc... simpler: fold bwd[start] onto arcs out of the
+        # start state (kaldi keeps the total weight unless
+        # push-total-weight is requested; we keep it)
+        for i, a in enumerate(out.arcs[lat.start]):
+            g, ac = a.weight
+            out.arcs[lat.start][i] = Arc(a.ilabel, a.olabel,
+                                         (g + bwd[lat.start], ac),
+                                         a.nextstate)
+        if out.finals[lat.start] != LatticeWeight.zero:
+            g, ac = out.finals[lat.start]
+            out.finals[lat.start] = (g + bwd[lat.start], ac)
+        return out
+
+    return _each(po.get_arg(1), po.get_arg(2), fn, "lattice-push")

@@ -204,3 +204,55 @@ class TestFeatTail:
         got = dict(SequentialTableReader(MatrixHolder(),
                                          f"ark:{d}/seg.ark"))
         np.testing.assert_allclose(got["seg1"], m["utt0"][2:7])
+
+
+class TestComposeFamily:
+    def test_push_preserves_path_costs(self, lat_ark):
+        d, lats = lat_ark
+        assert run("lattice-push", f"ark:{d}/in.lats",
+                   f"ark:{d}/push.lats") == 0
+        got = dict(SequentialTableReader(LatticeHolder(),
+                                         f"ark:{d}/push.lats"))
+        for k in lats:
+            _a, w, c = lattice_best_path(lats[k])
+            _a, wp, cp = lattice_best_path(got[k])
+            assert wp == w and cp == pytest.approx(c, abs=1e-3)
+
+    def test_compose_with_word_acceptor(self, lat_ark, tmp_path):
+        d, lats = lat_ark
+        # unweighted sigma-free acceptor over all words 1..4 (a loop)
+        from kaldi_tpu.fstext.fst import TropicalWeight
+        from kaldi_tpu.fstext.openfst_io import write_fst
+        acc = VectorFst(TropicalWeight)
+        s = acc.add_state()
+        acc.set_start(s)
+        acc.set_final(s, 0.0)
+        for w in range(1, 5):
+            acc.add_arc(s, Arc(w, w, 0.25, s))
+        with open(f"{d}/acc.fst", "wb") as f:
+            write_fst(f, acc)
+        assert run("lattice-compose", f"ark:{d}/in.lats",
+                   f"{d}/acc.fst", f"ark:{d}/comp.lats") == 0
+        got = dict(SequentialTableReader(LatticeHolder(),
+                                         f"ark:{d}/comp.lats"))
+        for k in lats:
+            _a, w, c = lattice_best_path(lats[k])
+            _a, wc, cc = lattice_best_path(got[k])
+            # each word adds 0.25 graph cost; best path may change, so
+            # compare against brute-force over the original lattice
+            from tests.test_lattice_properties import _all_paths
+            want = min(cost + 0.25 * len(words)
+                       for words, cost in _all_paths(lats[k]))
+            assert cc == pytest.approx(want, abs=1e-3)
+
+    def test_interp_self_is_identity_cost(self, lat_ark):
+        d, lats = lat_ark
+        assert run("lattice-interp", "--alpha=0.5", f"ark:{d}/in.lats",
+                   f"ark:{d}/in.lats", f"ark:{d}/int.lats") == 0
+        got = dict(SequentialTableReader(LatticeHolder(),
+                                         f"ark:{d}/int.lats"))
+        for k in lats:
+            _a, w, c = lattice_best_path(lats[k])
+            _a, wi, ci = lattice_best_path(got[k])
+            # interpolating a lattice with itself keeps best cost
+            assert ci == pytest.approx(c, abs=1e-3)
