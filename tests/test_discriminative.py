@@ -87,3 +87,64 @@ def test_smbr_perfect_lattice(system):
         opts, tm, num_ali, den, tm.num_pdfs)
     assert objf == pytest.approx(1.0)
     np.testing.assert_allclose(grad, 0.0, atol=1e-8)
+
+
+def test_discriminative_training_loop_improves_objf(system):
+    """End-to-end sMBR fine-tuning loop (nnet3-discriminative-train
+    equivalent): a small linear AM trained on a competing-path
+    denominator lattice must raise the expected frame accuracy."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from kaldi_tpu.nnet3.discriminative_train import (
+        DiscTrainOptions, train_discriminative)
+
+    tm = system
+    rng = np.random.default_rng(0)
+    T, D = 8, 5
+    sl1, sl2 = tm.self_loop_of(1), tm.self_loop_of(6)
+    num_ali = [sl1] * T
+    # den lattice prefers the WRONG path slightly
+    den = make_den_lattice(tm, [sl2] * T, [sl1] * T, cost_b=0.3)
+    feats = {"u1": rng.normal(size=(T, D)).astype(np.float32)}
+
+    class TinyAm(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            # zero init: equal loglikes, so the den lattice's graph
+            # costs initially favor the WRONG path (acc < 0.5)
+            return nn.Dense(tm.num_pdfs,
+                            kernel_init=nn.initializers.zeros)(x)
+
+    model = TinyAm()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, T, D)))["params"]
+
+    def apply_fn(p, f):
+        return model.apply({"params": p}, f)
+
+    params, objfs = train_discriminative(
+        apply_fn, params, tm, feats, {"u1": num_ali}, {"u1": den},
+        tm.num_pdfs,
+        DiscTrainOptions(num_epochs=8, learning_rate=0.05,
+                         acoustic_scale=1.0, criterion="smbr"))
+    assert objfs[0] < 0.6, objfs
+    assert objfs[-1] > 0.9, objfs
+    assert objfs[-1] <= 1.0 + 1e-6
+
+
+def test_rescore_lattice_acoustics(system):
+    from kaldi_tpu.nnet3.discriminative_train import \
+        rescore_lattice_acoustics
+    tm = system
+    T = 4
+    sl = tm.self_loop_of(2)
+    den = make_den_lattice(tm, [sl] * T, [sl] * T)
+    ll = np.zeros((T, tm.num_pdfs), np.float32)
+    ll[:, tm.transition_id_to_pdf(sl)] = 2.0
+    out = rescore_lattice_acoustics(den, tm, ll)
+    for s in range(out.num_states):
+        for a in out.arcs[s]:
+            if a.ilabel != 0:
+                assert a.weight[1] == pytest.approx(-2.0)
