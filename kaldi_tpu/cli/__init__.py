@@ -49,6 +49,8 @@ _register("kaldi_tpu.cli.feat_tools", {
     "post-to-feats": "post_to_feats",
     "wav-copy": "wav_copy",
     "extract-feature-segments": "extract_feature_segments",
+    "compute-kaldi-pitch-feats": "compute_kaldi_pitch_feats",
+    "process-kaldi-pitch-feats": "process_kaldi_pitch_feats",
 })
 
 _register("kaldi_tpu.cli.gmm_tools", {

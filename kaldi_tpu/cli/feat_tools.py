@@ -786,3 +786,54 @@ def extract_feature_segments(argv: List[str]) -> int:
     writer.close()
     log(f"extract-feature-segments: {n} segments ({skipped} skipped)")
     return 0
+
+
+def compute_kaldi_pitch_feats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Apply Kaldi pitch extractor, starting from wav input.  Output "
+        "is 2-dimensional features consisting of (NCCF, pitch in Hz).\n"
+        "Usage: compute-kaldi-pitch-feats [options...] <wav-rspecifier> "
+        "<feats-wspecifier>")
+    from kaldi_tpu.feat.pitch import PitchExtractionOptions, \
+        compute_kaldi_pitch
+    opts = PitchExtractionOptions()
+    po.register_struct(opts)
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.util.table import MatrixHolder, WaveHolder
+    writer = TableWriter(MatrixHolder(), po.get_arg(2))
+    n = 0
+    for key, wav in SequentialTableReader(WaveHolder(), po.get_arg(1)):
+        opts.samp_freq = float(wav.samp_freq)
+        writer.write(key, compute_kaldi_pitch(wav.channel(0), opts))
+        n += 1
+    writer.close()
+    log(f"compute-kaldi-pitch-feats: {n} utterances")
+    return 0
+
+
+def process_kaldi_pitch_feats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Post-process Kaldi pitch features, consisting of pitch and "
+        "NCCF, into features suitable for input to ASR system.\n"
+        "Usage: process-kaldi-pitch-feats [options...] "
+        "<feat-rspecifier> <feats-wspecifier>")
+    from kaldi_tpu.feat.pitch import ProcessPitchOptions, process_pitch
+    opts = ProcessPitchOptions()
+    po.register_struct(opts)
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.util.table import MatrixHolder
+    writer = TableWriter(MatrixHolder(), po.get_arg(2))
+    n = 0
+    for key, feats in SequentialTableReader(MatrixHolder(),
+                                            po.get_arg(1)):
+        writer.write(key, process_pitch(feats, opts))
+        n += 1
+    writer.close()
+    log(f"process-kaldi-pitch-feats: {n} utterances")
+    return 0

@@ -312,6 +312,9 @@ class WaveHolder(Holder):
 
     def read(self, stream):
         from kaldi_tpu.feat.wave import WaveData
+        # ark entries carry the \0B marker; raw .wav files (scp) start
+        # with 'RIFF' and init_input_stream leaves them untouched
+        io_funcs.init_input_stream(stream)
         return WaveData.read(stream)
 
     def write(self, stream, binary, value):

@@ -256,3 +256,32 @@ class TestComposeFamily:
             _a, wi, ci = lattice_best_path(got[k])
             # interpolating a lattice with itself keeps best cost
             assert ci == pytest.approx(c, abs=1e-3)
+
+
+class TestPitchCli:
+    def test_pitch_pipeline(self, tmp_path):
+        from kaldi_tpu.feat.wave import WaveData
+        from kaldi_tpu.util.table import WaveHolder
+        d = tmp_path
+        rng = np.random.default_rng(2)
+        fs = 8000.0
+        t = np.arange(int(0.5 * fs)) / fs
+        wav = (4000 * np.sin(2 * np.pi * 150.0 * t)
+               + 100 * rng.normal(size=len(t))).astype(np.float32)
+        w = TableWriter(WaveHolder(), f"ark:{d}/wav.ark")
+        w.write("u1", WaveData(fs, wav))
+        w.close()
+        assert run("compute-kaldi-pitch-feats", f"ark:{d}/wav.ark",
+                   f"ark:{d}/pitch.ark") == 0
+        got = dict(SequentialTableReader(MatrixHolder(),
+                                         f"ark:{d}/pitch.ark"))
+        assert got["u1"].shape[1] == 2
+        # 150 Hz tone recovered within 10%
+        med = float(np.median(got["u1"][:, 1]))
+        assert abs(med - 150.0) < 15.0, med
+        assert run("process-kaldi-pitch-feats", f"ark:{d}/pitch.ark",
+                   f"ark:{d}/pp.ark") == 0
+        got2 = dict(SequentialTableReader(MatrixHolder(),
+                                          f"ark:{d}/pp.ark"))
+        assert got2["u1"].shape[0] == got["u1"].shape[0]
+        assert got2["u1"].shape[1] >= 2
