@@ -96,8 +96,9 @@ def main():
 
     # median of 3 measured batches: the tunnel-attached chip shows
     # ~2x run-to-run throughput variance, so a single sample is noisy
+    # (one batch in --quick interpret mode, where iterations are slow)
     xrts = []
-    for it in range(3):
+    for it in range(1 if quick else 3):
         stats = PipelineStats()
         out = pipe.decode_batch(waves, stats=stats)
         n_ok = sum(o is not None for o in out)
@@ -106,7 +107,7 @@ def main():
               f"{stats.wall_s:.2f}s wall (feat {stats.feat_s:.2f}s, am "
               f"{stats.am_s:.2f}s, search {stats.search_s:.2f}s), "
               f"{n_ok}/{B} lanes decoded", file=sys.stderr)
-    xrt = sorted(xrts)[1]
+    xrt = sorted(xrts)[len(xrts) // 2]
 
     if "--with-lattices" in sys.argv:
         # secondary line: the same pipeline in lattice-generating mode
