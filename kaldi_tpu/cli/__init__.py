@@ -51,6 +51,9 @@ _register("kaldi_tpu.cli.feat_tools", {
     "extract-feature-segments": "extract_feature_segments",
     "compute-kaldi-pitch-feats": "compute_kaldi_pitch_feats",
     "process-kaldi-pitch-feats": "process_kaldi_pitch_feats",
+    "modify-cmvn-stats": "modify_cmvn_stats",
+    "interpolate-pitch": "interpolate_pitch",
+    "compose-transforms": "compose_transforms",
 })
 
 _register("kaldi_tpu.cli.gmm_tools", {

@@ -837,3 +837,122 @@ def process_kaldi_pitch_feats(argv: List[str]) -> int:
     writer.close()
     log(f"process-kaldi-pitch-feats: {n} utterances")
     return 0
+
+
+def modify_cmvn_stats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Modify cepstral mean and variance normalization statistics: "
+        "with --norm-vars=false, zero the variance stats so that "
+        "apply-cmvn only normalizes means.\n"
+        "Usage: modify-cmvn-stats [options] <in-rspecifier> "
+        "<out-wspecifier>")
+    norm_vars = po.register_value("norm-vars", True,
+                                  "If false, zero the variance part")
+    dims = po.register_value("skip-dims", "",
+                             "Colon-separated dims for which to skip "
+                             "normalization (set to 'none' stats)")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.util.table import MatrixHolder
+    skip = [int(d) for d in dims[0].split(":") if d]
+    writer = TableWriter(MatrixHolder(), po.get_arg(2))
+    n = 0
+    for key, stats in SequentialTableReader(MatrixHolder(),
+                                            po.get_arg(1)):
+        out = np.array(stats, np.float64)
+        count = out[0, -1]
+        if not norm_vars[0]:
+            # variance row = count * 1 + mean^2-like stats that make
+            # the variance exactly 1 => no variance normalization
+            mean = out[0, :-1] / max(count, 1e-10)
+            out[1, :-1] = count * (1.0 + mean * mean)
+        for d in skip:
+            if d < out.shape[1] - 1:
+                out[0, d] = 0.0
+                out[1, d] = count
+        writer.write(key, out.astype(np.float64))
+        n += 1
+    writer.close()
+    log(f"modify-cmvn-stats: {n} entries")
+    return 0
+
+
+def interpolate_pitch(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Interpolate the pitch values over unvoiced regions (where "
+        "the POV feature is below a threshold).\n"
+        "Usage: interpolate-pitch [options] <feats-rspecifier> "
+        "<feats-wspecifier>")
+    pov_thresh = po.register_value("pov-threshold", 0.1,
+                                   "POV (NCCF) threshold below which a "
+                                   "frame counts as unvoiced")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.util.table import MatrixHolder
+    writer = TableWriter(MatrixHolder(), po.get_arg(2))
+    n = 0
+    for key, feats in SequentialTableReader(MatrixHolder(),
+                                            po.get_arg(1)):
+        out = np.array(feats, np.float32)
+        voiced = np.abs(out[:, 0]) >= pov_thresh[0]
+        if voiced.any():
+            idx = np.nonzero(voiced)[0]
+            out[:, 1] = np.interp(np.arange(len(out)), idx,
+                                  out[idx, 1])
+        writer.write(key, out)
+        n += 1
+    writer.close()
+    log(f"interpolate-pitch: {n} utterances")
+    return 0
+
+
+def compose_transforms(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Compose (affine or linear) feature transforms: C = A o B "
+        "(B applies first).\n"
+        "Usage: compose-transforms [options] <transform-A> "
+        "<transform-B> <transform-out>")
+    b_is_affine = po.register_value("b-is-affine", False,
+                                    "Treat last column of B as offset "
+                                    "even if A has a matching column")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+
+    def read_mat(rx):
+        with kaldi_io.open_input(rx) as f:
+            binary = iof.init_input_stream(f)
+            return iof.read_matrix(f, binary)
+
+    A = read_mat(po.get_arg(1))
+    B = read_mat(po.get_arg(2))
+
+    def split(M):
+        """(linear, offset or None) treating an extra column as
+        affine offset."""
+        return M[:, :-1], M[:, -1]
+
+    if A.shape[1] == B.shape[0]:
+        # both linear (or A consumes B's rows directly)
+        C = A @ B
+    elif A.shape[1] == B.shape[0] + 1 or b_is_affine[0]:
+        Al, Ao = split(A)
+        if B.shape[1] == Al.shape[1] + 1 or b_is_affine[0]:
+            Bl, Bo = split(B)
+            C = np.concatenate(
+                [Al @ Bl, (Al @ Bo + Ao)[:, None]], axis=1)
+        else:
+            C = np.concatenate([Al @ B, Ao[:, None]], axis=1)
+    else:
+        warn(f"compose-transforms: incompatible shapes {A.shape} "
+             f"{B.shape}")
+        return 1
+    with kaldi_io.output_stream(po.get_arg(3)) as f:
+        iof.init_output_stream(f, True)
+        iof.write_matrix(f, True, C.astype(np.float32))
+    return 0

@@ -285,3 +285,59 @@ class TestPitchCli:
                                           f"ark:{d}/pp.ark"))
         assert got2["u1"].shape[0] == got["u1"].shape[0]
         assert got2["u1"].shape[1] >= 2
+
+
+class TestFeatTail2:
+    def test_modify_cmvn_stats(self, tmp_path):
+        d = tmp_path
+        rng = np.random.default_rng(4)
+        x = rng.normal(loc=3.0, scale=2.0, size=(50, 3))
+        stats = np.zeros((2, 4))
+        stats[0, :3] = x.sum(0)
+        stats[0, 3] = len(x)
+        stats[1, :3] = (x * x).sum(0)
+        w = TableWriter(MatrixHolder(), f"ark:{d}/c.ark")
+        w.write("spk1", stats.astype(np.float64))
+        w.close()
+        assert run("modify-cmvn-stats", "--norm-vars=false",
+                   f"ark:{d}/c.ark", f"ark:{d}/cm.ark") == 0
+        got = dict(SequentialTableReader(MatrixHolder(),
+                                         f"ark:{d}/cm.ark"))["spk1"]
+        n = got[0, 3]
+        mean = got[0, :3] / n
+        var = got[1, :3] / n - mean ** 2
+        np.testing.assert_allclose(var, 1.0, rtol=1e-4)
+
+    def test_interpolate_pitch(self, tmp_path):
+        d = tmp_path
+        feats = np.array([[0.9, 100.0], [0.01, 555.0], [0.9, 200.0]],
+                         np.float32)
+        w = TableWriter(MatrixHolder(), f"ark:{d}/p.ark")
+        w.write("u1", feats)
+        w.close()
+        assert run("interpolate-pitch", f"ark:{d}/p.ark",
+                   f"ark:{d}/pi.ark") == 0
+        got = dict(SequentialTableReader(MatrixHolder(),
+                                         f"ark:{d}/pi.ark"))["u1"]
+        assert got[1, 1] == pytest.approx(150.0)   # midpoint
+
+    def test_compose_transforms(self, tmp_path):
+        import kaldi_tpu.base.io_funcs as iof
+        d = tmp_path
+        rng = np.random.default_rng(6)
+        A = rng.normal(size=(2, 4)).astype(np.float32)   # affine 3->2
+        B = rng.normal(size=(3, 4)).astype(np.float32)   # affine 3->3
+        for name, M in (("A.mat", A), ("B.mat", B)):
+            with open(f"{d}/{name}", "wb") as f:
+                iof.init_output_stream(f, True)
+                iof.write_matrix(f, True, M)
+        assert run("compose-transforms", f"{d}/A.mat", f"{d}/B.mat",
+                   f"{d}/C.mat") == 0
+        with open(f"{d}/C.mat", "rb") as f:
+            binary = iof.init_input_stream(f)
+            C = iof.read_matrix(f, binary)
+        x = rng.normal(size=3).astype(np.float32)
+        xb = B[:, :3] @ x + B[:, 3]
+        want = A[:, :3] @ xb + A[:, 3]
+        got = C[:, :3] @ x + C[:, 3]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
