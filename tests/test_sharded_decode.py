@@ -1,0 +1,52 @@
+"""Multi-chip batch-parallel decoding: lane-sharded block-chain decode
+over the virtual 8-device CPU mesh must match the single-device batch
+decoder exactly (SURVEY §2.13 batch-parallel decode; the reference's
+nj=N GPU processes become one shard_map over the mesh)."""
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.decoder.block_chain import BlockChainDecoder
+from tests.test_block_chain import build_small
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    import jax
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices()[:8])
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(devs, ("data",))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_sharded_matches_single_device(seed, mesh):
+    from kaldi_tpu.parallel.decode import ShardedBlockChainDecoder
+    g = build_small(seed=seed)
+    dec = BlockChainDecoder(g, interpret=True)
+    rng = np.random.default_rng(seed + 3)
+    B, T = 16, 9
+    ll = rng.normal(size=(B, T, g.num_pdfs)).astype(np.float32)
+    lens = rng.integers(5, T + 1, size=B).tolist()
+    ref = dec.decode_batch(ll, acoustic_scale=1.0, lengths=lens)
+    sharded = ShardedBlockChainDecoder(dec, mesh)
+    got = sharded.decode_batch(ll, acoustic_scale=1.0, lengths=lens)
+    for b in range(B):
+        assert (got[b] is None) == (ref[b] is None)
+        if ref[b] is None:
+            continue
+        assert got[b][0] == ref[b][0], f"lane {b} words"
+        assert got[b][1] == ref[b][1], f"lane {b} tids"
+        assert got[b][2] == pytest.approx(ref[b][2], abs=1e-3)
+
+
+def test_indivisible_batch_rejected(mesh):
+    from kaldi_tpu.base.logging import KaldiTpuError
+    from kaldi_tpu.parallel.decode import ShardedBlockChainDecoder
+    g = build_small(seed=0)
+    dec = BlockChainDecoder(g, interpret=True)
+    sharded = ShardedBlockChainDecoder(dec, mesh)
+    ll = np.zeros((3, 4, g.num_pdfs), np.float32)
+    with pytest.raises(KaldiTpuError):
+        sharded.decode_batch(ll)
