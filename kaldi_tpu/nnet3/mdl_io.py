@@ -166,6 +166,8 @@ _TOKEN_KINDS = {
     "<NumRepeats>": "int", "<Output>": "vector", "<Bias>": "vector",
     "<MaxMemoryMb>": "float", "<NumMinibatchesHistory>": "float",
     "<RankInOut>": "int2", "<Model>": "convmodel",
+    "<ZeroedProportion>": "float", "<TimeMaskMaxFrames>": "int",
+    "<Continuous>": "bool", "<MaxRowsProcess>": "int",
 }
 
 
@@ -847,6 +849,101 @@ class TimeHeightConvolutionComponent(Component):
         return m["height_in"] * m["num_filters_in"]
 
 
+class SpecAugmentTimeMaskComponent(Component):
+    """Training-time augmentation; inference = identity
+    (nnet-general-component.h SpecAugmentTimeMaskComponent)."""
+    TYPE = "SpecAugmentTimeMaskComponent"
+    WRITE_ORDER = ("Dim", "ZeroedProportion", "TimeMaskMaxFrames",
+                   "TestMode")
+
+    def forward(self, x):
+        return x
+
+    @property
+    def input_dim(self):
+        return int(self.fields["Dim"])
+
+
+class DropoutMaskComponent(Component):
+    """Outputs a dropout mask; in test mode (inference) all ones."""
+    TYPE = "DropoutMaskComponent"
+    WRITE_ORDER = ("OutputDim", "DropoutProportion", "TestMode",
+                   "Continuous")
+
+    def forward(self, x):
+        return np.ones((x.shape[0], int(self.fields["OutputDim"])),
+                       np.float32)
+
+    @property
+    def input_dim(self):
+        return 0
+
+
+class CompositeComponent(Component):
+    """Sequence of sub-components applied as one
+    (nnet-simple-component.h CompositeComponent)."""
+    TYPE = "CompositeComponent"
+
+    def __init__(self, sub_components=None, **fields):
+        super().__init__(**fields)
+        self.sub_components = sub_components or []
+
+    @classmethod
+    def read(cls, stream, binary):
+        fields: Dict[str, object] = {}
+        # WriteUpdatableCommon emits <LearningRate> etc. first
+        while True:
+            tok = iof.read_token(stream, binary)
+            if tok == "<MaxRowsProcess>":
+                fields["MaxRowsProcess"] = iof.read_int32(stream, binary)
+                break
+            kind = _TOKEN_KINDS.get(tok)
+            if kind == "float":
+                fields[tok[1:-1]] = iof.read_float(stream, binary)
+            elif kind == "bool":
+                fields[tok[1:-1]] = iof.read_bool(stream, binary)
+            else:
+                raise KaldiTpuError(
+                    f"CompositeComponent: unexpected token {tok}")
+        iof.expect_token(stream, binary, "<NumComponents>")
+        n = iof.read_int32(stream, binary)
+        subs = []
+        for _ in range(n):
+            type_tok = iof.read_token(stream, binary)
+            ctor = COMPONENT_TYPES.get(type_tok[1:-1])
+            if ctor is None:
+                raise KaldiTpuError(
+                    f"CompositeComponent: unsupported sub-component "
+                    f"{type_tok}")
+            subs.append(ctor.read(stream, binary))
+        iof.expect_token(stream, binary, "</CompositeComponent>")
+        return cls(sub_components=subs, **fields)
+
+    def write(self, stream, binary):
+        iof.write_token(stream, binary, f"<{self.TYPE}>")
+        if "LearningRate" in self.fields:
+            iof.write_token(stream, binary, "<LearningRate>")
+            iof.write_float(stream, binary,
+                            float(self.fields["LearningRate"]))
+        iof.write_token(stream, binary, "<MaxRowsProcess>")
+        iof.write_int32(stream, binary,
+                        int(self.fields.get("MaxRowsProcess", 4096)))
+        iof.write_token(stream, binary, "<NumComponents>")
+        iof.write_int32(stream, binary, len(self.sub_components))
+        for c in self.sub_components:
+            c.write(stream, binary)
+        iof.write_token(stream, binary, f"</{self.TYPE}>")
+
+    def forward(self, x):
+        for c in self.sub_components:
+            x = c.forward(x)
+        return x
+
+    @property
+    def input_dim(self):
+        return self.sub_components[0].input_dim
+
+
 COMPONENT_TYPES = {c.TYPE: c for c in [
     AffineComponent, NaturalGradientAffineComponent, FixedAffineComponent,
     LinearComponent, TdnnComponent, RectifiedLinearComponent,
@@ -862,7 +959,8 @@ COMPONENT_TYPES = {c.TYPE: c for c in [
     BlockAffineComponent, RepeatedAffineComponent,
     NaturalGradientRepeatedAffineComponent,
     StatisticsExtractionComponent, StatisticsPoolingComponent,
-    TimeHeightConvolutionComponent,
+    TimeHeightConvolutionComponent, SpecAugmentTimeMaskComponent,
+    DropoutMaskComponent, CompositeComponent,
 ]}
 
 

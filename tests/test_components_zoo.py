@@ -309,3 +309,37 @@ class TestGraphIntegration:
         g2 = M.read_raw_nnet3(path)
         np.testing.assert_allclose(g2.forward(x), y, rtol=1e-5,
                                    atol=1e-6)
+
+
+class TestCompositeAndMasks:
+    def test_spec_augment_and_dropout_mask(self):
+        sa = M.SpecAugmentTimeMaskComponent(Dim=5, ZeroedProportion=0.2,
+                                            TimeMaskMaxFrames=10,
+                                            TestMode=True)
+        x = X(4, 5)
+        np.testing.assert_allclose(sa.forward(x), x)
+        assert_same_forward(sa, round_trip(sa), x)
+        dm = M.DropoutMaskComponent(OutputDim=3, DropoutProportion=0.5,
+                                    TestMode=True, Continuous=False)
+        np.testing.assert_allclose(dm.forward(x), 1.0)
+        assert_same_forward(dm, round_trip(dm), x)
+
+    def test_composite_round_trip_and_forward(self):
+        aff = M.NaturalGradientAffineComponent(
+            LearningRate=0.001,
+            LinearParams=RNG.normal(size=(3, 4)).astype(np.float32),
+            BiasParams=np.zeros(3, np.float32), RankIn=20, RankOut=80,
+            UpdatePeriod=4, NumSamplesHistory=2000.0, Alpha=4.0)
+        relu = M.RectifiedLinearComponent(Dim=3)
+        comp = M.CompositeComponent(
+            sub_components=[aff, relu], LearningRate=0.001,
+            MaxRowsProcess=2048)
+        x = X(5, 4)
+        want = np.maximum(x @ np.asarray(
+            aff.fields["LinearParams"]).T, 0.0)
+        np.testing.assert_allclose(comp.forward(x), want, rtol=1e-5)
+        back = round_trip(comp)
+        assert len(back.sub_components) == 2
+        assert back.fields["MaxRowsProcess"] == 2048
+        np.testing.assert_allclose(back.forward(x), want, rtol=1e-5)
+        assert comp.input_dim == 4
