@@ -34,6 +34,8 @@ def main():
     quick = "--quick" in sys.argv
     import jax
     import jax.numpy as jnp
+    from kaldi_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     from kaldi_tpu.decoder.batched_pipeline2 import (BatchedOfflinePipeline2,
                                                      PipelineStats)
     from kaldi_tpu.decoder.block_chain import (BlockChainDecoder,

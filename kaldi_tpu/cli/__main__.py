@@ -16,6 +16,11 @@ def main() -> int:
     if name not in TOOLS:
         print(f"unknown tool {name!r}", file=sys.stderr)
         return 1
+    # persistent XLA compile cache (the reference's --read-cache/
+    # --write-cache, nnet-optimize.h:242): cold compiles dominate CLI
+    # startup on TPU, so every tool opts in before first jit
+    from kaldi_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     try:
         return get_tool(name)([name] + sys.argv[2:])
     except KeyboardInterrupt:

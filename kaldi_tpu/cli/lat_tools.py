@@ -5,6 +5,7 @@ lattice-to-post."""
 
 from __future__ import annotations
 
+import sys
 from typing import List
 
 from kaldi_tpu.base.logging import log, warn
@@ -83,6 +84,10 @@ def lattice_prune_cli(argv: List[str]) -> int:
     if po.num_args() != 2:
         po.print_usage()
         return 1
+    if acoustic_scale[0] == 0.0:
+        print("lattice-prune: --acoustic-scale must be nonzero "
+              "(the inverse rescale is undefined)", file=sys.stderr)
+        return 1
 
     def fn(k, lat):
         scaled = lattice_scale(lat, 1.0, acoustic_scale[0])
@@ -121,6 +126,11 @@ def lattice_determinize_pruned_cli(argv: List[str]) -> int:
     po.read(argv)
     if po.num_args() != 2:
         po.print_usage()
+        return 1
+    if acoustic_scale[0] == 0.0:
+        print("lattice-determinize-pruned: --acoustic-scale must be "
+              "nonzero (the inverse rescale is undefined)",
+              file=sys.stderr)
         return 1
 
     def fn(k, lat):

@@ -245,8 +245,12 @@ def lattice_depth_per_frame(argv: List[str]) -> int:
         T = max(times) if times else 0
         depth = np.zeros(max(T, 0), np.int64)
         for s in range(lat.num_states):
+            if times[s] < 0:       # unreachable state
+                continue
             for a in lat.arcs[s]:
                 t0, t1 = times[s], times[a.nextstate]
+                if t1 < 0:
+                    continue
                 depth[t0:t1] += 1
         writer.write(key, depth.tolist())
         n += 1
@@ -578,11 +582,16 @@ def compose_lattice_fst_op(lat: Lattice, fst: VectorFst) -> Lattice:
     eps-word arcs advance the lattice freely."""
     from collections import deque
     out = VectorFst(LatticeWeight)
-    state_map: Dict[Tuple[int, int], int] = {}
+    # composed state = (lat state, fst state, filter); filter = 1 after
+    # an FST eps-input move, which forbids a lattice eps-olabel move —
+    # the 2-value epsilon-sequencing filter of OpenFst composition, so
+    # adjacent eps sequences have exactly ONE interleaving (all lattice
+    # eps first, then fst eps) and no path is duplicated.
+    state_map: Dict[Tuple[int, int, int], int] = {}
     work = deque()
 
-    def get(ls, fs):
-        key = (ls, fs)
+    def get(ls, fs, filt):
+        key = (ls, fs, filt)
         s = state_map.get(key)
         if s is None:
             s = out.add_state()
@@ -600,28 +609,30 @@ def compose_lattice_fst_op(lat: Lattice, fst: VectorFst) -> Lattice:
         for a in fst.arcs[s]:
             d.setdefault(a.ilabel, []).append(a)
         by_label.append(d)
-    start = get(lat.start, fst.start)
+    start = get(lat.start, fst.start, 0)
     out.set_start(start)
     while work:
-        ls, fs = work.popleft()
-        cur = state_map[(ls, fs)]
+        ls, fs, filt = work.popleft()
+        cur = state_map[(ls, fs, filt)]
         if lat.finals[ls] != LatticeWeight.zero and \
                 fst.finals[fs] != TropicalWeight.zero:
             g, ac = lat.finals[ls]
             out.finals[cur] = (g + float(fst.finals[fs]), ac)
-        # fst eps-input arcs: free advance
+        # fst eps-input arcs: free advance (sets the filter)
         for fa in by_label[fs].get(EPS, []):
             g = float(fa.weight)
-            ns = get(ls, fa.nextstate)
+            ns = get(ls, fa.nextstate, 1)
             out.add_arc(cur, Arc(EPS, fa.olabel, (g, 0.0), ns))
         for a in lat.arcs[ls]:
             if a.olabel == EPS:
-                ns = get(a.nextstate, fs)
+                if filt == 1:
+                    continue       # eps-lat after eps-fst forbidden
+                ns = get(a.nextstate, fs, 0)
                 out.add_arc(cur, Arc(a.ilabel, a.olabel, a.weight, ns))
                 continue
             for fa in by_label[fs].get(a.olabel, []):
                 g, ac = a.weight
-                ns = get(a.nextstate, fa.nextstate)
+                ns = get(a.nextstate, fa.nextstate, 0)
                 out.add_arc(cur, Arc(a.ilabel, fa.olabel,
                                      (g + float(fa.weight), ac), ns))
     from kaldi_tpu.fstext.ops import connect

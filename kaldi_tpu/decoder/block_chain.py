@@ -1049,7 +1049,11 @@ class BlockChainDecoder:
                 [int(states[t, b]) for t in range(Tb)]
             words: List[int] = []
             tids: List[int] = []
-            ok = True
+            # a valid traceback must start at the begin root (the only
+            # state with cost 0 before frame 0)
+            if traj[0] != root0 + V:
+                out.append(None)
+                continue
             for t in range(1, Tb + 1):
                 prev, cur = traj[t - 1], traj[t]
                 if cur >= root0:                       # at a root
@@ -1065,9 +1069,6 @@ class BlockChainDecoder:
                         tids.append(g.self_tid(g.pdf_self_row[n]))
                     else:
                         tids.append(g.fwd_tid(g.pdf_fwd_row[n]))
-            if not ok:
-                out.append(None)
-                continue
             out.append((words, tids, float(best_cost[b])))
         return out
 

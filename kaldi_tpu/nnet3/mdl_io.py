@@ -485,11 +485,15 @@ class NormalizeComponent(Component):
         xb = x.reshape(x.shape[0], -1, d)
         ss = np.maximum((xb * xb).sum(-1), 2.0 ** -66)
         scale = target_rms / np.sqrt(ss / d)
-        out = (xb * scale[..., None]).reshape(x.shape[0], -1)
+        scaled = xb * scale[..., None]
         if self.fields.get("AddLogStddev", False):
-            log_stddev = 0.5 * np.log(ss / d).reshape(x.shape[0], -1)
-            out = np.concatenate([out, log_stddev], axis=-1)
-        return out
+            # per-block interleave [block_dim values, log_stddev]
+            # (nnet-normalize-component.cc:137-147: output_block_dim =
+            # block_dim + 1, concatenated per block)
+            log_stddev = 0.5 * np.log(ss / d)[..., None]
+            return np.concatenate([scaled, log_stddev],
+                                  axis=-1).reshape(x.shape[0], -1)
+        return scaled.reshape(x.shape[0], -1)
 
     @property
     def input_dim(self):
@@ -764,7 +768,9 @@ class StatisticsExtractionComponent(Component):
 
 class StatisticsPoolingComponent(Component):
     """nnet-general-component.h:276: aggregate extraction stats over
-    [t+left, t+right] -> [log-count x n, mean, (stddev)]."""
+    [t-left, t+right] -> [log-count x n, mean, (stddev)].  The
+    reference stores LeftContext >= 0 (nnet-general-component.cc:595)
+    and pools t_start = t - left_context (cc:685)."""
     TYPE = "StatisticsPoolingComponent"
     WRITE_ORDER = ("InputDim", "InputPeriod", "LeftContext",
                    "RightContext", "NumLogCountFeatures", "OutputStddevs",
@@ -782,7 +788,7 @@ class StatisticsPoolingComponent(Component):
         out_dim = nlog + D + (D if stddevs else 0)
         out = np.zeros((T, out_dim), x.dtype)
         for t in range(T):
-            lo, hi = max(0, t + left), min(T - 1, t + right)
+            lo, hi = max(0, t - left), min(T - 1, t + right)
             ts = [tt for tt in range(lo, hi + 1) if tt % ip == 0]
             if not ts:
                 ts = [min(max(lo, 0), T - 1)]

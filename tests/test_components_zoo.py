@@ -51,6 +51,27 @@ class TestSimpleTail:
         y = c.forward(X(4, 6))
         assert y.shape == (4, 7)
 
+    def test_normalize_multiblock_log_stddev_interleaved(self):
+        """BlockDim < InputDim with AddLogStddev: output is per-block
+        [block_dim normalized, log_stddev] interleaved, NOT all
+        log-stddevs appended at the end
+        (nnet-normalize-component.cc:137-147)."""
+        c = M.NormalizeComponent(InputDim=6, BlockDim=3, TargetRms=1.0,
+                                 AddLogStddev=True)
+        x = X(4, 6)
+        y = c.forward(x)
+        assert y.shape == (4, 8)
+        for blk in range(2):
+            xb = x[:, 3 * blk:3 * blk + 3]
+            ss = np.maximum((xb * xb).sum(-1), 2.0 ** -66)
+            want_norm = xb / np.sqrt(ss / 3)[:, None]
+            np.testing.assert_allclose(y[:, 4 * blk:4 * blk + 3],
+                                       want_norm, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(y[:, 4 * blk + 3],
+                                       0.5 * np.log(ss / 3), rtol=1e-5,
+                                       atol=1e-6)
+        assert_same_forward(c, round_trip(c), x)
+
     def test_per_element_scale_and_offset(self):
         s = M.PerElementScaleComponent(LearningRate=0.01,
                                        Params=np.arange(1, 5,
@@ -172,7 +193,7 @@ class TestStatistics:
         stats = ext.forward(x)
         assert stats.shape == (T, 1 + 2 * D)
         pool = M.StatisticsPoolingComponent(
-            InputDim=1 + 2 * D, InputPeriod=1, LeftContext=-100,
+            InputDim=1 + 2 * D, InputPeriod=1, LeftContext=100,
             RightContext=100, NumLogCountFeatures=0, OutputStddevs=True,
             VarianceFloor=1e-10)
         # stats at output period 1 cover window [t, t+1) = frame t, so
@@ -185,6 +206,29 @@ class TestStatistics:
         for c in (ext, pool):
             assert_same_forward(c, round_trip(c), x if c is ext else stats)
 
+    def test_positive_left_context_window(self):
+        """Reference convention: serialized LeftContext >= 0 and the
+        pooled window is [t - left, t + right]
+        (nnet-general-component.cc:595,685).  An asymmetric window
+        distinguishes [t-left, t+right] from [t+left, t+right]."""
+        T, D = 10, 2
+        x = X(T, D)
+        ext = M.StatisticsExtractionComponent(
+            InputDim=D, InputPeriod=1, OutputPeriod=1,
+            IncludeVarinance=False)
+        stats = ext.forward(x)
+        pool = M.StatisticsPoolingComponent(
+            InputDim=1 + D, InputPeriod=1, LeftContext=3,
+            RightContext=1, NumLogCountFeatures=0, OutputStddevs=False,
+            VarianceFloor=1e-10)
+        y = pool.forward(stats)
+        t = 5
+        np.testing.assert_allclose(y[t], x[t - 3:t + 2].mean(0),
+                                   rtol=1e-5, atol=1e-6)
+        # edge clamp at the start
+        np.testing.assert_allclose(y[0], x[0:2].mean(0), rtol=1e-5,
+                                   atol=1e-6)
+
     def test_log_count_features(self):
         T, D = 6, 2
         x = X(T, D)
@@ -194,7 +238,7 @@ class TestStatistics:
         stats = ext.forward(x)
         assert stats.shape == (T, 1 + D)
         pool = M.StatisticsPoolingComponent(
-            InputDim=1 + D, InputPeriod=1, LeftContext=-100,
+            InputDim=1 + D, InputPeriod=1, LeftContext=100,
             RightContext=100, NumLogCountFeatures=1, OutputStddevs=False,
             VarianceFloor=1e-10)
         y = pool.forward(stats)
@@ -274,7 +318,7 @@ class TestGraphIntegration:
             InputDim=8, InputPeriod=1, OutputPeriod=1,
             IncludeVarinance=True)
         pool = M.StatisticsPoolingComponent(
-            InputDim=17, InputPeriod=1, LeftContext=-100,
+            InputDim=17, InputPeriod=1, LeftContext=100,
             RightContext=100, NumLogCountFeatures=0, OutputStddevs=True,
             VarianceFloor=1e-10)
         aff = M.NaturalGradientAffineComponent(
