@@ -45,6 +45,7 @@ class BigramBackoffLm:
     expl_dst: np.ndarray             # (E,) int32, word in [0, V)
     expl_cost: np.ndarray            # (E,) float32 -ln P(w|u)
     eos: np.ndarray                  # (V+1,) -ln P(</s>|u), backoff folded
+    eos_uni: float = BIG             # -ln P_uni(</s>) (ARPA round trips)
 
     @property
     def V(self) -> int:
@@ -144,7 +145,8 @@ class BigramBackoffLm:
                  uni=(-np.log(uni_p)).astype(np.float32),
                  bo=(-np.log(bo)).astype(np.float32),
                  expl_src=e_src, expl_dst=e_dst, expl_cost=e_cost,
-                 eos=eos_cost.astype(np.float32))
+                 eos=eos_cost.astype(np.float32),
+                 eos_uni=float(-math.log(eos_uni_p)))
         log(f"BigramBackoffLm.from_counts: V={V}, "
             f"{len(expl)} explicit bigrams")
         return lm
@@ -204,7 +206,8 @@ class BigramBackoffLm:
                    expl_dst=np.asarray([e[1] for e in expl], np.int32),
                    expl_cost=np.asarray([e[2] for e in expl],
                                         np.float32),
-                   eos=eos_cost.astype(np.float32))
+                   eos=eos_cost.astype(np.float32),
+                   eos_uni=float(eos_uni))
 
     # ------------------------------------------------------------------
     def to_arpa(self) -> str:
@@ -212,14 +215,14 @@ class BigramBackoffLm:
         Explicit-bigram probabilities are written as the TOTAL
         (already-interpolated) probability this object assigns."""
         V = len(self.words)
+        # explicit </s> bigrams only where cheaper than the backoff path
+        eos_expl = [u for u in range(V + 1)
+                    if self.eos[u] < self.bo[u] + self.eos_uni - 1e-6]
         lines = ["\\data\\", f"ngram 1={V + 2}",
-                 f"ngram 2={self.num_explicit + np.isfinite(self.eos).sum()}",
+                 f"ngram 2={self.num_explicit + len(eos_expl)}",
                  "", "\\1-grams:"]
         lines.append(f"-99\t<s>\t{-self.bo[V] / M_LN10:.6f}")
-        # </s> unigram: recover from eos backoff identity is lossy;
-        # write the min over contexts of the pure-backoff eos
-        eos_uni = float(np.min(self.eos - self.bo[:len(self.eos)]))
-        lines.append(f"{-eos_uni / M_LN10:.6f}\t</s>")
+        lines.append(f"{-self.eos_uni / M_LN10:.6f}\t</s>")
         for i, w in enumerate(self.words):
             lines.append(f"{-self.uni[i] / M_LN10:.6f}\t{w}\t"
                          f"{-self.bo[i] / M_LN10:.6f}")
@@ -228,9 +231,7 @@ class BigramBackoffLm:
         for s, d, c in zip(self.expl_src, self.expl_dst, self.expl_cost):
             lines.append(f"{-c / M_LN10:.6f}\t{name(int(s))} "
                          f"{self.words[int(d)]}")
-        for u in range(V + 1):
-            if np.isfinite(self.eos[u]):
-                lines.append(f"{-self.eos[u] / M_LN10:.6f}\t"
-                             f"{name(u)} </s>")
+        for u in eos_expl:
+            lines.append(f"{-self.eos[u] / M_LN10:.6f}\t{name(u)} </s>")
         lines += ["", "\\end\\", ""]
         return "\n".join(lines)
