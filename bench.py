@@ -1,33 +1,67 @@
-"""Benchmark: FULL-PIPELINE batched offline decode on one chip —
-wav -> fused MFCC frontend -> chain TDNN-F (bf16) -> exact batched
-device Viterbi over a 2.2M-state decoding graph -> words.
+"""Benchmark: FULL-PIPELINE batched offline decode on one chip, at a
+pinned WER — wav -> fused MFCC frontend -> TRAINED chain TDNN-F
+(flagship 17x1536 shape, bf16) -> exact batched device Viterbi over a
+graph BUILT FROM DATA (real lexicon + estimated backoff bigram +
+trained-tree pdf-ids, decoder/lexchain.py) -> words -> WER.
 
 This mirrors the reference's metric of record, the `RealTimeX =
 total_audio/total_time` line of batched-wav-nnet3-cuda2
 (src/cudadecoderbin/batched-wav-nnet3-cuda2.cc:246-249; ~3524x RT on a
-V100 per arXiv:1910.10032).  Prints ONE JSON line {"metric", "value",
-"unit", "vs_baseline"} with vs_baseline relative to that figure.
+V100 per arXiv:1910.10032) — measured, like the reference, while
+producing real transcripts whose WER is reported alongside.  Prints
+ONE JSON line {"metric", "value", "unit", "vs_baseline", "wer"}.
 
-Configuration: 128 lanes x 5s utterances, 16 kHz; flagship LibriSpeech
-chain TDNN-F shape (17x1536, bottleneck 160, 3456 pdfs, ~23M params);
-graph = direct bigram-lexicon HCLG (V=700, 2.2M states / ~5M arcs,
-chain topology, graph_direct.py) decoded EXACTLY (no beam) by the
-gather-free Pallas block-chain kernel (decoder/block_chain.py).
+Configuration: the deterministic bench corpus
+(kaldi_tpu/recipes/bench_corpus.py): 128 test utterances (~4.5 s,
+16 kHz int16), V=200 vocabulary, optional-silence lexicon, backoff
+bigram estimated from corpus text, chain system with real
+transition-ids; AM = flagship LibriSpeech TDNN-F trunk (17x1536,
+bottleneck 160) trained by egs/bench_corpus/train.py (weights in
+egs/bench_corpus/flagship_params.npz).  If the weights are absent the
+bench falls back to random weights and reports "wer": null.
 
-Timing methodology: wall-clock from host wave buffers to host word
-sequences; the traceback transfer forces a real device sync (the axon
-platform's block_until_ready does not reliably synchronize, see
-BASELINE.md).  Stage breakdown and the AM-forward-only secondary
-number go to stderr.
+--scale adds a stderr throughput line on a V=20k-vocabulary graph
+(sparse synthetic ARPA) — the vocabulary-scale demonstration.
 
-Usage: python bench.py [--quick]
+Timing: wall-clock host waves -> host word sequences; the traceback
+transfer forces a device sync (axon block_until_ready does not
+reliably synchronize, BASELINE.md).
+
+Usage: python bench.py [--quick] [--scale] [--with-lattices]
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def build_scale_graph(vocab=20000, seed=0):
+    """V=20k sparse-LM graph: Zipf-ish synthetic backoff bigram with
+    ~12 explicit successors per context, random 2-5 phone lexicon."""
+    from kaldi_tpu.decoder.lexchain import LexChainGraph
+    from kaldi_tpu.lm.bigram import BigramBackoffLm
+    rng = np.random.default_rng(seed)
+    V = vocab
+    uni = (1.0 + 2.5 * np.log1p(np.arange(V) * 0.01)).astype(np.float32)
+    n_hot = 12
+    src = np.repeat(np.arange(V + 1), n_hot)
+    dst = rng.integers(0, V, size=(V + 1) * n_hot)
+    order = np.argsort(dst, kind="stable")
+    lm = BigramBackoffLm(
+        words=[f"W{i:05d}" for i in range(V)],
+        uni=uni, bo=rng.uniform(0.3, 1.2, V + 1).astype(np.float32),
+        expl_src=src[order].astype(np.int32),
+        expl_dst=dst[order].astype(np.int32),
+        expl_cost=rng.uniform(1.0, 4.0, len(src)).astype(np.float32),
+        eos=rng.uniform(1.0, 4.0, V + 1).astype(np.float32))
+    prons = [rng.integers(1, 41, rng.integers(2, 6)).astype(np.int32)
+             for _ in range(V)]
+    return LexChainGraph.build(prons, lm, num_pdfs=3456)
 
 
 def main():
@@ -38,67 +72,74 @@ def main():
     enable_compilation_cache()
     from kaldi_tpu.decoder.batched_pipeline2 import (BatchedOfflinePipeline2,
                                                      PipelineStats)
-    from kaldi_tpu.decoder.block_chain import (BlockChainDecoder,
-                                               BlockChainGraph)
-    from kaldi_tpu.decoder.graph_direct import (DirectGraphSpec, synth_bigram,
-                                                synth_lexicon)
-    from kaldi_tpu.feat.frontend import MfccOptions, OfflineFeature
+    from kaldi_tpu.decoder.lexchain import LexChainDecoder
+    from kaldi_tpu.feat.frontend import OfflineFeature
     from kaldi_tpu.nnet3.models import ChainTdnnf, ChainTdnnfConfig
+    from kaldi_tpu.recipes.bench_corpus import (BenchCorpusSpec,
+                                                build_decode_graph,
+                                                chain_tm_tree_for,
+                                                load_params, make_corpus,
+                                                mfcc_options, wer_of)
 
     if quick:
-        cfg = ChainTdnnfConfig(feat_dim=40, num_pdfs=256, hidden_dim=128,
-                               bottleneck_dim=32, prefinal_dim=64,
-                               num_layers=4, subsample_layer=2)
-        spec = DirectGraphSpec(vocab=20, num_phones=10, min_pron=2,
-                               max_pron=4, num_pdfs=256)
-        B, utt_s = 4, 1.0
-        interpret = jax.default_backend() == "cpu"
+        spec = BenchCorpusSpec(vocab=24, num_phone_groups=4,
+                               phones_per_group=2, words_per_utt=5,
+                               num_train=2, num_test=6, num_lm_sents=80)
+        cfg_dims = dict(hidden_dim=128, bottleneck_dim=32,
+                        prefinal_dim=64, num_layers=4, subsample_layer=2)
     else:
-        # production librispeech chain TDNN-F shape (run_tdnn_1d.sh)
-        cfg = ChainTdnnfConfig(feat_dim=40, num_pdfs=3456, hidden_dim=1536,
-                               bottleneck_dim=160, prefinal_dim=256,
-                               num_layers=17, subsample_layer=8)
-        spec = DirectGraphSpec(vocab=700, num_pdfs=3456)
-        B, utt_s = 128, 5.0
-        interpret = False
+        spec = BenchCorpusSpec()
+        cfg_dims = dict(hidden_dim=1536, bottleneck_dim=160,
+                        prefinal_dim=256, num_layers=17,
+                        subsample_layer=8)
 
-    rng = np.random.default_rng(0)
     t0 = time.time()
-    graph = BlockChainGraph.build(synth_lexicon(spec), synth_bigram(spec),
-                                  num_pdfs=spec.num_pdfs)
-    decoder = BlockChainDecoder(graph, interpret=interpret)
-    print(f"# graph: {graph.num_states} states, built in "
-          f"{time.time() - t0:.1f}s", file=sys.stderr)
+    lexicon, _tr, _trw, test_txt, test_wav, lm_text = make_corpus(spec)
+    lang, chain_tm, chain_tree = chain_tm_tree_for(lexicon)
+    graph = build_decode_graph(lexicon, lm_text, chain_tm, chain_tree,
+                               lang=lang)
+    decoder = LexChainDecoder(graph)
+    print(f"# corpus+graph: V={graph.V} rows={graph.n_true} "
+          f"states={graph.num_states} explicit={graph.lm.num_explicit} "
+          f"built in {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # model (random weights: throughput of the exact decoder and the AM
-    # is data-independent; WER correctness is covered by tests/)
+    cfg = ChainTdnnfConfig(feat_dim=40, num_pdfs=chain_tm.num_pdfs,
+                           frame_subsampling_factor=3, **cfg_dims)
     model = ChainTdnnf(cfg, train=False)
-    feats0 = jnp.zeros((2, 50, cfg.feat_dim), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), feats0)
+    params_path = os.path.join(REPO, "egs/bench_corpus",
+                               "flagship_params.npz")
+    trained = (not quick) and os.path.exists(params_path)
+    if trained:
+        variables = load_params(params_path)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        print(f"# loaded trained params from {params_path}",
+              file=sys.stderr)
+    else:
+        feats0 = jnp.zeros((2, 50, cfg.feat_dim), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), feats0)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        if not quick:
+            print("# WARNING: no trained params found; WER will be null "
+                  "(run egs/bench_corpus/train.py)", file=sys.stderr)
     params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        variables["params"])
-    mfcc_opts = MfccOptions()
-    mfcc_opts.num_ceps = cfg.feat_dim
-    mfcc_opts.mel_opts.num_bins = cfg.feat_dim
-    fe = OfflineFeature(mfcc_opts)
-    pipe = BatchedOfflinePipeline2(model, params,
-                                   variables.get("batch_stats", {}),
-                                   decoder, fe, acoustic_scale=1.0)
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
-    n_samp = int(16000 * utt_s)
-    # int16 PCM (the wire format of real audio): halves the host->
-    # device transfer, which bounds the tunnel-attached chip's xRT
-    waves = [(rng.normal(size=n_samp) * 3276).astype(np.int16)
-             for _ in range(B)]
+    fe = OfflineFeature(mfcc_options(spec, num_ceps=40))
+    pipe = BatchedOfflinePipeline2(model, params, batch_stats, decoder,
+                                   fe, acoustic_scale=1.0,
+                                   sample_rate=spec.fs)
+
+    utts = sorted(test_wav)
+    # int16 PCM wire (halves the tunnel-bound host->device transfer)
+    waves = [np.clip(test_wav[u], -32767, 32767).astype(np.int16)
+             for u in utts]
 
     t0 = time.time()
-    pipe.decode_batch(waves)                    # compile + warm
+    out = pipe.decode_batch(waves)                 # compile + warm
     print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # median of 3 measured batches: the tunnel-attached chip shows
-    # ~2x run-to-run throughput variance, so a single sample is noisy
-    # (one batch in --quick interpret mode, where iterations are slow)
     xrts = []
     for it in range(1 if quick else 3):
         stats = PipelineStats()
@@ -108,14 +149,20 @@ def main():
         print(f"# iter{it}: {stats.total_audio_s:.0f}s audio in "
               f"{stats.wall_s:.2f}s wall (feat {stats.feat_s:.2f}s, am "
               f"{stats.am_s:.2f}s, search {stats.search_s:.2f}s), "
-              f"{n_ok}/{B} lanes decoded", file=sys.stderr)
+              f"{n_ok}/{len(waves)} lanes decoded", file=sys.stderr)
     xrt = sorted(xrts)[len(xrts) // 2]
 
+    hyps = {u: ([] if o is None else [graph.words[w] for w in o[0]])
+            for u, o in zip(utts, out)}
+    wer = wer_of(hyps, test_txt)
+    print(f"# WER: {wer:.2f}% over "
+          f"{sum(len(r) for r in test_txt.values())} words "
+          f"({'trained' if trained else 'RANDOM'} model)",
+          file=sys.stderr)
+
     if "--with-lattices" in sys.argv:
-        # secondary line: the same pipeline in lattice-generating mode
-        # (device top-J dumps + bitmask D2H + pruned host assembly)
         t0 = time.time()
-        pipe.decode_batch(waves, generate_lattices=True)  # compile+warm
+        pipe.decode_batch(waves, generate_lattices=True)
         print(f"# lattice-mode compile+warmup: {time.time() - t0:.1f}s",
               file=sys.stderr)
         lstats = PipelineStats()
@@ -124,7 +171,28 @@ def main():
         n_lat = sum(o is not None and o[2] is not None for o in lout)
         print(f"# lattice pipeline: {lstats.total_audio_s:.0f}s audio "
               f"in {lstats.wall_s:.2f}s = {lstats.xrt:.1f}x RT, "
-              f"{n_lat}/{B} lattices", file=sys.stderr)
+              f"{n_lat}/{len(waves)} lattices", file=sys.stderr)
+
+    if "--scale" in sys.argv:
+        # vocabulary-scale demo: V=20k sparse-backoff graph
+        t0 = time.time()
+        gs = build_scale_graph(vocab=20000)
+        ds = LexChainDecoder(gs)
+        print(f"# scale graph: V={gs.V} states={gs.num_states} "
+              f"explicit={gs.lm.num_explicit} built in "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+        B_s, T_s = 16, 500
+        rng = np.random.default_rng(0)
+        ll = rng.normal(size=(B_s, T_s, 3456)).astype(np.float32) * 2.0
+        ds.decode_batch(ll)                         # compile + warm
+        t0 = time.time()
+        out_s = ds.decode_batch(ll)
+        dt = time.time() - t0
+        audio_s = B_s * T_s * 0.03                  # 30ms per sub-frame
+        print(f"# scale decode: V=20k, {audio_s:.0f}s audio in "
+              f"{dt:.2f}s = {audio_s / dt:.1f}x RT (search only), "
+              f"{sum(o is not None for o in out_s)}/{B_s} lanes",
+              file=sys.stderr)
 
     baseline = 3524.0  # V100 full-pipeline RealTimeX, arXiv:1910.10032
     print(json.dumps({
@@ -132,6 +200,7 @@ def main():
         "value": round(xrt, 1),
         "unit": "x realtime",
         "vs_baseline": round(xrt / baseline, 3),
+        "wer": None if not trained else round(wer, 2),
     }))
 
 

@@ -1,0 +1,314 @@
+"""Deterministic synthetic benchmark corpus + trained chain system.
+
+The round-3 bench (bench.py) must report xRT *at a pinned WER* on a
+graph built from data — real lexicon, estimated backoff LM, trained
+tree pdf-ids — not the synthetic hashed-pdf graph of rounds 1-2
+(VERDICT r2 "Next round" item 1).  No real speech corpus exists in
+this environment, so this module provides the next-best thing the
+reference's own test strategy uses (egs/yesno, SURVEY.md §4.5): a
+fully deterministic synthetic corpus, hard enough for a NON-ZERO,
+regression-sensitive WER (confusable formant pairs + additive noise,
+scaled up from tests/test_sensitive_wer.py), with
+
+  * a V-word lexicon over a formant-pair phone inventory (shared
+    first phones inside confusable clusters, minimal-pair tails);
+  * utterance text drawn from a nonuniform Markov bigram process, so
+    an estimated bigram LM (lm/bigram.py) carries real information;
+  * the standard recipe ladder: MFCC -> mono GMM -> alignments ->
+    chain TDNN-F (LF-MMI, frame-subsampling 3) — recipes/{mono,chain};
+  * a LexChainGraph built from the TRAINED chain system's
+    TransitionModel/tree (real pdf-ids and transition-ids) plus the
+    estimated LM — the decode graph of the device pipeline.
+
+Everything is seed-deterministic: the chip-side training script
+(egs/bench_corpus/train.py) trains the flagship-shape model once and
+saves params; bench.py re-synthesizes the corpus, rebuilds the graph,
+loads params, and measures {xrt, wer}.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from kaldi_tpu.base.logging import log
+
+
+@dataclass
+class BenchCorpusSpec:
+    vocab: int = 200
+    num_phone_groups: int = 8      # confusable groups
+    phones_per_group: int = 3      # members differ by a small f2 gap
+    fs: float = 16000.0
+    noise: float = 800.0           # additive noise sigma (tones ~1500)
+    f2_gap: float = 140.0          # separation inside a group
+    min_pron: int = 2
+    max_pron: int = 4
+    words_per_utt: int = 12
+    num_train: int = 256
+    num_test: int = 128
+    num_lm_sents: int = 4000
+    seed: int = 11
+
+    @property
+    def num_phones(self) -> int:
+        return self.num_phone_groups * self.phones_per_group
+
+
+def phone_inventory(spec: BenchCorpusSpec) -> Dict[str, Tuple[float, float]]:
+    """Phone -> (f1, f2).  Groups share f1; members differ by a small
+    f2 offset (the confusability axis)."""
+    inv: Dict[str, Tuple[float, float]] = {}
+    for g in range(spec.num_phone_groups):
+        f1 = 280.0 + 160.0 * g
+        f2_base = 1100.0 + 290.0 * g
+        for m in range(spec.phones_per_group):
+            inv[f"p{g}_{m}"] = (f1, f2_base + spec.f2_gap * m)
+    return inv
+
+
+def make_lexicon(spec: BenchCorpusSpec) -> Dict[str, List[List[str]]]:
+    """V words; confusable clusters share their prefix and differ in
+    the LAST phone within one formant group."""
+    rng = np.random.default_rng(spec.seed)
+    inv = sorted(phone_inventory(spec))
+    lex: Dict[str, List[List[str]]] = {}
+    seen = set()
+    w = 0
+    while len(lex) < spec.vocab:
+        k = int(rng.integers(spec.min_pron, spec.max_pron + 1))
+        prefix = [inv[rng.integers(len(inv))] for _ in range(k - 1)]
+        g = int(rng.integers(spec.num_phone_groups))
+        # a cluster of words sharing `prefix`, distinguished only by
+        # the group-m member of the last phone
+        for m in range(spec.phones_per_group):
+            if len(lex) >= spec.vocab:
+                break
+            pron = prefix + [f"p{g}_{m}"]
+            key = tuple(pron)
+            if key in seen:
+                continue
+            seen.add(key)
+            lex[f"W{w:04d}"] = [pron]
+            w += 1
+    return lex
+
+
+def make_text(spec: BenchCorpusSpec, n_sents: int, seed: int
+              ) -> List[List[str]]:
+    """Markov bigram text: Zipf unigram + per-context preferred
+    successors (so a bigram LM beats a unigram LM).  The PROCESS
+    (hot-successor table) depends only on spec.seed; `seed` drives the
+    sampling — train/test/LM text must come from the SAME process."""
+    rng = np.random.default_rng(seed)
+    proc_rng = np.random.default_rng(spec.seed + 777)
+    V = spec.vocab
+    words = [f"W{w:04d}" for w in range(V)]
+    zipf = 1.0 / np.arange(1, V + 1) ** 0.8
+    zipf /= zipf.sum()
+    # each context prefers 4 successors with 60% total mass
+    n_hot = 4
+    hot = proc_rng.integers(0, V, size=(V + 1, n_hot))
+    sents = []
+    for _ in range(n_sents):
+        n = spec.words_per_utt + int(rng.integers(-2, 3))
+        sent, prev = [], V
+        for _ in range(max(n, 1)):
+            if rng.random() < 0.6:
+                w = int(hot[prev, rng.integers(n_hot)])
+            else:
+                w = int(rng.choice(V, p=zipf))
+            sent.append(words[w])
+            prev = w
+        sents.append(sent)
+    return sents
+
+
+def synth_utterance(words: Sequence[str],
+                    lexicon: Dict[str, List[List[str]]],
+                    inv: Dict[str, Tuple[float, float]],
+                    spec: BenchCorpusSpec, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    fs = spec.fs
+
+    def sil(dur):
+        n = int(dur * fs)
+        return spec.noise * 0.5 * rng.normal(size=n)
+
+    parts = [sil(0.15 + 0.1 * rng.random())]
+    for w in words:
+        pron = lexicon[w][0]
+        for ph in pron:
+            f1, f2 = inv[ph]
+            dur = 0.07 + 0.05 * rng.random()
+            n = int(dur * fs)
+            t = np.arange(n) / fs
+            gain = 0.75 + 0.5 * rng.random()
+            seg = gain * (1500 * np.sin(2 * np.pi * f1 * t)
+                          + 950 * np.sin(2 * np.pi * f2 * t)) \
+                + spec.noise * rng.normal(size=n)
+            env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n))
+                             / (0.008 * fs))
+            parts.append(seg * env)
+        if rng.random() < 0.35:
+            parts.append(sil(0.06 + 0.12 * rng.random()))
+    parts.append(sil(0.15 + 0.1 * rng.random()))
+    return np.concatenate(parts).astype(np.float32)
+
+
+def make_corpus(spec: BenchCorpusSpec):
+    """-> (lexicon, train_txt, train_wav, test_txt, test_wav, lm_text).
+    All deterministic in spec.seed."""
+    lexicon = make_lexicon(spec)
+    inv = phone_inventory(spec)
+    train_sents = make_text(spec, spec.num_train, spec.seed + 1)
+    test_sents = make_text(spec, spec.num_test, spec.seed + 2)
+    lm_text = make_text(spec, spec.num_lm_sents, spec.seed + 3)
+    train_txt = {f"tr{i:04d}": s for i, s in enumerate(train_sents)}
+    test_txt = {f"te{i:04d}": s for i, s in enumerate(test_sents)}
+    train_wav = {u: synth_utterance(s, lexicon, inv, spec, 10_000 + i)
+                 for i, (u, s) in enumerate(train_txt.items())}
+    test_wav = {u: synth_utterance(s, lexicon, inv, spec, 50_000 + i)
+                for i, (u, s) in enumerate(test_txt.items())}
+    return lexicon, train_txt, train_wav, test_txt, test_wav, lm_text
+
+
+# ----------------------------------------------------------------------
+def mfcc_options(spec: BenchCorpusSpec, num_ceps: int = 40):
+    from kaldi_tpu.feat.frontend import MfccOptions
+    from kaldi_tpu.feat.window import FrameExtractionOptions
+    opts = MfccOptions(frame_opts=FrameExtractionOptions(
+        samp_freq=spec.fs, dither=0.0))
+    opts.num_ceps = num_ceps
+    opts.mel_opts.num_bins = max(num_ceps, 23)
+    return opts
+
+
+def build_lang(lexicon):
+    from kaldi_tpu.decoder.graph import Lang
+    return Lang(lexicon, sil_phone="SIL", sil_prob=0.5)
+
+
+def train_system(spec: BenchCorpusSpec, cfg=None,
+                 chain_opts=None, num_ceps: int = 40,
+                 mono_iters: int = 8, mono_totgauss: int = 500):
+    """Full ladder: feats -> mono -> align -> chain.  Returns a dict
+    with everything the decode side needs (and the trained params)."""
+    from kaldi_tpu.decoder.graph import TrainingGraphCompiler
+    from kaldi_tpu.feat.frontend import OfflineFeature
+    from kaldi_tpu.recipes.chain import ChainTrainOptions, train_chain_topo
+    from kaldi_tpu.recipes.mono import (TrainMonoOptions, _align_all,
+                                        train_mono)
+    lexicon, train_txt, train_wav, test_txt, test_wav, lm_text = \
+        make_corpus(spec)
+    lang = build_lang(lexicon)
+    comp = OfflineFeature(mfcc_options(spec, num_ceps))
+    log(f"bench_corpus: extracting {len(train_wav)} train utterances")
+    feats = dict(zip(train_wav,
+                     comp.compute_batch(list(train_wav.values()))))
+    log("bench_corpus: training mono GMM")
+    gmm = train_mono(lang, feats, train_txt,
+                     TrainMonoOptions(num_iters=mono_iters,
+                                      totgauss=mono_totgauss))
+    compiler = TrainingGraphCompiler(gmm.tm, gmm.tree, lang)
+    graphs = {u: compiler.compile(train_txt[u]) for u in feats}
+    log("bench_corpus: aligning")
+    ali = _align_all(gmm, graphs, feats, 10.0, 0.1, 1.0)
+    log("bench_corpus: chain training")
+    if chain_opts is None:
+        chain_opts = ChainTrainOptions(num_epochs=8, learning_rate=1e-3,
+                                       minibatch_size=32, chunk_width=150,
+                                       left_tolerance=5, right_tolerance=5)
+    model, variables, den, chain_tm, chain_tree = train_chain_topo(
+        gmm, feats, ali, cfg, chain_opts)
+    return dict(spec=spec, lexicon=lexicon, lang=lang,
+                train_txt=train_txt, test_txt=test_txt,
+                test_wav=test_wav, lm_text=lm_text, gmm=gmm,
+                model=model, variables=variables, den=den,
+                chain_tm=chain_tm, chain_tree=chain_tree)
+
+
+def build_decode_graph(lexicon, lm_text, chain_tm, chain_tree,
+                       lang=None):
+    """LexChainGraph from the corpus artifacts: estimated backoff
+    bigram + trained-tree pdf/tid tables + optional-silence lexicon."""
+    from kaldi_tpu.decoder.lexchain import LexChainGraph
+    from kaldi_tpu.lm.bigram import BigramBackoffLm
+    if lang is None:
+        lang = build_lang(lexicon)
+    vocab = sorted(lexicon)
+    lm = BigramBackoffLm.from_counts(lm_text, vocab)
+    prons, pron_word, pron_cost = [], [], []
+    for wi, w in enumerate(vocab):
+        variants = lexicon[w]
+        for pron in variants:
+            prons.append(np.asarray([lang.phones[p] for p in pron],
+                                    np.int32))
+            pron_word.append(wi)
+            pron_cost.append(math.log(max(len(variants), 1)))
+    return LexChainGraph.build(
+        prons, lm, pron_word=pron_word, pron_cost=pron_cost,
+        tm=chain_tm, tree=chain_tree, use_sil=True,
+        sil_phone=lang.phones["SIL"], sil_prob=0.5)
+
+
+def wer_of(hyps: Dict[str, List[str]], refs: Dict[str, List[str]]
+           ) -> float:
+    from kaldi_tpu.util.edit_distance import edit_distance_counts
+    errs = tot = 0
+    for u, ref in refs.items():
+        ins, dels, subs = edit_distance_counts(ref, hyps.get(u, []))
+        errs += ins + dels + subs
+        tot += len(ref)
+    return 100.0 * errs / max(tot, 1)
+
+
+def save_params(path: str, variables: dict) -> None:
+    """Flatten the {params, batch_stats} pytree to an npz (float16
+    for the big arrays — the model runs in bf16 anyway)."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(f"{prefix}/{k}", v)
+        else:
+            a = np.asarray(tree)
+            if a.dtype == np.float32 and a.size > 1024:
+                a = a.astype(np.float16)
+            flat[prefix] = a
+    for coll in ("params", "batch_stats"):
+        if coll in variables and variables[coll]:
+            walk(coll, variables[coll])
+    np.savez_compressed(path, **flat)
+
+
+def load_params(path: str) -> dict:
+    data = np.load(path)
+    out: dict = {"params": {}, "batch_stats": {}}
+    for key in data.files:
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        a = data[key]
+        if a.dtype == np.float16:
+            a = a.astype(np.float32)
+        node[parts[-1]] = a
+    return out
+
+
+def chain_tm_tree_for(lexicon):
+    """The (deterministic) chain system for this corpus — decode-side
+    reconstruction without training artifacts."""
+    from kaldi_tpu.hmm.topology import HmmTopology
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.tree import monophone_context_dependency
+    lang = build_lang(lexicon)
+    phones = sorted(lang.phones.values())
+    topo = HmmTopology.chain_topology(phones)
+    tree = monophone_context_dependency(phones, {p: 2 for p in phones})
+    return lang, TransitionModel(topo, tree), tree
