@@ -25,6 +25,85 @@ from kaldi_tpu.base.logging import KaldiTpuError
 from kaldi_tpu.decoder.block_chain import INF, BlockChainDecoder
 
 
+class ShardedLexChainDecoder:
+    """Lane-sharded wrapper around decoder.lexchain.LexChainDecoder —
+    the round-3 shared-lexicon entry-LM decoder.  Identical contract
+    to the single-device decode_batch; lanes split over the mesh's
+    data axis with shard_map, no cross-chip traffic in the hot loop."""
+
+    def __init__(self, decoder, mesh, axis: str = "data"):
+        self.decoder = decoder
+        self.mesh = mesh
+        self.axis = axis
+        self._jit = {}
+
+    def _make(self, B_local: int, T: int):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+            sm_kwargs = {"check_vma": False}
+        except ImportError:              # older jax
+            from jax.experimental.shard_map import shard_map
+            sm_kwargs = {"check_rep": False}
+
+        dec = self.decoder
+        g = dec.g
+        N, Pv = g.N, g.P
+        if B_local not in dec._jit:
+            dec._jit[B_local] = dec._make_step(B_local)
+        fwd, fol = dec._jit[B_local]
+        eos = dec._c["eos"]
+
+        def local_decode(am, active):
+            cost0 = jnp.full((N, B_local), INF, jnp.float32)
+            roots0 = jnp.full((Pv + 1, B_local), INF,
+                              jnp.float32).at[Pv].set(0.0)
+            sil0 = jnp.full((Pv + 1, B_local), INF, jnp.float32)
+            cost, roots, sil, ys = fwd(cost0, roots0, sil0, am, active)
+            fin_root = roots + eos
+            fin_sil = sil + eos if g.use_sil else \
+                jnp.full_like(fin_root, INF)
+            allfin = jnp.concatenate([fin_root, fin_sil], axis=0)
+            best_i = jnp.argmin(allfin, axis=0)
+            best_cost = jnp.min(allfin, axis=0)
+            final_state = jnp.where(
+                best_i <= Pv,
+                jnp.where(best_i == Pv, N + Pv, N + best_i),
+                N + Pv + 1 + (best_i - (Pv + 1)))
+            first, states = fol(ys, active, final_state)
+            return states, best_cost, first
+
+        sharded = shard_map(
+            local_decode, mesh=self.mesh,
+            in_specs=(P(None, None, self.axis), P(None, self.axis)),
+            out_specs=(P(None, self.axis), P(self.axis), P(self.axis)),
+            **sm_kwargs)
+        return jax.jit(sharded)
+
+    def decode_batch(self, loglikes, acoustic_scale: float = 1.0,
+                     lengths: Optional[Sequence[int]] = None):
+        import jax.numpy as jnp
+        B, T, _ = loglikes.shape
+        n_dev = self.mesh.shape[self.axis]
+        if B % n_dev:
+            raise KaldiTpuError(
+                f"batch {B} not divisible by mesh axis {n_dev}")
+        lengths = np.asarray(lengths if lengths is not None
+                             else [T] * B, np.int64)
+        key = (B // n_dev, T)
+        if key not in self._jit:
+            self._jit[key] = self._make(*key)
+        am = jnp.transpose(jnp.asarray(loglikes) * (-acoustic_scale),
+                           (1, 2, 0))
+        active = jnp.asarray(np.arange(T)[:, None] < lengths[None, :])
+        states, best_cost, first = self._jit[key](am, active)
+        return self.decoder._traceback(np.asarray(states),
+                                       np.asarray(first),
+                                       np.asarray(best_cost), lengths)
+
+
 class ShardedBlockChainDecoder:
     """Lane-sharded wrapper around BlockChainDecoder.
 

@@ -50,3 +50,33 @@ def test_indivisible_batch_rejected(mesh):
     ll = np.zeros((3, 4, g.num_pdfs), np.float32)
     with pytest.raises(KaldiTpuError):
         sharded.decode_batch(ll)
+
+
+@pytest.mark.parametrize("seed,use_sil", [(0, True), (1, False)])
+def test_sharded_lexchain_matches_single_device(seed, use_sil, mesh):
+    """Round-3 decoder: lane-sharded LexChain decode == single-device
+    (the batch-parallel path the flagship pipeline would use on a
+    real multi-chip mesh)."""
+    from kaldi_tpu.decoder.lexchain import LexChainDecoder, LexChainGraph
+    from kaldi_tpu.parallel.decode import ShardedLexChainDecoder
+    from tests.test_lexchain import random_lexicon, random_lm
+    rng = np.random.default_rng(seed)
+    lm = random_lm(7, rng)
+    prons, pron_word, pron_cost = random_lexicon(7, rng)
+    g = LexChainGraph.build(prons, lm, pron_word=pron_word,
+                            pron_cost=pron_cost, num_pdfs=12,
+                            use_sil=use_sil, sil_phone=4)
+    dec = LexChainDecoder(g)
+    B, T = 16, 9
+    ll = rng.normal(size=(B, T, g.num_pdfs)).astype(np.float32)
+    lens = rng.integers(5, T + 1, size=B).tolist()
+    ref = dec.decode_batch(ll, acoustic_scale=1.0, lengths=lens)
+    sharded = ShardedLexChainDecoder(dec, mesh)
+    got = sharded.decode_batch(ll, acoustic_scale=1.0, lengths=lens)
+    for b in range(B):
+        assert (got[b] is None) == (ref[b] is None)
+        if ref[b] is None:
+            continue
+        assert got[b][0] == ref[b][0], f"lane {b} words"
+        assert got[b][1] == ref[b][1], f"lane {b} tids"
+        assert got[b][2] == pytest.approx(ref[b][2], abs=1e-3)
