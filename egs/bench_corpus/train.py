@@ -31,11 +31,20 @@ def main():
 
     small = "--small" in sys.argv
     epochs = 8
+    noise, gap = None, None
     for i, a in enumerate(sys.argv):
         if a == "--epochs":
             epochs = int(sys.argv[i + 1])
+        elif a == "--noise":
+            noise = float(sys.argv[i + 1])
+        elif a == "--gap":
+            gap = float(sys.argv[i + 1])
 
     spec = BenchCorpusSpec()
+    if noise is not None:
+        spec.noise = noise
+    if gap is not None:
+        spec.f2_gap = gap
     num_pdfs = 2 * (spec.num_phones + 1)
     if small:
         cfg = ChainTdnnfConfig(feat_dim=40, num_pdfs=num_pdfs,

@@ -414,6 +414,7 @@ class LexChainDecoder:
         seg_end = np.zeros(V, np.int64)
         seg_end[dst] = np.arange(E)      # last index per word (sorted)
         self._e_srcw = srcw              # context WORD id (V = <s>)
+        self._e_dst = dst                # destination word (sorted)
         self._e_cost = jnp.asarray(cost)
         self._e_starts = jnp.asarray(starts[:, None])
         self._e_segend = jnp.asarray(seg_end)
@@ -744,3 +745,623 @@ class LexChainDecoder:
 
     def decode(self, loglikes, acoustic_scale: float = 1.0):
         return self.decode_batch(loglikes[None], acoustic_scale)[0]
+
+    # ==================================================================
+    # Lattice mode: device forward with per-frame top-J word-entry
+    # candidate dumps, device beam pruning to a survivor bitmask, host
+    # lattice assembly — the cudadecoder GetRawLattice split
+    # (cuda-decoder.cc token dumps -> host lattice workers,
+    # lattice-postprocessor.h:73), adapted to the entry-LM layout:
+    # lattice nodes are (variant root, frame) word-end events; word
+    # arcs carry the top-J entry sources (root / silence-shadow /
+    # begin) with exact cost splits; optional-silence frames ride on
+    # the entry arc (the source-time gap determines the silence span).
+    # ==================================================================
+    def _make_lattice_step(self, B: int, J: int):
+        import jax
+        import jax.numpy as jnp
+        g = self.g
+        N, P, V = g.N, g.P, g.V
+        c = self._c
+        use_sil = g.use_sil
+        e_srcw = jnp.asarray(self._e_srcw)
+        e_cost = self._e_cost
+        e_starts = self._e_starts
+        e_segend = self._e_segend
+        roots_by_word = jnp.asarray(self._roots_by_word)
+        w_starts = self._w_starts
+        w_segend = self._w_segend
+        word_has_var = self._word_has_var
+        segmin = self._segmin_scan
+        E = len(self._e_srcw)
+        lm_bo = jnp.asarray(self.g.lm.bo)       # (V+1,) by WORD context
+        ctx_word = jnp.asarray(self._ctx_word)  # (P+1,) root -> word ctx
+
+        def frame(carry, x):
+            cost, ent, roots, sil, sil_t, t = carry
+            am_t, act = x
+            tf = t.astype(jnp.float32)
+            radj = roots + c["nosil"]
+            if use_sil:
+                rmin = jnp.minimum(radj, sil)
+                pick_sil = sil < radj
+            else:
+                rmin = radj
+                pick_sil = jnp.zeros_like(radj, bool)
+            src_time = jnp.where(pick_sil, sil_t,
+                                 jnp.broadcast_to(tf - 1.0, radj.shape))
+            # fold variant roots to word level (value, root index)
+            rw_v, rw_a = segmin(rmin[roots_by_word],
+                                roots_by_word[:, None].astype(jnp.int32) *
+                                jnp.ones((1, B), jnp.int32), w_starts)
+            rword_v = rw_v[w_segend]
+            rword_a = rw_a[w_segend]
+            rword_v = jnp.where(word_has_var[:, None], rword_v, INF)
+            # ---------- backoff pool: top-J sources (word-independent)
+            bo_by_root = lm_bo[ctx_word][:, None]       # (P+1,1)
+            pool = rmin + bo_by_root                    # (P+1,B)
+            pv, pa, pt = [], [], []
+            pool_m = pool
+            for _ in range(J):
+                m = jnp.min(pool_m, axis=0)             # (B,)
+                a = jnp.argmin(pool_m, axis=0)
+                pv.append(m)
+                pa.append(a.astype(jnp.float32))
+                pt.append(src_time[a, jnp.arange(B)])
+                pool_m = pool_m.at[a, jnp.arange(B)].set(INF)
+            bo_v = jnp.stack(pv)                        # (J,B)
+            bo_a = jnp.stack(pa)
+            bo_t = jnp.stack(pt)
+            bo_lm = bo_v - rmin[bo_a.astype(jnp.int32),
+                                jnp.arange(B)[None, :]]  # bo cost only
+            # ---------- explicit pool: segmented top-J by dest word
+            arc_p = jnp.where(e_srcw[:, None] >= V, jnp.int32(P),
+                              rword_a[jnp.minimum(e_srcw, V - 1)])
+            lane = jnp.arange(B)[None, :]
+            arc_t = src_time[arc_p, lane]
+            arc_src_val = jnp.where(e_srcw[:, None] >= V,
+                                    rmin[P][None, :],
+                                    rword_v[jnp.minimum(e_srcw, V - 1)])
+            cand0 = arc_src_val + e_cost[:, None]
+            idx_e = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0) * \
+                jnp.ones((1, B), jnp.int32)
+            ev, ea, et_, elm_ = [], [], [], []
+            cand_m = cand0
+            e_dst = jnp.asarray(self._e_dst)
+            for _ in range(J):
+                sv, sa = segmin(cand_m, idx_e, e_starts)
+                wv = sv[e_segend]                       # (V,B)
+                wa = sa[e_segend]                       # winning arc idx
+                ev.append(wv)
+                ea.append(arc_p[wa, lane].astype(jnp.float32))
+                et_.append(arc_t[wa, lane])
+                elm_.append(e_cost[wa])
+                # mask each segment's winning arc for the next round
+                win_of_arc = wa[e_dst]                  # (E,B)
+                cand_m = jnp.where(idx_e == win_of_arc, INF, cand_m)
+            ex_v = jnp.stack(ev)                        # (J,V,B)
+            ex_a = jnp.stack(ea)
+            ex_t = jnp.stack(et_)
+            ex_lm = jnp.stack(elm_)
+            # ---------- merge pools per word: top-J of 2J
+            uni = c["uni"]                              # (V,1)
+            all_v = jnp.concatenate(
+                [bo_v[:, None, :] + uni[None], ex_v], axis=0)  # (2J,V,B)
+            all_a = jnp.concatenate(
+                [jnp.broadcast_to(bo_a[:, None, :], (J, V, B)), ex_a], 0)
+            all_t = jnp.concatenate(
+                [jnp.broadcast_to(bo_t[:, None, :], (J, V, B)), ex_t], 0)
+            all_lm = jnp.concatenate(
+                [bo_lm[:, None, :] + uni[None], ex_lm], axis=0)
+            mv, ma, mt, mlm = [], [], [], []
+            for _ in range(J):
+                m = jnp.min(all_v, axis=0)              # (V,B)
+                a = jnp.argmin(all_v, axis=0)
+                mv.append(m)
+                mt.append(jnp.take_along_axis(all_t, a[None], 0)[0])
+                ma.append(jnp.take_along_axis(all_a, a[None], 0)[0])
+                mlm.append(jnp.take_along_axis(all_lm, a[None], 0)[0])
+                all_v = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, all_v.shape, 0)
+                    == a[None], INF, all_v)
+            ecost = jnp.stack(mv)                       # (J,V,B) sorted
+            esrc = jnp.stack(ma)
+            esrct = jnp.stack(mt)
+            elm = jnp.stack(mlm)
+            entry = ecost[0]
+            # ---------- chain rows (+ entry-time propagation) --------
+            amf = am_t[c["pdf_fwd_row"]] + c["fwd_extra"]
+            ams = am_t[c["pdf_self_row"]] + c["self_extra"]
+            rolled = jnp.roll(cost, 1, axis=0)
+            rolled_e = jnp.roll(ent, 1, axis=0)
+            fwd_src = jnp.where(c["first"][:, None],
+                                entry[c["row_word"]], rolled)
+            fwd_ent = jnp.where(c["first"][:, None],
+                                jnp.broadcast_to(tf, ent.shape), rolled_e)
+            fwd_cand = fwd_src + amf
+            self_cand = cost + ams
+            take_fwd = fwd_cand < self_cand
+            new_cost = jnp.where(take_fwd, fwd_cand, self_cand)
+            new_ent = jnp.where(take_fwd, fwd_ent, ent)
+            # ---------- roots ----------------------------------------
+            am_end = am_t[c["pdf_end"]] + c["tr_end"]
+            end_src = jnp.where(
+                c["end_is_row"], cost[c["end_row"]],
+                entry[c["end_word"]] + c["end_pron_cost"])
+            end_cand = end_src + am_end                  # arrival cost
+            arr_te = jnp.where(c["end_is_row"], ent[c["end_row"]],
+                               jnp.broadcast_to(tf, end_cand.shape))
+            am_rs = am_t[c["pdf_root_self"]]             # (P,B) raw
+            self_r = roots[:P] + am_rs + c["tr_root_self"]
+            take_end = end_cand < self_r
+            roots_new = jnp.concatenate(
+                [jnp.where(take_end, end_cand, self_r),
+                 jnp.full((1, B), INF, jnp.float32)], axis=0)
+            # ---------- silence shadows ------------------------------
+            if use_sil:
+                sil_in = roots + g.sil_cost + g.sil_tr_fwd + \
+                    am_t[g.sil_pdf_fwd][None, :]
+                sil_self = sil + g.sil_tr_self + \
+                    am_t[g.sil_pdf_self][None, :]
+                sil_take = sil_in < sil_self
+                sil_new = jnp.where(sil_take, sil_in, sil_self)
+                sil_t_new = jnp.where(sil_take, tf - 1.0, sil_t)
+            else:
+                sil_new, sil_t_new = sil, sil_t
+            # freeze inactive lanes
+            new_cost = jnp.where(act[None, :], new_cost, cost)
+            new_ent = jnp.where(act[None, :], new_ent, ent)
+            roots_new = jnp.where(act[None, :], roots_new, roots)
+            sil_new = jnp.where(act[None, :], sil_new, sil)
+            sil_t_new = jnp.where(act[None, :], sil_t_new, sil_t)
+            ys = (ecost, esrc, esrct, elm, end_cand, arr_te, take_end,
+                  roots_new, am_rs)
+            return (new_cost, new_ent, roots_new, sil_new, sil_t_new,
+                    t + 1), ys
+
+        def forward(cost0, ent0, roots0, sil0, silt0, am, active):
+            (cost, ent, roots, sil, sil_t, _), ys = jax.lax.scan(
+                frame, (cost0, ent0, roots0, sil0, silt0, jnp.int32(0)),
+                (am, active))
+            return roots, sil, sil_t, ys
+
+        return jax.jit(forward, donate_argnums=(0, 1))
+
+    def _make_lat_post(self, B: int, J: int, beam: float):
+        """Device pruning after the lattice forward: survivor bitmask
+        over entry candidates + arrival bitmask + am cumsum — only
+        small packed planes cross the tunneled D2H link."""
+        import jax
+        import jax.numpy as jnp
+        g = self.g
+        P, V = g.P, g.V
+        Vp8 = _round_up(V, 8)
+        Pp8 = _round_up(P, 8)
+
+        def post(ecost, roots_all, take_end, am_rs, lengths):
+            T = ecost.shape[0]
+            a_best = jnp.min(roots_all[:, :P, :], axis=1)   # (T,B)
+            keep = ecost <= a_best[:, None, None, :] + beam
+            keepp = jnp.concatenate(
+                [keep, jnp.zeros((T, J, Vp8 - V, B), bool)], axis=2)
+            flat = keepp.reshape(T, (J * Vp8) // 8, 8, B).astype(jnp.int32)
+            w8 = (1 << jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1),
+                                                2))
+            bits = (flat * w8).sum(axis=2).astype(jnp.uint8)
+            te_pad = jnp.concatenate(
+                [take_end, jnp.zeros((T, Pp8 - P, B), bool)], axis=1)
+            tf = te_pad.reshape(T, Pp8 // 8, 8, B).astype(jnp.int32)
+            te_bits = (tf * w8[0]).sum(axis=1 + 1).astype(jnp.uint8)
+            am_cs = jnp.cumsum(am_rs, axis=0)               # (T,P,B)
+            idx = jnp.maximum(lengths - 1, 0)[None, None, :]
+            alpha_fin = jnp.take_along_axis(
+                roots_all, jnp.broadcast_to(idx, (1, P + 1, B)),
+                axis=0)[0]
+            return bits, te_bits, a_best, am_cs, alpha_fin
+
+        return jax.jit(post)
+
+    def _gather_jit(self, name, fn, n):
+        """Jitted padded gather cache (pow2 sizes)."""
+        import jax
+        S = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 4)
+        key = (name, S)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(fn)
+        return self._jit[key], S
+
+    def decode_batch_lattice(self, loglikes, acoustic_scale: float = 1.0,
+                             lengths: Optional[Sequence[int]] = None,
+                             lattice_beam: float = 8.0, J: int = 4,
+                             stats: Optional[Dict[str, float]] = None):
+        """Full word-lattice decode: per lane a Lattice (ilabel=tid,
+        olabel=word id, weights (graph, acoustic)) pruned to
+        `lattice_beam`, or None.  Within-word alignments of non-best
+        entry alternatives reuse the winner's time span (self-loop
+        frames distributed on the last chain row), matching the
+        block-chain lattice contract."""
+        import time as _time
+        import jax.numpy as jnp
+        g = self.g
+        N, P, V = g.N, g.P, g.V
+        B, T, Pdf = loglikes.shape
+        lengths = np.asarray(lengths if lengths is not None
+                             else [T] * B, np.int64)
+        key = ("lat", B, J)
+        if key not in self._jit:
+            self._jit[key] = self._make_lattice_step(B, J)
+        fwd = self._jit[key]
+        am = jnp.transpose(jnp.asarray(loglikes) * (-acoustic_scale),
+                           (1, 2, 0))
+        active = jnp.asarray(np.arange(T)[:, None] < lengths[None, :])
+        cost0 = jnp.full((N, B), INF, jnp.float32)
+        ent0 = jnp.zeros((N, B), jnp.float32)
+        roots0 = jnp.full((P + 1, B), INF, jnp.float32).at[P].set(0.0)
+        sil0 = jnp.full((P + 1, B), INF, jnp.float32)
+        silt0 = jnp.full((P + 1, B), -1.0, jnp.float32)
+        _t0 = _time.time()
+        roots_fin, sil_fin, sil_t_fin, ys = fwd(
+            cost0, ent0, roots0, sil0, silt0, am, active)
+        (ecost, esrc, esrct, elm, arr_cost_d, arr_te_d, take_end_d,
+         roots_all, am_rs) = ys
+        pkey = ("latpost", B, J, float(lattice_beam))
+        if pkey not in self._jit:
+            self._jit[pkey] = self._make_lat_post(B, J, lattice_beam)
+        bits_d, te_bits_d, a_best_d, am_cs_d, alpha_fin_d = \
+            self._jit[pkey](ecost, roots_all, take_end_d, am_rs,
+                            jnp.asarray(lengths.astype(np.int32)))
+        bits = np.asarray(bits_d)
+        te_bits = np.asarray(te_bits_d)
+        alpha_fin = np.asarray(alpha_fin_d)
+        sil_fin_np = np.asarray(sil_fin)
+        sil_t_fin_np = np.asarray(sil_t_fin)
+        if stats is not None:
+            stats["fwd_s"] = _time.time() - _t0
+        _t0 = _time.time()
+        Vp8 = _round_up(V, 8)
+        Pp8 = _round_up(P, 8)
+        # unpack survivor entry candidates
+        u8 = np.unpackbits(bits.transpose(2, 0, 1).reshape(B, T, -1),
+                           axis=2, bitorder="little")
+        u8 = u8.reshape(B, T, J, Vp8)[:, :, :, :V]
+        sb, st, sj, sw = np.nonzero(u8)
+        m = st < lengths[sb]
+        sb, st, sj, sw = sb[m], st[m], sj[m], sw[m]
+        # unpack arrival events
+        a8 = np.unpackbits(te_bits.transpose(2, 0, 1).reshape(B, T, -1),
+                           axis=2, bitorder="little")
+        a8 = a8.reshape(B, T, Pp8)[:, :, :P]
+        ab, at_, ap = np.nonzero(a8)
+        ma = at_ < lengths[ab]
+        ab, at_, ap = ab[ma], at_[ma], ap[ma]
+        if stats is not None:
+            stats["unpack_s"] = _time.time() - _t0
+            stats["n_entry"] = len(sb)
+            stats["n_arrival"] = len(ab)
+        _t0 = _time.time()
+        # survivor payload gathers (entry candidates)
+        import jax
+
+        def g4(ec, es, et, el, ti, ji, wi, bi):
+            return (ec[ti, ji, wi, bi], es[ti, ji, wi, bi],
+                    et[ti, ji, wi, bi], el[ti, ji, wi, bi])
+        fn, S = self._gather_jit("lat_g4", g4, len(sb))
+        pad = S - len(sb)
+        args = [jnp.asarray(np.pad(x, (0, pad))) for x in
+                (st, sj, sw, sb)]
+        ecv, esv, etv, elv = (np.asarray(a)[:len(sb)] for a in
+                              fn(ecost, esrc, esrct, elm, *args))
+        # winning entry value per (t, w, b): j=0 candidate
+        def g1(ec, ti, wi, bi):
+            return ec[ti, 0, wi, bi]
+        fn1, S1 = self._gather_jit("lat_g1", g1, len(ab))
+        # arrival payloads
+        def g3(ac, ate, ti, pi, bi):
+            return ac[ti, pi, bi], ate[ti, pi, bi]
+        fn3, S3 = self._gather_jit("lat_g3", g3, len(ab))
+        pad3 = S3 - len(ab)
+        args3 = [jnp.asarray(np.pad(x, (0, pad3))) for x in
+                 (at_, ap, ab)]
+        arrc, arrte = (np.asarray(a)[:len(ab)] for a in
+                       fn3(arr_cost_d, arr_te_d, *args3))
+        arrte = np.rint(arrte).astype(np.int64)
+        # entry_win for each arrival: ecost[arrte, 0, word(p), b]
+        word_of_var = g.pron_word
+        pad1 = S1 - len(ab)
+        argw = jnp.asarray(np.pad(word_of_var[ap], (0, pad1)))
+        argt = jnp.asarray(np.pad(np.maximum(arrte, 0), (0, pad1)))
+        argb = jnp.asarray(np.pad(ab, (0, pad1)))
+        entry_win = np.asarray(fn1(ecost, argt, argw, argb))[:len(ab)]
+        if stats is not None:
+            stats["gather_s"] = _time.time() - _t0
+        _t0 = _time.time()
+        # organize survivors by (b, w, te) for arc expansion
+        surv_key = (sb * T + st) * V + sw
+        order = np.argsort(surv_key, kind="stable")
+        surv_key_s = surv_key[order]
+        lats = []
+        roots_np = np.asarray(roots_all)   # (T, P+1, B) — node alphas
+        am_cs = np.asarray(am_cs_d)
+        for b in range(B):
+            sel = np.nonzero(ab == b)[0]
+            lats.append(self._assemble_lane(
+                b, int(lengths[b]), T, ap[sel], at_[sel], arrte[sel],
+                arrc[sel], entry_win[sel],
+                surv_key_s, order, sb, st, sw, sj,
+                ecv, esv, etv, elv,
+                roots_np[:, :, b], am_cs[:, :, b],
+                alpha_fin[:, b], sil_fin_np[:, b], sil_t_fin_np[:, b],
+                lattice_beam))
+        if stats is not None:
+            stats["assemble_s"] = _time.time() - _t0
+        return lats
+
+    def _assemble_lane(self, b, Tb, T, ap, at_, arrte, arrc, entry_win,
+                       surv_key_s, surv_order, sb, st, sw, sj,
+                       ecv, esv, etv, elv, roots_lane, am_cs_lane,
+                       alpha_fin, sil_fin, sil_t_fin, beam):
+        """Host lattice assembly for one lane with exact alpha+beta
+        pruning on the word-event node graph."""
+        from kaldi_tpu.fstext.fst import Arc, LatticeWeight, VectorFst
+        from kaldi_tpu.fstext.ops import connect
+        g = self.g
+        P, V = g.P, g.V
+        if Tb == 0 or len(ap) == 0:
+            return None
+        eosr = self.g.lm.eos[self._ctx_word]           # (P+1,)
+        fin_r = alpha_fin[:P] + eosr[:P]
+        fin_s = sil_fin[:P] + eosr[:P] if g.use_sil else \
+            np.full(P, np.inf)
+        fin_s_begin = sil_fin[P] + eosr[P] if g.use_sil else np.inf
+        best = min(float(np.min(fin_r)), float(np.min(fin_s)),
+                   float(fin_s_begin))
+        if not np.isfinite(best) or best >= INF / 2:
+            return None
+        cutoff = best + beam + 1e-4
+
+        # ---- collect arcs -------------------------------------------
+        # word arcs: for each arrival (p, t, te): survivors j at
+        # (word(p), te): src node (esrc_j, esrct_j), cost =
+        # arrc - entry_win + ecost_j
+        word_of_var = g.pron_word
+        arcs = []      # (src_p, src_t, dst_p, dst_t, total_cost,
+        #                 lm_cost, te)
+        for i in range(len(ap)):
+            p, t, te = int(ap[i]), int(at_[i]), int(arrte[i])
+            w = int(word_of_var[p])
+            if not np.isfinite(entry_win[i]) or entry_win[i] >= INF / 2:
+                continue
+            key = (b * T + te) * V + w
+            lo = np.searchsorted(surv_key_s, key)
+            hi = np.searchsorted(surv_key_s, key, side="right")
+            for o in range(lo, hi):
+                idx = surv_order[o]
+                cost_j = float(arrc[i]) - float(entry_win[i]) + \
+                    float(ecv[idx])
+                if cost_j >= INF / 2:
+                    continue
+                src_p = int(round(float(esv[idx])))
+                src_t = int(round(float(etv[idx])))
+                arcs.append((src_p, src_t, p, t, cost_j,
+                             float(elv[idx]), te))
+        if not arcs:
+            return None
+        arcs_np = np.asarray([(a[0], a[1], a[2], a[3]) for a in arcs],
+                             np.int64)
+        # ---- node set: arc endpoints --------------------------------
+        # node key = p * T + t; start = -1 (p == P or t < 0 on source)
+        src_is_start = (arcs_np[:, 0] >= P) | (arcs_np[:, 1] < 0)
+        src_keys = np.where(src_is_start, -1,
+                            arcs_np[:, 0] * T + arcs_np[:, 1])
+        dst_keys = arcs_np[:, 2] * T + arcs_np[:, 3]
+        # final-frame nodes for every in-beam root: a path may arrive
+        # earlier and ride the root self-loop to the last frame
+        fin_ok = np.nonzero(fin_r <= cutoff)[0]
+        fin_keys = fin_ok * T + (Tb - 1)
+        # source nodes of trailing-silence finals
+        fs_keys = []
+        if g.use_sil:
+            for p in np.nonzero(fin_s <= cutoff)[0]:
+                t_src = int(round(float(sil_t_fin[p])))
+                if t_src >= 0:
+                    fs_keys.append(p * T + t_src)
+        fs_keys = np.asarray(fs_keys, np.int64)
+        node_keys = np.unique(np.concatenate(
+            [dst_keys, src_keys[~src_is_start], fin_keys, fs_keys]))
+        node_p = node_keys // T
+        node_t = node_keys % T
+        node_alpha = roots_lane[node_t, node_p].astype(np.float64)
+        n = len(node_keys)
+        src_i = np.where(src_is_start, -1,
+                         np.searchsorted(node_keys, src_keys))
+        dst_i = np.searchsorted(node_keys, dst_keys)
+        # ---- self-extension arcs between consecutive same-p nodes ---
+        ss, sd, s_cost, s_ac = [], [], [], []
+        order_pt = np.lexsort((node_t, node_p))
+        for k in range(len(order_pt) - 1):
+            i0, i1 = order_pt[k], order_pt[k + 1]
+            if node_p[i0] != node_p[i1]:
+                continue
+            p = int(node_p[i0])
+            t0, t1 = int(node_t[i0]), int(node_t[i1])
+            ac = float(am_cs_lane[t1, p] - am_cs_lane[t0, p])
+            gcost = (t1 - t0) * float(g.tr_root_self[p])
+            ss.append(i0)
+            sd.append(i1)
+            s_cost.append(gcost + ac)
+            s_ac.append(ac)
+        ss = np.asarray(ss, np.int64)
+        sd = np.asarray(sd, np.int64)
+        # ---- final-silence arcs -------------------------------------
+        # a path may end inside a silence shadow: arc from node
+        # (p, sil_t_fin[p]) consuming trailing sil frames
+        fin_sil_arcs = []
+        if g.use_sil:
+            for p in range(P + 1):
+                val = fin_s[p] if p < P else fin_s_begin
+                if not np.isfinite(val) or val > cutoff:
+                    continue
+                t_src = int(round(float(sil_t_fin[p])))
+                src = -1 if (p >= P or t_src < 0) else \
+                    int(np.searchsorted(node_keys, p * T + t_src))
+                if src >= 0 and (src >= n
+                                 or node_keys[src] != p * T + t_src):
+                    continue          # source node not in graph
+                fin_sil_arcs.append((src, p, t_src,
+                                     float(sil_fin[p])))
+        # ---- beta over the node graph -------------------------------
+        beta = np.full(n, np.inf)
+        last = node_t == Tb - 1
+        beta[last] = eosr[node_p[last]]
+        arc_src_t = np.where(src_is_start, -1, arcs_np[:, 1])
+        arc_delta = np.asarray([a[4] for a in arcs]) - \
+            np.where(src_is_start, 0.0, node_alpha[np.maximum(src_i, 0)])
+        # final-silence contributions to beta (fin_s includes eos)
+        for (src, p, t_src, _val) in fin_sil_arcs:
+            if src >= 0:
+                fv = fin_s[p] if p < P else fin_s_begin
+                beta[src] = min(beta[src], fv - node_alpha[src])
+        for f in range(Tb - 1, -2, -1):
+            # self-extension arcs with src time f
+            if len(ss):
+                m_s = node_t[ss] == f
+                if m_s.any():
+                    cand = np.asarray(s_cost)[m_s] + beta[sd[m_s]]
+                    np.minimum.at(beta, ss[m_s], cand)
+            wa = np.nonzero(arc_src_t == f)[0]
+            if len(wa):
+                cand = arc_delta[wa] + beta[dst_i[wa]]
+                np.minimum.at(beta, src_i[wa], cand)
+        # ---- prune + build ------------------------------------------
+        keep_node = node_alpha + beta <= cutoff
+        lat = VectorFst(LatticeWeight)
+        nodes: Dict[int, int] = {}
+        start = lat.add_state()
+        lat.set_start(start)
+
+        def node_state(i):
+            s = nodes.get(i)
+            if s is None:
+                s = lat.add_state()
+                nodes[i] = s
+            return s
+
+        def emit_chain(cur, dst_state, p, te, t, olabel, graph, acous):
+            """Arc path for one word instance of variant p spanning
+            [te, t] (dur = t - te + 1)."""
+            e = int(g.end_row[p])
+            k = len(g.prons[p])
+            dur = t - te + 1
+            tids = []
+            if e >= 0:
+                first_row = e - (k - 2)
+                tids = [int(g.tid_fwd_row[r])
+                        for r in range(first_row, e + 1)]
+                tids += [int(g.tid_self_row[e])] * (dur - k)
+            tids.append(int(g.tid_end[p]))
+            for q, tid in enumerate(tids):
+                lastq = q == len(tids) - 1
+                nxt = dst_state if lastq else lat.add_state()
+                wgt = (graph, acous) if q == 0 else (0.0, 0.0)
+                lat.add_arc(cur, Arc(tid, olabel if q == 0 else 0,
+                                     wgt, nxt))
+                cur = nxt
+
+        def emit_sil(cur, n_frames):
+            for q in range(n_frames):
+                nxt = lat.add_state()
+                lat.add_arc(cur, Arc(
+                    int(g.sil_tid_fwd if q == 0 else g.sil_tid_self),
+                    0, (0.0, 0.0), nxt))
+                cur = nxt
+            return cur
+
+        for i, a in enumerate(arcs):
+            src_p, src_t, p, t, total, lm_cost, te = a
+            is_start = bool(src_is_start[i])
+            di = int(dst_i[i])
+            if not keep_node[di]:
+                continue
+            src_alpha = 0.0 if is_start else \
+                float(node_alpha[int(src_i[i])])
+            if not is_start and not keep_node[int(src_i[i])]:
+                continue
+            if src_alpha + arc_delta[i] + beta[di] > cutoff:
+                continue
+            cur = start if is_start else node_state(int(src_i[i]))
+            dst = node_state(di)
+            n_sil = (te - 1) - src_t
+            k = len(g.prons[p])
+            dur = t - te + 1
+            e = int(g.end_row[p])
+            # graph cost decomposition
+            gcost = lm_cost + float(g.pron_cost[p]) + float(g.tr_end[p])
+            if e >= 0:
+                first_row = e - (k - 2)
+                gcost += float(np.sum(g.tr_fwd_row[first_row:e + 1]))
+                gcost += (dur - k) * float(g.tr_self_row[e])
+            if n_sil > 0:
+                gcost += g.sil_cost + g.sil_tr_fwd + \
+                    (n_sil - 1) * g.sil_tr_self
+            else:
+                gcost += g.nosil_cost
+            acous = float(arc_delta[i]) - gcost
+            if n_sil > 0:
+                mid = emit_sil(cur, n_sil)
+                # silence carries its share of the graph cost on its
+                # first arc; fold all into the word arc instead (the
+                # split across arcs is a convention, totals are exact)
+                cur = mid
+            emit_chain(cur, dst, p, te, t, int(word_of_var[p]) + 1,
+                       gcost, acous)
+        # self-extension arcs
+        for k2 in range(len(ss)):
+            i0, i1 = int(ss[k2]), int(sd[k2])
+            if not (keep_node[i0] and keep_node[i1]):
+                continue
+            if node_alpha[i0] + s_cost[k2] + beta[i1] > cutoff:
+                continue
+            p = int(node_p[i0])
+            t0, t1 = int(node_t[i0]), int(node_t[i1])
+            cur = nodes.get(i0)
+            if cur is None:
+                continue
+            dstn = node_state(i1)
+            gc = (t1 - t0) * float(g.tr_root_self[p])
+            for q in range(t0 + 1, t1 + 1):
+                lastq = q == t1
+                nxt = dstn if lastq else lat.add_state()
+                wgt = (gc, float(s_ac[k2])) if q == t0 + 1 else \
+                    (0.0, 0.0)
+                lat.add_arc(cur, Arc(int(g.tid_root_self[p]), 0, wgt,
+                                     nxt))
+                cur = nxt
+        # finals
+        for i, s in list(nodes.items()):
+            if int(node_t[i]) == Tb - 1:
+                lat.set_final(s, (float(eosr[int(node_p[i])]), 0.0))
+        # final-silence arcs
+        for (src, p, t_src, sil_alpha) in fin_sil_arcs:
+            if src >= 0 and src not in nodes:
+                continue
+            cur = start if src < 0 else nodes[src]
+            src_alpha = 0.0 if src < 0 else float(node_alpha[src])
+            n_frames = (Tb - 1) - t_src
+            if n_frames <= 0:
+                continue
+            gcost = g.sil_cost + g.sil_tr_fwd + \
+                (n_frames - 1) * g.sil_tr_self
+            acous = (sil_alpha - src_alpha) - gcost
+            nxt = lat.add_state()
+            lat.add_arc(cur, Arc(int(g.sil_tid_fwd), 0, (gcost, acous),
+                                 nxt))
+            for q in range(1, n_frames):
+                nn = lat.add_state()
+                lat.add_arc(nxt, Arc(int(g.sil_tid_self), 0,
+                                     (0.0, 0.0), nn))
+                nxt = nn
+            lat.set_final(nxt, (float(eosr[min(p, P)]), 0.0))
+        connect(lat)
+        if lat.num_states == 0 or lat.start is None:
+            return None
+        return lat
