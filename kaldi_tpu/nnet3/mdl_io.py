@@ -168,6 +168,22 @@ _TOKEN_KINDS = {
     "<RankInOut>": "int2", "<Model>": "convmodel",
     "<ZeroedProportion>": "float", "<TimeMaskMaxFrames>": "int",
     "<Continuous>": "bool", "<MaxRowsProcess>": "int",
+    # recurrent / attention / legacy-conv tail (round 3)
+    "<SelfRepairConfig>": "vector", "<SelfRepairProb>": "vector",
+    "<UseDropout>": "bool", "<CellDim>": "int", "<RecurrentDim>": "int",
+    "<SelfRepairTotal>": "double", "<SelfRepairThreshold>": "float",
+    "<NumHeads>": "int", "<KeyDim>": "int", "<ValueDim>": "int",
+    "<NumLeftInputs>": "int", "<NumRightInputs>": "int",
+    "<TimeStride>": "int", "<NumLeftInputsRequired>": "int",
+    "<NumRightInputsRequired>": "int", "<OutputContext>": "bool",
+    "<KeyScale>": "float", "<StatsCount>": "double",
+    "<EntropyStats>": "vector", "<PosteriorStats>": "matrix",
+    "<InputXDim>": "int", "<InputYDim>": "int", "<InputZDim>": "int",
+    "<PoolXSize>": "int", "<PoolYSize>": "int", "<PoolZSize>": "int",
+    "<PoolXStep>": "int", "<PoolYStep>": "int", "<PoolZStep>": "int",
+    "<FiltXDim>": "int", "<FiltYDim>": "int",
+    "<FiltXStep>": "int", "<FiltYStep>": "int",
+    "<InputVectorization>": "int", "<FilterParams>": "matrix",
 }
 
 
@@ -950,6 +966,293 @@ class CompositeComponent(Component):
         return self.sub_components[0].input_dim
 
 
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class LstmNonlinearityComponent(Component):
+    """nnet-combined-component.h:335 / cu-math.h ComputeLstmNonlinearity:
+    input (T, 5C [+3 dropout masks]) interpreted as
+    (i_part, f_part, c_part, o_part, c_{t-1}) -> output (T, 2C) =
+    (c_t, m_t):
+        i_t = Sigmoid(i_part + w_ic * c_{t-1})
+        f_t = Sigmoid(f_part + w_fc * c_{t-1})
+        c_t = f_t * c_{t-1} + i_t * Tanh(c_part)
+        o_t = Sigmoid(o_part + w_oc * c_t)
+        m_t = o_t * Tanh(c_t)
+    Params is (3, C): rows w_ic, w_fc, w_oc.  The recurrence on
+    c_{t-1} is resolved by the surrounding graph (IfDefined/Offset
+    descriptors), so this forward is per-frame."""
+    TYPE = "LstmNonlinearityComponent"
+    TOKEN_OVERRIDES = {"<Params>": "matrix", "<ValueAvg>": "matrix",
+                       "<DerivAvg>": "matrix"}
+    WRITE_ORDER = ("LearningRate", "Params", "ValueAvg", "DerivAvg",
+                   "SelfRepairConfig", "SelfRepairProb", "UseDropout",
+                   "Count")
+
+    def forward(self, x):
+        W = np.asarray(self.fields["Params"])        # (3, C)
+        C = W.shape[1]
+        use_dropout = bool(self.fields.get("UseDropout", False))
+        expect = 5 * C + (3 if use_dropout else 0)
+        if x.shape[1] != expect:
+            raise KaldiTpuError(
+                f"LstmNonlinearity: input dim {x.shape[1]} != {expect}")
+        i_part, f_part, c_part, o_part, c_prev = (
+            x[:, k * C:(k + 1) * C] for k in range(5))
+        i_t = _sigmoid(i_part + W[0] * c_prev)
+        f_t = _sigmoid(f_part + W[1] * c_prev)
+        if use_dropout:
+            i_t = i_t * x[:, 5 * C:5 * C + 1]
+            f_t = f_t * x[:, 5 * C + 1:5 * C + 2]
+        c_t = f_t * c_prev + i_t * np.tanh(c_part)
+        o_t = _sigmoid(o_part + W[2] * c_t)
+        if use_dropout:
+            o_t = o_t * x[:, 5 * C + 2:5 * C + 3]
+        m_t = o_t * np.tanh(c_t)
+        return np.concatenate([c_t, m_t], axis=-1)
+
+    @property
+    def input_dim(self):
+        C = np.asarray(self.fields["Params"]).shape[1]
+        return 5 * C + (3 if self.fields.get("UseDropout", False) else 0)
+
+
+class GruNonlinearityComponent(Component):
+    """nnet-combined-component.h:713 (projected GRU inner function):
+    input (z_t, r_t, hpart_t, c_{t-1}, s_{t-1}) of dims
+    (C, R, C, C, R) -> output (h_t, c_t) of dims (C, C):
+        h_t = tanh(hpart_t + W^h (s_{t-1} . r_t))
+        c_t = (1 - z_t) . h_t + z_t . c_{t-1}
+    Non-projected GRU is the special case R == C with s == c == y."""
+    TYPE = "GruNonlinearityComponent"
+    TOKEN_OVERRIDES = {"<w_h>": "matrix"}
+    WRITE_ORDER = ("LearningRate", "CellDim", "RecurrentDim", "w_h",
+                   "ValueAvg", "DerivAvg", "SelfRepairTotal", "Count",
+                   "SelfRepairThreshold", "SelfRepairScale", "Alpha",
+                   "RankIn", "RankOut", "UpdatePeriod")
+
+    def forward(self, x):
+        C = int(self.fields["CellDim"])
+        R = int(self.fields["RecurrentDim"])
+        W = np.asarray(self.fields["w_h"])           # (C, R)
+        if x.shape[1] != 3 * C + 2 * R:
+            raise KaldiTpuError(
+                f"GruNonlinearity: input dim {x.shape[1]} != "
+                f"{3 * C + 2 * R}")
+        z = x[:, :C]
+        r = x[:, C:C + R]
+        hpart = x[:, C + R:2 * C + R]
+        c_prev = x[:, 2 * C + R:3 * C + R]
+        s_prev = x[:, 3 * C + R:]
+        h = np.tanh(hpart + (s_prev * r) @ W.T)
+        c = (1.0 - z) * h + z * c_prev
+        return np.concatenate([h, c], axis=-1)
+
+    @property
+    def input_dim(self):
+        return 3 * int(self.fields["CellDim"]) + \
+            2 * int(self.fields["RecurrentDim"])
+
+
+class OutputGruNonlinearityComponent(Component):
+    """nnet-combined-component.h:979: input (z_t, hpart_t, c_{t-1})
+    -> (h_t, c_t) with DIAGONAL w_h:
+        h_t = tanh(hpart_t + w_h . c_{t-1})
+        c_t = (1 - z_t) . h_t + z_t . c_{t-1}"""
+    TYPE = "OutputGruNonlinearityComponent"
+    TOKEN_OVERRIDES = {"<w_h>": "vector"}
+    WRITE_ORDER = ("LearningRate", "CellDim", "w_h", "ValueAvg",
+                   "DerivAvg", "SelfRepairTotal", "Count",
+                   "SelfRepairThreshold", "SelfRepairScale", "Alpha",
+                   "Rank", "UpdatePeriod")
+
+    def forward(self, x):
+        C = int(self.fields["CellDim"])
+        w = np.asarray(self.fields["w_h"])
+        if x.shape[1] != 3 * C:
+            raise KaldiTpuError(
+                f"OutputGruNonlinearity: input dim {x.shape[1]} != "
+                f"{3 * C}")
+        z, hpart, c_prev = x[:, :C], x[:, C:2 * C], x[:, 2 * C:]
+        h = np.tanh(hpart + w * c_prev)
+        c = (1.0 - z) * h + z * c_prev
+        return np.concatenate([h, c], axis=-1)
+
+    @property
+    def input_dim(self):
+        return 3 * int(self.fields["CellDim"])
+
+
+class RestrictedAttentionComponent(Component):
+    """nnet-attention-component.h:106 + attention.cc AttentionForward.
+    Per head, input block = (key, value, query) with query_dim =
+    key_dim + context_dim; scores over positions m in
+    [-num_left_inputs, num_right_inputs] at time_stride spacing:
+        b_m = key_scale * q[:key_dim] . k_{t+m*stride} + q[key_dim+m']
+        c = softmax(b);  out = sum_m c_m * v_{t+m*stride} [, c]
+    Time indexes are edge-clamped (this importer's convention for
+    boundary context; interior frames match the reference)."""
+    TYPE = "RestrictedAttentionComponent"
+    WRITE_ORDER = ("NumHeads", "KeyDim", "ValueDim", "NumLeftInputs",
+                   "NumRightInputs", "TimeStride",
+                   "NumLeftInputsRequired", "NumRightInputsRequired",
+                   "OutputContext", "KeyScale", "StatsCount",
+                   "EntropyStats", "PosteriorStats")
+
+    def forward(self, x):
+        f = self.fields
+        H = int(f["NumHeads"])
+        kd = int(f["KeyDim"])
+        vd = int(f["ValueDim"])
+        L = int(f["NumLeftInputs"])
+        R = int(f["NumRightInputs"])
+        stride = int(f["TimeStride"])
+        out_ctx = bool(f.get("OutputContext", False))
+        key_scale = float(f.get("KeyScale", 1.0))
+        ctx = L + 1 + R
+        qd = kd + ctx
+        T = x.shape[0]
+        blk = kd + vd + qd
+        if x.shape[1] != H * blk:
+            raise KaldiTpuError(
+                f"RestrictedAttention: input dim {x.shape[1]} != "
+                f"{H * blk}")
+        t_idx = np.arange(T)
+        outs = []
+        for h in range(H):
+            xb = x[:, h * blk:(h + 1) * blk]
+            keys = xb[:, :kd]
+            values = xb[:, kd:kd + vd]
+            query = xb[:, kd + vd:]
+            q_key, q_ctx = query[:, :kd], query[:, kd:]
+            scores = np.empty((T, ctx), x.dtype)
+            for m in range(ctx):
+                src = np.clip(t_idx + (m - L) * stride, 0, T - 1)
+                scores[:, m] = key_scale * (q_key * keys[src]).sum(-1) \
+                    + q_ctx[:, m]
+            mmax = scores.max(axis=1, keepdims=True)
+            e = np.exp(scores - mmax)
+            c = e / e.sum(axis=1, keepdims=True)
+            out = np.zeros((T, vd), x.dtype)
+            for m in range(ctx):
+                src = np.clip(t_idx + (m - L) * stride, 0, T - 1)
+                out += c[:, m:m + 1] * values[src]
+            outs.append(np.concatenate([out, c], -1) if out_ctx else out)
+        return np.concatenate(outs, axis=-1)
+
+    @property
+    def input_dim(self):
+        f = self.fields
+        ctx = int(f["NumLeftInputs"]) + 1 + int(f["NumRightInputs"])
+        return int(f["NumHeads"]) * (2 * int(f["KeyDim"]) + ctx
+                                     + int(f["ValueDim"]))
+
+
+class DistributeComponent(Component):
+    """nnet-general-component.h:56: splits an n*output_dim input
+    across n different 'x' indexes.  This importer's evaluator has no
+    x axis; the n == 1 case (identity) is supported, larger n raises
+    (the component only appears in multi-stream e2e setups)."""
+    TYPE = "DistributeComponent"
+    WRITE_ORDER = ("InputDim", "OutputDim")
+
+    def forward(self, x):
+        din = int(self.fields["InputDim"])
+        dout = int(self.fields["OutputDim"])
+        if din == dout:
+            return x
+        raise KaldiTpuError(
+            "DistributeComponent with input_dim != output_dim needs "
+            "x-index routing, which this evaluator does not model")
+
+    @property
+    def input_dim(self):
+        return int(self.fields["InputDim"])
+
+
+def _zyx_index(xx, yy, zz, ydim, zdim):
+    return (ydim * zdim) * xx + zdim * yy + zz
+
+
+class MaxpoolingComponent(Component):
+    """nnet-combined-component.h:488: 3-D max pooling over a zyx-
+    vectorized (x, y, z) tensor per frame."""
+    TYPE = "MaxpoolingComponent"
+    WRITE_ORDER = ("InputXDim", "InputYDim", "InputZDim",
+                   "PoolXSize", "PoolYSize", "PoolZSize",
+                   "PoolXStep", "PoolYStep", "PoolZStep")
+
+    def _dims(self):
+        f = self.fields
+        return tuple(int(f[k]) for k in self.WRITE_ORDER)
+
+    def forward(self, x):
+        ix, iy, iz, px, py, pz, sx, sy, sz = self._dims()
+        nx = 1 + (ix - px) // sx
+        ny = 1 + (iy - py) // sy
+        nz = 1 + (iz - pz) // sz
+        T = x.shape[0]
+        xt = x.reshape(T, ix, iy, iz)
+        out = np.full((T, nx, ny, nz), -1e20, x.dtype)
+        for dx in range(px):
+            for dy in range(py):
+                for dz in range(pz):
+                    sub = xt[:,
+                             dx:dx + nx * sx:sx,
+                             dy:dy + ny * sy:sy,
+                             dz:dz + nz * sz:sz]
+                    out = np.maximum(out, sub)
+        return out.reshape(T, nx * ny * nz)
+
+    @property
+    def input_dim(self):
+        ix, iy, iz = self._dims()[:3]
+        return ix * iy * iz
+
+
+class ConvolutionComponent(Component):
+    """nnet-combined-component.h ConvolutionComponent (legacy 2-D conv
+    over (x, y) with z input channels; zyx or yzx vectorization).
+    Output is zyx-vectorized (x_step, y_step, filter)."""
+    TYPE = "ConvolutionComponent"
+    WRITE_ORDER = ("LearningRate", "InputXDim", "InputYDim", "InputZDim",
+                   "FiltXDim", "FiltYDim", "FiltXStep", "FiltYStep",
+                   "InputVectorization", "FilterParams", "BiasParams")
+
+    def forward(self, x):
+        f = self.fields
+        ix, iy, iz = (int(f[k]) for k in
+                      ("InputXDim", "InputYDim", "InputZDim"))
+        fx, fy = int(f["FiltXDim"]), int(f["FiltYDim"])
+        sx, sy = int(f["FiltXStep"]), int(f["FiltYStep"])
+        vec = int(f.get("InputVectorization", 0))  # 0=zyx, 1=yzx
+        W = np.asarray(f["FilterParams"])          # (nf, fx*fy*iz)
+        bias = np.asarray(f["BiasParams"])
+        nf = W.shape[0]
+        nx = 1 + (ix - fx) // sx
+        ny = 1 + (iy - fy) // sy
+        T = x.shape[0]
+        if vec == 0:
+            xt = x.reshape(T, ix, iy, iz)
+        else:                                       # yzx: idx = x*(y*z)
+            # YzxVectorIndex = (iy*iz)*x + iy*z + y
+            xt = x.reshape(T, ix, iz, iy).transpose(0, 1, 3, 2)
+        out = np.empty((T, nx, ny, nf), x.dtype)
+        for xs in range(nx):
+            for ys in range(ny):
+                patch = xt[:, xs * sx:xs * sx + fx,
+                           ys * sy:ys * sy + fy, :].reshape(T, -1)
+                out[:, xs, ys, :] = patch @ W.T + bias
+        return out.reshape(T, nx * ny * nf)
+
+    @property
+    def input_dim(self):
+        f = self.fields
+        return int(f["InputXDim"]) * int(f["InputYDim"]) * \
+            int(f["InputZDim"])
+
+
 COMPONENT_TYPES = {c.TYPE: c for c in [
     AffineComponent, NaturalGradientAffineComponent, FixedAffineComponent,
     LinearComponent, TdnnComponent, RectifiedLinearComponent,
@@ -967,6 +1270,9 @@ COMPONENT_TYPES = {c.TYPE: c for c in [
     StatisticsExtractionComponent, StatisticsPoolingComponent,
     TimeHeightConvolutionComponent, SpecAugmentTimeMaskComponent,
     DropoutMaskComponent, CompositeComponent,
+    LstmNonlinearityComponent, GruNonlinearityComponent,
+    OutputGruNonlinearityComponent, RestrictedAttentionComponent,
+    DistributeComponent, MaxpoolingComponent, ConvolutionComponent,
 ]}
 
 
@@ -999,8 +1305,47 @@ class Node:
                 f"{self.desc!r} dim={self.dim} dim-offset={self.dim_offset}")
 
 
+def _desc_refs(d: Desc) -> List[str]:
+    """Node names referenced by a descriptor."""
+    if d.op == "node":
+        return [d.args[0]]
+    out: List[str] = []
+    for a in d.args:
+        if isinstance(a, Desc):
+            out.extend(_desc_refs(a))
+    return out
+
+
+# components whose forward() is a pure per-frame function (safe to
+# call row-by-row inside a recurrent loop)
+_PER_FRAME_SAFE = {
+    "AffineComponent", "NaturalGradientAffineComponent",
+    "FixedAffineComponent", "LinearComponent",
+    "RectifiedLinearComponent", "SigmoidComponent", "TanhComponent",
+    "LogSoftmaxComponent", "SoftmaxComponent", "NoOpComponent",
+    "BatchNormComponent", "GeneralDropoutComponent", "DropoutComponent",
+    "ScaleAndOffsetComponent", "NormalizeComponent",
+    "PerElementScaleComponent", "NaturalGradientPerElementScaleComponent",
+    "PerElementOffsetComponent", "PermuteComponent", "SumGroupComponent",
+    "ClipGradientComponent", "BackpropTruncationComponent",
+    "ElementwiseProductComponent", "PnormComponent", "SumBlockComponent",
+    "FixedScaleComponent", "FixedBiasComponent", "ConstantComponent",
+    "ConstantFunctionComponent", "BlockAffineComponent",
+    "RepeatedAffineComponent", "NaturalGradientRepeatedAffineComponent",
+    "LstmNonlinearityComponent", "GruNonlinearityComponent",
+    "OutputGruNonlinearityComponent", "DistributeComponent",
+    "MaxpoolingComponent",
+}
+
+
 class Nnet3Graph:
-    """Executable nnet3 network (nodes + components)."""
+    """Executable nnet3 network (nodes + components).
+
+    Supports RECURRENT graphs (TDNN-LSTM/GRU: cycles through
+    IfDefined(Offset(..., -k)) descriptors): nodes on cycles are
+    evaluated frame-by-frame with zero initial state (the reference's
+    t < 0 undefined -> zero of IfDefined), everything else is
+    evaluated as whole (T, dim) arrays in condensation order."""
 
     def __init__(self, nodes: List[Node],
                  components: Dict[str, Component]):
@@ -1010,14 +1355,82 @@ class Nnet3Graph:
 
     # -- evaluation -------------------------------------------------------
 
+    def _recurrent_nodes(self) -> set:
+        """Names of nodes on dependency cycles (Tarjan SCC)."""
+        names = [n.name for n in self.nodes]
+        edges = {}
+        for n in self.nodes:
+            refs = _desc_refs(n.desc) if n.desc is not None else []
+            edges[n.name] = [r for r in refs if r in self.node_of]
+        index: Dict[str, int] = {}
+        low: Dict[str, int] = {}
+        onstack: Dict[str, bool] = {}
+        stack: List[str] = []
+        counter = [0]
+        result: set = set()
+
+        def strongconnect(v):
+            # iterative Tarjan (configs can be deep)
+            work = [(v, 0)]
+            while work:
+                node, pi = work[-1]
+                if pi == 0:
+                    index[node] = low[node] = counter[0]
+                    counter[0] += 1
+                    stack.append(node)
+                    onstack[node] = True
+                recurse = False
+                deps = edges.get(node, [])
+                for i in range(pi, len(deps)):
+                    w = deps[i]
+                    if w not in index:
+                        work[-1] = (node, i + 1)
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    elif onstack.get(w):
+                        low[node] = min(low[node], index[w])
+                if recurse:
+                    continue
+                if low[node] == index[node]:
+                    scc = []
+                    while True:
+                        w = stack.pop()
+                        onstack[w] = False
+                        scc.append(w)
+                        if w == node:
+                            break
+                    if len(scc) > 1 or node in edges.get(node, []):
+                        result.update(scc)
+                work.pop()
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[node])
+
+        for v in names:
+            if v not in index:
+                strongconnect(v)
+        return result
+
     def forward(self, feats: np.ndarray,
                 ivector: Optional[np.ndarray] = None,
                 output_name: str = "output") -> np.ndarray:
         """(T, D) features -> (T, out_dim). Time offsets are edge-
         clamped (equivalent to the reference's replicated extra
-        context at utterance boundaries)."""
-        T = feats.shape[0]
+        context at utterance boundaries); recurrent references before
+        t=0 are zero (IfDefined semantics)."""
+        recurrent = self._recurrent_nodes()
+        if recurrent:
+            return self._forward_recurrent(feats, ivector, output_name,
+                                           recurrent)
         cache: Dict[str, np.ndarray] = {}
+        eval_node = self._make_array_evaluator(feats, ivector, cache)
+        return eval_node(output_name)
+
+    def _make_array_evaluator(self, feats, ivector,
+                              cache: Dict[str, np.ndarray]):
+        """Whole-(T, dim) lazy node evaluator over a shared cache."""
+        T = feats.shape[0]
 
         def eval_node(name: str) -> np.ndarray:
             if name in cache:
@@ -1077,7 +1490,160 @@ class Nnet3Graph:
                 return arr[(t_idx // d.args[1]) * d.args[1]]
             raise KaldiTpuError(f"unsupported descriptor op {d.op}")
 
-        return eval_node(output_name)
+        return eval_node
+
+    # -- recurrent evaluation ----------------------------------------
+
+    def _forward_recurrent(self, feats, ivector, output_name,
+                           recurrent: set) -> np.ndarray:
+        """Frame-by-frame evaluation of the recurrent node group with
+        zero initial state; everything else whole-array."""
+        T = feats.shape[0]
+        # the per-frame group: recurrent nodes plus acyclic nodes
+        # sandwiched between recurrent ones (depend on AND feed them)
+        deps = {n.name: [r for r in (_desc_refs(n.desc)
+                                     if n.desc is not None else [])
+                         if r in self.node_of]
+                for n in self.nodes}
+
+        def reachable(starts, graph):
+            seen = set(starts)
+            work = list(starts)
+            while work:
+                v = work.pop()
+                for w in graph.get(v, []):
+                    if w not in seen:
+                        seen.add(w)
+                        work.append(w)
+            return seen
+
+        rev = {}
+        for v, ws in deps.items():
+            for w in ws:
+                rev.setdefault(w, []).append(v)
+        depends_on_r = reachable(recurrent, rev)     # nodes fed by R
+        feeds_r = reachable(recurrent, deps)         # nodes feeding R
+        group = recurrent | (depends_on_r & feeds_r)
+
+        cache: Dict[str, np.ndarray] = {}
+        array_eval = self._make_array_evaluator(feats, ivector, cache)
+        group_done = [False]
+
+        def array_of(name: str) -> np.ndarray:
+            if name in group and not group_done[0]:
+                raise KaldiTpuError(
+                    f"nnet3 recurrent eval: node {name!r} both feeds "
+                    f"and follows the recurrence in an unsupported way")
+            return array_eval(name)
+
+        # output dims + per-frame-safety check for group nodes
+        dims: Dict[str, int] = {}
+        for name in group:
+            node = self.node_of[name]
+            if node.kind == "component":
+                comp = self.components[node.component]
+                if type(comp).TYPE not in _PER_FRAME_SAFE:
+                    raise KaldiTpuError(
+                        f"component {node.component} of type "
+                        f"{type(comp).TYPE} is on a recurrence cycle "
+                        f"but is not a per-frame function")
+                probe = np.zeros((1, comp.input_dim), np.float32)
+                dims[name] = comp.forward(probe).shape[1]
+            elif node.kind == "dim-range":
+                dims[name] = node.dim
+            elif node.kind == "input":
+                dims[name] = node.dim
+            else:
+                raise KaldiTpuError(
+                    f"output node {name!r} on a recurrence cycle")
+        buffers = {name: np.zeros((T, dims[name]), np.float32)
+                   for name in group}
+
+        cur_t = [0]
+        frame_cache: Dict[str, np.ndarray] = {}
+        in_progress: set = set()
+
+        def row_of(name: str, t: int):
+            """-> (row (dim,), defined: bool)."""
+            if name in group:
+                if t < 0 or t >= T:
+                    return np.zeros(dims[name], np.float32), False
+                if t < cur_t[0]:
+                    return buffers[name][t], True
+                if t > cur_t[0]:
+                    raise KaldiTpuError(
+                        f"non-causal recurrence: {name} needed at "
+                        f"t={t} while computing t={cur_t[0]}")
+                if name in frame_cache:
+                    return frame_cache[name], True
+                if name in in_progress:
+                    raise KaldiTpuError(
+                        f"zero-delay recurrence cycle at {name!r}")
+                in_progress.add(name)
+                node = self.node_of[name]
+                if node.kind == "component":
+                    x, _ = desc_row(node.desc, t)
+                    val = self.components[node.component].forward(
+                        x[None])[0]
+                elif node.kind == "dim-range":
+                    src, _ = row_of(node.desc.args[0], t)
+                    val = src[node.dim_offset:
+                              node.dim_offset + node.dim]
+                else:                      # input node inside group
+                    val = array_of(name)[min(max(t, 0), T - 1)]
+                in_progress.discard(name)
+                frame_cache[name] = val
+                return val, True
+            arr = array_of(name)
+            defined = 0 <= t < T
+            return arr[min(max(t, 0), T - 1)], defined
+
+        def desc_row(d: Desc, t: int):
+            if d.op == "node":
+                return row_of(d.args[0], t)
+            if d.op == "Offset":
+                return desc_row(d.args[0], t + d.args[1])
+            if d.op == "Append":
+                parts = [desc_row(a, t) for a in d.args]
+                return (np.concatenate([p[0] for p in parts]),
+                        all(p[1] for p in parts))
+            if d.op == "Sum":
+                parts = [desc_row(a, t) for a in d.args]
+                out = parts[0][0]
+                for p in parts[1:]:
+                    out = out + p[0]
+                return out, all(p[1] for p in parts)
+            if d.op == "Scale":
+                v, ok = desc_row(d.args[1], t)
+                return d.args[0] * v, ok
+            if d.op == "Const":
+                return (np.full(d.args[1], d.args[0], np.float32),
+                        True)
+            if d.op == "ReplaceIndex":
+                return desc_row(d.args[0], int(d.args[2]))
+            if d.op == "Round":
+                k = d.args[1]
+                return desc_row(d.args[0], (t // k) * k)
+            if d.op == "IfDefined":
+                v, ok = desc_row(d.args[0], t)
+                return (v if ok else np.zeros_like(v)), True
+            if d.op == "Failover":
+                v, ok = desc_row(d.args[0], t)
+                if ok:
+                    return v, True
+                return desc_row(d.args[1], t)
+            if d.op == "Switch":
+                return desc_row(d.args[0], t)
+            raise KaldiTpuError(f"unsupported descriptor op {d.op}")
+
+        for t in range(T):
+            cur_t[0] = t
+            frame_cache.clear()
+            for name in group:
+                buffers[name][t], _ = row_of(name, t)
+        group_done[0] = True
+        cache.update(buffers)
+        return array_eval(output_name)
 
     @property
     def output_dim(self) -> int:
