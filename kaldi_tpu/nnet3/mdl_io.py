@@ -1594,9 +1594,11 @@ class Nnet3Graph:
                 in_progress.discard(name)
                 frame_cache[name] = val
                 return val, True
+            # non-group refs use the importer's edge-clamp convention
+            # (same as the acyclic evaluator); only recurrent refs
+            # zero-fill before t=0
             arr = array_of(name)
-            defined = 0 <= t < T
-            return arr[min(max(t, 0), T - 1)], defined
+            return arr[min(max(t, 0), T - 1)], True
 
         def desc_row(d: Desc, t: int):
             if d.op == "node":

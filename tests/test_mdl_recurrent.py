@@ -333,3 +333,108 @@ class TestMaxpoolConv:
         c2 = M.DistributeComponent(InputDim=6, OutputDim=3)
         with pytest.raises(Exception):
             c2.forward(x)
+
+
+class TestJaxBridge:
+    def test_lstmp_jitted_matches_numpy(self):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        from kaldi_tpu.nnet3.jax_bridge import compile_graph
+        g, p = make_lstmp_graph(seed=7)
+        B, T = 3, 12
+        x = RNG.normal(size=(B, T, p["D"])).astype(np.float32)
+        fn = compile_graph(g)
+        got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+        for b in range(B):
+            want = g.forward(x[b])
+            np.testing.assert_allclose(got[b], want, rtol=1e-4,
+                                       atol=1e-4)
+
+    def test_tdnn_acyclic_jitted_matches_numpy(self):
+        """A TDNN-F-style acyclic graph through the bridge."""
+        import jax
+        import jax.numpy as jnp
+        from kaldi_tpu.nnet3.jax_bridge import compile_graph
+        rng = np.random.default_rng(2)
+        D, H = 6, 8
+        comps = {
+            "tdnn": M.TdnnComponent(
+                TimeOffsets=[-1, 0, 1],
+                LinearParams=rng.normal(size=(H, 3 * D)).astype(
+                    np.float32) * 0.3,
+                BiasParams=rng.normal(size=H).astype(np.float32),
+                OrthonormalConstraint=0.0, UseNaturalGradient=True),
+            "relu": M.RectifiedLinearComponent(Dim=H),
+            "bn": M.BatchNormComponent(
+                Dim=H, BlockDim=H, Epsilon=1e-3, TargetRms=1.0,
+                TestMode=True, Count=100.0,
+                StatsMean=rng.normal(size=H).astype(np.float32) * 0.1,
+                StatsVar=np.abs(rng.normal(size=H)).astype(
+                    np.float32) + 0.5),
+            "out_aff": M.NaturalGradientAffineComponent(
+                LearningRate=0.001,
+                LinearParams=rng.normal(size=(5, H)).astype(
+                    np.float32) * 0.3,
+                BiasParams=np.zeros(5, np.float32), RankIn=20,
+                RankOut=80, UpdatePeriod=4, NumSamplesHistory=2000.0,
+                Alpha=4.0),
+        }
+        nodes = [
+            M.Node("input", "input", dim=D),
+            M.Node("component", "tdnn", component="tdnn",
+                   desc=M.parse_descriptor("input")),
+            M.Node("component", "relu", component="relu",
+                   desc=M.parse_descriptor("tdnn")),
+            M.Node("component", "bn", component="bn",
+                   desc=M.parse_descriptor("relu")),
+            M.Node("component", "out_aff", component="out_aff",
+                   desc=M.parse_descriptor(
+                       "Append(Offset(bn, -3), bn, Offset(bn, 3))")),
+            M.Node("output", "output",
+                   desc=M.parse_descriptor("out_aff")),
+        ]
+        # Append of 3 contexts needs a 3x-wide affine
+        comps["out_aff"].fields["LinearParams"] = rng.normal(
+            size=(5, 3 * H)).astype(np.float32) * 0.2
+        g = M.Nnet3Graph(nodes, comps)
+        B, T = 2, 9
+        x = RNG.normal(size=(B, T, D)).astype(np.float32)
+        from kaldi_tpu.nnet3.jax_bridge import compile_graph
+        import jax
+        fn = compile_graph(g)
+        got = np.asarray(jax.jit(fn)(x))
+        for b in range(B):
+            np.testing.assert_allclose(got[b], g.forward(x[b]),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_attention_and_statspool_jitted(self):
+        import jax
+        from kaldi_tpu.nnet3.jax_bridge import compile_graph
+        rng = np.random.default_rng(3)
+        H, kd, vd, L, R = 2, 3, 4, 1, 1
+        ctx = L + 1 + R
+        blk = 2 * kd + ctx + vd
+        comps = {
+            "attn": M.RestrictedAttentionComponent(
+                NumHeads=H, KeyDim=kd, ValueDim=vd, NumLeftInputs=L,
+                NumRightInputs=R, TimeStride=1,
+                NumLeftInputsRequired=0, NumRightInputsRequired=0,
+                OutputContext=True, KeyScale=0.5, StatsCount=0.0,
+                EntropyStats=np.zeros(H, np.float32),
+                PosteriorStats=np.zeros((H, ctx), np.float32)),
+        }
+        nodes = [
+            M.Node("input", "input", dim=H * blk),
+            M.Node("component", "attn", component="attn",
+                   desc=M.parse_descriptor("input")),
+            M.Node("output", "output", desc=M.parse_descriptor("attn")),
+        ]
+        g = M.Nnet3Graph(nodes, comps)
+        B, T = 2, 7
+        x = rng.normal(size=(B, T, H * blk)).astype(np.float32)
+        fn = compile_graph(g)
+        got = np.asarray(jax.jit(fn)(x))
+        for b in range(B):
+            np.testing.assert_allclose(got[b], g.forward(x[b]),
+                                       rtol=1e-4, atol=1e-4)
