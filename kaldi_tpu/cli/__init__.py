@@ -176,6 +176,19 @@ _register("kaldi_tpu.cli.lat_tools2", {
     "lattice-push": "lattice_push",
 })
 
+_register("kaldi_tpu.cli.tail3_tools", {
+    "compute-eer": "compute_eer",
+    "compute-wer-bootci": "compute_wer_bootci",
+    "ivector-subtract-global-mean": "ivector_subtract_global_mean",
+    "ivector-normalize-length": "ivector_normalize_length",
+    "agglomerative-cluster": "agglomerative_cluster",
+    "ivector-plda-scoring-dense": "ivector_plda_scoring_dense",
+    "lattice-combine": "lattice_combine",
+    "vector-scale": "vector_scale",
+    "nnet3-discriminative-get-egs": "nnet3_discriminative_get_egs",
+    "nnet3-discriminative-copy-egs": "nnet3_discriminative_copy_egs",
+})
+
 
 def get_tool(name: str) -> Callable[[List[str]], int]:
     module_name, func = TOOLS[name]

@@ -358,6 +358,11 @@ def nnet3_compute(argv: List[str]) -> int:
         "Usage: nnet3-compute [options] <nnet-dir> <features-rspecifier> "
         "<matrix-wspecifier>")
     use_xent = po.register_value("use-xent-output", False, "Use the output-xent head instead of output")
+    use_device = po.register_value(
+        "use-device", True,
+        "Run imported models through the jitted device path "
+        "(nnet3/jax_bridge; falls back to host eval for component "
+        "types without a device mapping)")
     po.read(argv)
     if po.num_args() != 3:
         po.print_usage()
@@ -374,10 +379,27 @@ def nnet3_compute(argv: List[str]) -> int:
         from kaldi_tpu.nnet3.mdl_io import read_nnet3_any
         _, graph, _ = read_nnet3_any(base)
         head = "output-xent" if use_xent[0] else "output"
+        fwd = None
+        if use_device[0]:
+            try:
+                from kaldi_tpu.nnet3.jax_bridge import compile_graph
+                fn = compile_graph(graph, output_name=head)
+                jitted = jax.jit(fn)
+
+                def fwd(feats):
+                    return np.asarray(
+                        jitted(jnp.asarray(feats[None], jnp.float32))[0])
+            except Exception as e:   # unsupported component type
+                warn(f"nnet3-compute: device path unavailable ({e}); "
+                     f"falling back to host evaluation")
+                fwd = None
+        if fwd is None:
+            def fwd(feats):
+                return graph.forward(feats, output_name=head)
         writer = TableWriter("matrix", po.get_arg(3))
         n = 0
         for key, feats in SequentialTableReader("matrix", po.get_arg(2)):
-            writer.write(key, graph.forward(feats, output_name=head))
+            writer.write(key, fwd(feats))
             n += 1
         writer.close()
         log(f"computed outputs for {n} utterances (nnet3 model file)")

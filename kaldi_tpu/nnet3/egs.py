@@ -151,3 +151,51 @@ def _merge(group: Sequence[NnetChainExample]) -> Dict[str, np.ndarray]:
     return {"feats": feats, "num_graphs": num_arrays,
             "left_context": group[0].left_context,
             "right_context": group[0].right_context}
+
+
+@dataclass
+class NnetDiscriminativeExample:
+    """Discriminative (sMBR/MMI/MPFE) training example: a feature
+    chunk with its numerator alignment and denominator lattice
+    (parity: nnet3/nnet-discriminative-example.h NnetDiscriminativeExample;
+    the framework-native container consumed by
+    nnet3/discriminative_train.py)."""
+    feats: np.ndarray                  # (T, D)
+    num_ali: List[int]                 # transition-ids, output rate
+    den_lat: object                    # Lattice
+    left_context: int = 0
+    right_context: int = 0
+
+    def write(self, stream: BinaryIO, binary: bool = True) -> None:
+        from kaldi_tpu.fstext.openfst_io import write_fst
+        iof.write_token(stream, binary, "<Degs>")
+        iof.write_matrix(stream, binary, self.feats)
+        iof.write_int_vector(stream, binary, list(self.num_ali))
+        iof.write_int32(stream, binary, self.left_context)
+        iof.write_int32(stream, binary, self.right_context)
+        write_fst(stream, self.den_lat, as_compact_lattice=True)
+        iof.write_token(stream, binary, "</Degs>")
+
+    @classmethod
+    def read(cls, stream: BinaryIO, binary: bool = True
+             ) -> "NnetDiscriminativeExample":
+        from kaldi_tpu.fstext.openfst_io import read_fst
+        iof.expect_token(stream, binary, "<Degs>")
+        feats = iof.read_matrix(stream, binary)
+        ali = iof.read_int_vector(stream, binary)
+        left = iof.read_int32(stream, binary)
+        right = iof.read_int32(stream, binary)
+        lat = read_fst(stream)
+        iof.expect_token(stream, binary, "</Degs>")
+        return cls(feats, list(ali), lat, left, right)
+
+
+class DiscriminativeExampleHolder(Holder):
+    binary_container = True
+
+    def read(self, stream):
+        binary = iof.init_input_stream(stream)
+        return NnetDiscriminativeExample.read(stream, binary)
+
+    def write(self, stream, binary, value):
+        value.write(stream, binary)

@@ -43,8 +43,10 @@ class BenchCorpusSpec:
     num_phone_groups: int = 8      # confusable groups
     phones_per_group: int = 3      # members differ by a small f2 gap
     fs: float = 16000.0
-    noise: float = 800.0           # additive noise sigma (tones ~1500)
-    f2_gap: float = 140.0          # separation inside a group
+    noise: float = 2500.0          # additive noise sigma (tones ~1500;
+    #                                ~-6 dB SNR — hard enough that the
+    #                                flagship WER band stays nonzero)
+    f2_gap: float = 60.0           # separation inside a group
     min_pron: int = 2
     max_pron: int = 4
     words_per_utt: int = 12
