@@ -132,9 +132,23 @@ def main():
                                    sample_rate=spec.fs)
 
     utts = sorted(test_wav)
-    # int16 PCM wire (halves the tunnel-bound host->device transfer)
-    waves = [np.clip(test_wav[u], -32767, 32767).astype(np.int16)
-             for u in utts]
+    # wire format: 8-bit mu-law by default (the tunnel-attached chip's
+    # ~20 MB/s ingest otherwise caps xRT regardless of compute;
+    # BASELINE.md); --wire=int16 for the PCM comparison
+    wire = "mulaw"
+    for a in sys.argv:
+        if a.startswith("--wire="):
+            wire = a.split("=", 1)[1]
+    if wire == "mulaw":
+        from kaldi_tpu.feat.frontend import mulaw_encode
+        waves = [mulaw_encode(np.clip(test_wav[u], -32767, 32767))
+                 for u in utts]
+    else:
+        waves = [np.clip(test_wav[u], -32767, 32767).astype(np.int16)
+                 for u in utts]
+    print(f"# wire: {wire} "
+          f"({sum(w.nbytes for w in waves) / 1e6:.1f} MB/batch)",
+          file=sys.stderr)
 
     t0 = time.time()
     out = pipe.decode_batch(waves)                 # compile + warm

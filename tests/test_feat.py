@@ -191,3 +191,25 @@ class TestCmvnDeltasSplice:
         feats = rng.normal(loc=5.0, size=(300, 4)).astype(np.float32)
         out = sliding_window_cmn(feats)
         assert abs(out.mean()) < 0.3
+
+
+def test_mulaw_wire_close_to_int16():
+    """8-bit mu-law wire: decoded features must be close to the int16
+    path (telephony-fidelity companding; used by the bench to beat the
+    tunnel ingest bound)."""
+    from kaldi_tpu.feat.frontend import (MfccOptions, OfflineFeature,
+                                         mulaw_encode)
+    from kaldi_tpu.feat.window import FrameExtractionOptions
+    rng = np.random.default_rng(0)
+    fs = 16000
+    t = np.arange(int(0.5 * fs)) / fs
+    wave = (6000 * np.sin(2 * np.pi * 440 * t)
+            + 300 * rng.normal(size=t.size)).astype(np.int16)
+    comp = OfflineFeature(MfccOptions(frame_opts=FrameExtractionOptions(
+        samp_freq=fs, dither=0.0)))
+    ref = comp.compute_batch([wave])[0]
+    got = comp.compute_batch([mulaw_encode(wave)])[0]
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).mean()
+    scale = np.abs(ref).mean()
+    assert err < 0.05 * scale, (err, scale)

@@ -121,7 +121,10 @@ class TestSensitiveWer:
         hyps = decode(sys_, hclg, test_feats, acoustic_scale=0.1,
                       beam=16.0)
         wer = wer_of(hyps, test)
-        assert 0.0 < wer <= 30.0, f"reference WER {wer:.1f}%"
+        # pinned to the observed value +-3 absolute (VERDICT r2 weak
+        # #7: the 0-30 band hid multi-point regressions); observed
+        # 24.0% on 2026-08-17 (deterministic corpus + EM)
+        assert 21.0 <= wer <= 27.0, f"reference WER {wer:.1f}%"
 
     def test_broken_acoustic_scale_detected(self, system):
         """x20 acoustic scale must degrade WER well past the band —
@@ -158,6 +161,7 @@ class TestSensitiveWer:
         hclg_tri = make_hclg(tri, unigram_g(lang))
         tri_wer = wer_of(decode(tri, hclg_tri, test_feats, 0.1, 16.0),
                          test)
-        # its own pinned band + no regression beyond noise
-        assert 0.0 <= tri_wer <= 30.0, f"tri WER {tri_wer:.1f}%"
-        assert tri_wer <= mono_wer + 4.0, (mono_wer, tri_wer)
+        # pinned band around the observed 2.0% (2026-08-17), and the
+        # tri stage must clearly beat mono on this corpus
+        assert 0.0 <= tri_wer <= 5.0, f"tri WER {tri_wer:.1f}%"
+        assert tri_wer <= mono_wer - 10.0, (mono_wer, tri_wer)
