@@ -61,10 +61,14 @@ def main():
                                prefinal_dim=256, num_layers=17,
                                subsample_layer=8,
                                frame_subsampling_factor=3)
-    opts = ChainTrainOptions(num_epochs=epochs, learning_rate=1e-3,
-                             final_learning_rate=1e-4,
-                             minibatch_size=32, chunk_width=150,
-                             left_tolerance=5, right_tolerance=5)
+    from kaldi_tpu.chain.objective import ChainTrainingOptions
+    opts = ChainTrainOptions(
+        num_epochs=epochs, learning_rate=7e-4,
+        final_learning_rate=1e-4, minibatch_size=32, chunk_width=150,
+        left_tolerance=5, right_tolerance=5,
+        chain=ChainTrainingOptions(l2_regularize=5e-5,
+                                   leaky_hmm_coefficient=0.1,
+                                   xent_regularize=0.1))
     t0 = time.time()
     sysd = train_system(spec, cfg=cfg, chain_opts=opts, num_ceps=40)
     print(f"# training took {time.time() - t0:.0f}s", file=sys.stderr)

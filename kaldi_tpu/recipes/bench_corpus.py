@@ -50,7 +50,7 @@ class BenchCorpusSpec:
     min_pron: int = 2
     max_pron: int = 4
     words_per_utt: int = 12
-    num_train: int = 256
+    num_train: int = 384
     num_test: int = 128
     num_lm_sents: int = 4000
     seed: int = 11

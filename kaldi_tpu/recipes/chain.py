@@ -334,8 +334,18 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
         variables = model.init(rng, jnp.zeros((2, cw, dim)))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    steps_per_epoch = max(1, len(chunks) // opts.minibatch_size)
+    total_steps = steps_per_epoch * opts.num_epochs
+    warmup = min(max(total_steps // 20, 10), total_steps // 2 or 1)
+    sched = optax.join_schedules(
+        [optax.linear_schedule(opts.learning_rate * 0.1,
+                               opts.learning_rate, warmup),
+         optax.linear_schedule(opts.learning_rate,
+                               opts.final_learning_rate,
+                               max(total_steps - warmup, 1))],
+        [warmup])
     tx = optax.chain(optax.clip_by_global_norm(opts.max_param_change),
-                     optax.adam(opts.learning_rate))
+                     optax.adam(sched))
     opt_state = tx.init(params)
 
     @jax.jit
@@ -354,8 +364,23 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
         return (optax.apply_updates(params, updates), new_bs, new_opt,
                 -loss)
 
+    def apply_orthonormal(params):
+        # the semi-orthogonal constraint on TDNN-F bottleneck factors
+        # (steps/libs/nnet3/train/frame_level_objf/common.py: applied
+        # periodically during training; without it the factored
+        # bottleneck degenerates at scale)
+        def walk(tree):
+            if isinstance(tree, dict):
+                return {k: (jnp.asarray(constrain_orthonormal(v))
+                            if k == "linear" and hasattr(v, "ndim")
+                            and v.ndim == 2 else walk(v))
+                        for k, v in tree.items()}
+            return tree
+        return walk(params)
+
     rng_np = np.random.default_rng(opts.seed)
     order = np.arange(len(chunks))
+    it = 0
     for epoch in range(opts.num_epochs):
         rng_np.shuffle(order)
         objfs = []
@@ -371,6 +396,9 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
                 params, batch_stats, opt_state, feats_b, num_arrays,
                 ivecs_b)
             objfs.append(float(objf))
+            it += 1
+            if it % opts.orthonormal_interval == 0:
+                params = apply_orthonormal(params)
         log(f"chain-topo epoch {epoch}: objf/frame {np.mean(objfs):.4f}")
     return (model, {"params": params, "batch_stats": batch_stats},
             den_graph, chain_tm, chain_tree)
