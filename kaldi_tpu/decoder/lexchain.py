@@ -941,7 +941,15 @@ class LexChainDecoder:
         def post(ecost, roots_all, take_end, am_rs, lengths):
             T = ecost.shape[0]
             a_best = jnp.min(roots_all[:, :P, :], axis=1)   # (T,B)
-            keep = ecost <= a_best[:, None, None, :] + beam
+            # entry candidates at frame t are costs BEFORE consuming
+            # frame t — compare against the best alpha after t-1
+            # (begin alpha = 0); the j=0 candidate of every recorded
+            # arrival is force-kept host-side, so this filter only
+            # shapes alternative richness, never best-path validity
+            a_prev = jnp.concatenate(
+                [jnp.zeros((1,) + a_best.shape[1:], a_best.dtype),
+                 a_best[:-1]], axis=0)
+            keep = ecost <= a_prev[:, None, None, :] + beam
             keepp = jnp.concatenate(
                 [keep, jnp.zeros((T, J, Vp8 - V, B), bool)], axis=2)
             flat = keepp.reshape(T, (J * Vp8) // 8, 8, B).astype(jnp.int32)
@@ -1036,26 +1044,11 @@ class LexChainDecoder:
         ab, at_, ap = ab[ma], at_[ma], ap[ma]
         if stats is not None:
             stats["unpack_s"] = _time.time() - _t0
-            stats["n_entry"] = len(sb)
             stats["n_arrival"] = len(ab)
         _t0 = _time.time()
-        # survivor payload gathers (entry candidates)
         import jax
 
-        def g4(ec, es, et, el, ti, ji, wi, bi):
-            return (ec[ti, ji, wi, bi], es[ti, ji, wi, bi],
-                    et[ti, ji, wi, bi], el[ti, ji, wi, bi])
-        fn, S = self._gather_jit("lat_g4", g4, len(sb))
-        pad = S - len(sb)
-        args = [jnp.asarray(np.pad(x, (0, pad))) for x in
-                (st, sj, sw, sb)]
-        ecv, esv, etv, elv = (np.asarray(a)[:len(sb)] for a in
-                              fn(ecost, esrc, esrct, elm, *args))
-        # winning entry value per (t, w, b): j=0 candidate
-        def g1(ec, ti, wi, bi):
-            return ec[ti, 0, wi, bi]
-        fn1, S1 = self._gather_jit("lat_g1", g1, len(ab))
-        # arrival payloads
+        # arrival payloads first (their entry times drive force-keep)
         def g3(ac, ate, ti, pi, bi):
             return ac[ti, pi, bi], ate[ti, pi, bi]
         fn3, S3 = self._gather_jit("lat_g3", g3, len(ab))
@@ -1065,8 +1058,43 @@ class LexChainDecoder:
         arrc, arrte = (np.asarray(a)[:len(ab)] for a in
                        fn3(arr_cost_d, arr_te_d, *args3))
         arrte = np.rint(arrte).astype(np.int64)
-        # entry_win for each arrival: ecost[arrte, 0, word(p), b]
         word_of_var = g.pron_word
+        # force-keep: the winning (j=0) entry candidate of every
+        # arrival must survive, or the Viterbi path itself is lost
+        # when the device beam filter is tight (vectorized set diff
+        # over encoded (b, te, w) keys)
+        req_key = (ab * T + np.maximum(arrte, 0)) * V + word_of_var[ap]
+        req_key = np.unique(req_key)
+        have0 = sj == 0
+        have_key = np.unique((sb[have0] * T + st[have0]) * V
+                             + sw[have0])
+        missing = np.setdiff1d(req_key, have_key, assume_unique=True)
+        if len(missing):
+            mb = missing // (T * V)
+            mt = (missing // V) % T
+            mw = missing % V
+            sb = np.concatenate([sb, mb])
+            st = np.concatenate([st, mt])
+            sj = np.concatenate([sj, np.zeros(len(missing), np.int64)])
+            sw = np.concatenate([sw, mw])
+        if stats is not None:
+            stats["n_entry"] = len(sb)
+
+        # survivor payload gathers (entry candidates)
+        def g4(ec, es, et, el, ti, ji, wi, bi):
+            return (ec[ti, ji, wi, bi], es[ti, ji, wi, bi],
+                    et[ti, ji, wi, bi], el[ti, ji, wi, bi])
+        fn, S = self._gather_jit("lat_g4", g4, len(sb))
+        pad = S - len(sb)
+        args = [jnp.asarray(np.pad(x, (0, pad))) for x in
+                (st, sj, sw, sb)]
+        ecv, esv, etv, elv = (np.asarray(a)[:len(sb)] for a in
+                              fn(ecost, esrc, esrct, elm, *args))
+
+        # winning entry value per (t, w, b): j=0 candidate
+        def g1(ec, ti, wi, bi):
+            return ec[ti, 0, wi, bi]
+        fn1, S1 = self._gather_jit("lat_g1", g1, len(ab))
         pad1 = S1 - len(ab)
         argw = jnp.asarray(np.pad(word_of_var[ap], (0, pad1)))
         argt = jnp.asarray(np.pad(np.maximum(arrte, 0), (0, pad1)))
@@ -1075,20 +1103,48 @@ class LexChainDecoder:
         if stats is not None:
             stats["gather_s"] = _time.time() - _t0
         _t0 = _time.time()
-        # organize survivors by (b, w, te) for arc expansion
+        _t0 = _time.time()
+        # vectorized arc expansion: each arrival joins the sorted
+        # survivor span of its (b, te, w) key
         surv_key = (sb * T + st) * V + sw
         order = np.argsort(surv_key, kind="stable")
         surv_key_s = surv_key[order]
+        fin_ok = np.isfinite(entry_win) & (entry_win < INF / 2)
+        keys = (ab * T + np.maximum(arrte, 0)) * V + word_of_var[ap]
+        lo = np.searchsorted(surv_key_s, keys)
+        hi = np.searchsorted(surv_key_s, keys, side="right")
+        counts = np.where(fin_ok, hi - lo, 0)
+        total = int(counts.sum())
+        arr_i = np.repeat(np.arange(len(ab)), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = lo[arr_i] + (np.arange(total) - starts[arr_i])
+        sidx = order[pos]
+        a_cost = (arrc[arr_i] - entry_win[arr_i]
+                  + ecv[sidx]).astype(np.float64)
+        a_lm = elv[sidx].astype(np.float64)
+        a_srcp = np.rint(esv[sidx]).astype(np.int64)
+        a_srct = np.rint(etv[sidx]).astype(np.int64)
+        a_dstp = ap[arr_i]
+        a_dstt = at_[arr_i]
+        a_te = arrte[arr_i]
+        a_b = ab[arr_i]
+        ok = np.isfinite(a_cost) & (a_cost < INF / 2)
+        (a_cost, a_lm, a_srcp, a_srct, a_dstp, a_dstt, a_te, a_b) = (
+            x[ok] for x in (a_cost, a_lm, a_srcp, a_srct, a_dstp,
+                            a_dstt, a_te, a_b))
+        if stats is not None:
+            stats["expand_s"] = _time.time() - _t0
+            stats["n_arcs"] = len(a_cost)
+        _t0 = _time.time()
         lats = []
         roots_np = np.asarray(roots_all)   # (T, P+1, B) — node alphas
         am_cs = np.asarray(am_cs_d)
         for b in range(B):
-            sel = np.nonzero(ab == b)[0]
+            sel = np.nonzero(a_b == b)[0]
             lats.append(self._assemble_lane(
-                b, int(lengths[b]), T, ap[sel], at_[sel], arrte[sel],
-                arrc[sel], entry_win[sel],
-                surv_key_s, order, sb, st, sw, sj,
-                ecv, esv, etv, elv,
+                b, int(lengths[b]), T,
+                a_srcp[sel], a_srct[sel], a_dstp[sel], a_dstt[sel],
+                a_cost[sel], a_lm[sel], a_te[sel],
                 roots_np[:, :, b], am_cs[:, :, b],
                 alpha_fin[:, b], sil_fin_np[:, b], sil_t_fin_np[:, b],
                 lattice_beam))
@@ -1096,17 +1152,18 @@ class LexChainDecoder:
             stats["assemble_s"] = _time.time() - _t0
         return lats
 
-    def _assemble_lane(self, b, Tb, T, ap, at_, arrte, arrc, entry_win,
-                       surv_key_s, surv_order, sb, st, sw, sj,
-                       ecv, esv, etv, elv, roots_lane, am_cs_lane,
+    def _assemble_lane(self, b, Tb, T, a_srcp, a_srct, a_dstp, a_dstt,
+                       a_cost, a_lm, a_te, roots_lane, am_cs_lane,
                        alpha_fin, sil_fin, sil_t_fin, beam):
         """Host lattice assembly for one lane with exact alpha+beta
-        pruning on the word-event node graph."""
+        pruning on the word-event node graph.  Arc arrays arrive
+        pre-expanded (decode_batch_lattice joins arrivals with their
+        surviving entry candidates, vectorized over all lanes)."""
         from kaldi_tpu.fstext.fst import Arc, LatticeWeight, VectorFst
         from kaldi_tpu.fstext.ops import connect
         g = self.g
         P, V = g.P, g.V
-        if Tb == 0 or len(ap) == 0:
+        if Tb == 0 or len(a_cost) == 0:
             return None
         eosr = self.g.lm.eos[self._ctx_word]           # (P+1,)
         fin_r = alpha_fin[:P] + eosr[:P]
@@ -1119,41 +1176,11 @@ class LexChainDecoder:
             return None
         cutoff = best + beam + 1e-4
 
-        # ---- collect arcs -------------------------------------------
-        # word arcs: for each arrival (p, t, te): survivors j at
-        # (word(p), te): src node (esrc_j, esrct_j), cost =
-        # arrc - entry_win + ecost_j
-        word_of_var = g.pron_word
-        arcs = []      # (src_p, src_t, dst_p, dst_t, total_cost,
-        #                 lm_cost, te)
-        for i in range(len(ap)):
-            p, t, te = int(ap[i]), int(at_[i]), int(arrte[i])
-            w = int(word_of_var[p])
-            if not np.isfinite(entry_win[i]) or entry_win[i] >= INF / 2:
-                continue
-            key = (b * T + te) * V + w
-            lo = np.searchsorted(surv_key_s, key)
-            hi = np.searchsorted(surv_key_s, key, side="right")
-            for o in range(lo, hi):
-                idx = surv_order[o]
-                cost_j = float(arrc[i]) - float(entry_win[i]) + \
-                    float(ecv[idx])
-                if cost_j >= INF / 2:
-                    continue
-                src_p = int(round(float(esv[idx])))
-                src_t = int(round(float(etv[idx])))
-                arcs.append((src_p, src_t, p, t, cost_j,
-                             float(elv[idx]), te))
-        if not arcs:
-            return None
-        arcs_np = np.asarray([(a[0], a[1], a[2], a[3]) for a in arcs],
-                             np.int64)
         # ---- node set: arc endpoints --------------------------------
         # node key = p * T + t; start = -1 (p == P or t < 0 on source)
-        src_is_start = (arcs_np[:, 0] >= P) | (arcs_np[:, 1] < 0)
-        src_keys = np.where(src_is_start, -1,
-                            arcs_np[:, 0] * T + arcs_np[:, 1])
-        dst_keys = arcs_np[:, 2] * T + arcs_np[:, 3]
+        src_is_start = (a_srcp >= P) | (a_srct < 0)
+        src_keys = np.where(src_is_start, -1, a_srcp * T + a_srct)
+        dst_keys = a_dstp * T + a_dstt
         # final-frame nodes for every in-beam root: a path may arrive
         # earlier and ride the root self-loop to the last frame
         fin_ok = np.nonzero(fin_r <= cutoff)[0]
@@ -1213,8 +1240,8 @@ class LexChainDecoder:
         beta = np.full(n, np.inf)
         last = node_t == Tb - 1
         beta[last] = eosr[node_p[last]]
-        arc_src_t = np.where(src_is_start, -1, arcs_np[:, 1])
-        arc_delta = np.asarray([a[4] for a in arcs]) - \
+        arc_src_t = np.where(src_is_start, -1, a_srct)
+        arc_delta = a_cost - \
             np.where(src_is_start, 0.0, node_alpha[np.maximum(src_i, 0)])
         # final-silence contributions to beta (fin_s includes eos)
         for (src, p, t_src, _val) in fin_sil_arcs:
@@ -1276,8 +1303,10 @@ class LexChainDecoder:
                 cur = nxt
             return cur
 
-        for i, a in enumerate(arcs):
-            src_p, src_t, p, t, total, lm_cost, te = a
+        for i in range(len(a_cost)):
+            src_t = int(a_srct[i])
+            p, t, te = int(a_dstp[i]), int(a_dstt[i]), int(a_te[i])
+            lm_cost = float(a_lm[i])
             is_start = bool(src_is_start[i])
             di = int(dst_i[i])
             if not keep_node[di]:
@@ -1312,7 +1341,7 @@ class LexChainDecoder:
                 # first arc; fold all into the word arc instead (the
                 # split across arcs is a convention, totals are exact)
                 cur = mid
-            emit_chain(cur, dst, p, te, t, int(word_of_var[p]) + 1,
+            emit_chain(cur, dst, p, te, t, int(g.pron_word[p]) + 1,
                        gcost, acous)
         # self-extension arcs
         for k2 in range(len(ss)):
