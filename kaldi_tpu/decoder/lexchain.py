@@ -418,6 +418,34 @@ class LexChainDecoder:
         self._e_cost = jnp.asarray(cost)
         self._e_starts = jnp.asarray(starts[:, None])
         self._e_segend = jnp.asarray(seg_end)
+        # ---- bucketed-CSR layout for the best-path entry relaxation:
+        # words grouped by in-degree class (next pow2), each bucket a
+        # dense (n_words, class) table of (source word, cost) — the
+        # per-frame segmented min becomes one gather + one dense
+        # reduction per class (O(E * B) total, no log-depth scan;
+        # this is what makes V >= 20k vocabularies fast)
+        indeg = np.bincount(dst, minlength=V)
+        seg_start = seg_end - indeg + 1
+        classes = np.maximum(1, 1 << np.ceil(
+            np.log2(np.maximum(indeg, 1))).astype(np.int64))
+        self._buckets = []
+        perm = []                         # bucket-sorted word order
+        for c in sorted(set(classes.tolist())):
+            wsel = np.nonzero(classes == c)[0]
+            nw = len(wsel)
+            src_tab = np.zeros((nw, c), np.int64)
+            cost_tab = np.full((nw, c), BIG, np.float32)
+            for row, w in enumerate(wsel):
+                s0, d = int(seg_start[w]), int(indeg[w])
+                src_tab[row, :d] = srcw[s0:s0 + d]
+                cost_tab[row, :d] = cost[s0:s0 + d]
+            self._buckets.append((jnp.asarray(src_tab.astype(np.int32)),
+                                  jnp.asarray(cost_tab)))
+            perm.append(wsel)
+        perm = np.concatenate(perm) if perm else np.zeros(0, np.int64)
+        inv_perm = np.empty(V, np.int64)
+        inv_perm[perm] = np.arange(V)
+        self._bucket_inv_perm = jnp.asarray(inv_perm)
         # map context word -> representative... contexts are per-ROOT;
         # explicit arc from word u applies to every variant root of u.
         # Instead of expanding arcs per variant, precompute for each
@@ -492,15 +520,13 @@ class LexChainDecoder:
         N, P, V = g.N, g.P, g.V
         c = self._c
         use_sil = g.use_sil
-        e_srcw = jnp.asarray(self._e_srcw)
-        e_cost = self._e_cost
-        e_starts = self._e_starts
-        e_segend = self._e_segend
         roots_by_word = jnp.asarray(self._roots_by_word)
         w_starts = self._w_starts
         w_segend = self._w_segend
         word_has_var = self._word_has_var
         segmin = self._segmin_scan
+        buckets = self._buckets
+        inv_perm = self._bucket_inv_perm
 
         def frame(carry, x):
             cost, roots, sil = carry     # (N,B), (P+1,B), (P+1,B)
@@ -526,16 +552,22 @@ class LexChainDecoder:
             gval = jnp.min(bo_cand, axis=0)            # (B,)
             garg = jnp.argmin(bo_cand, axis=0).astype(jnp.int32)
             base = gval[None, :] + c["uni"]            # (V,B)
-            # --- explicit-bigram corrections ------------------------
-            # candidate for arc e: rword of its source word + cost
-            src_rows = jnp.where(e_srcw[:, None] >= V, rmin[P][None, :],
-                                 rword_v[jnp.minimum(e_srcw, V - 1)])
-            src_args = jnp.where(e_srcw[:, None] >= V, jnp.int32(P),
-                                 rword_a[jnp.minimum(e_srcw, V - 1)])
-            cand = src_rows + e_cost[:, None]
-            cv, ca = segmin(cand, src_args, e_starts)
-            corr = cv[e_segend]                        # (V,B)
-            corr_a = ca[e_segend]
+            # --- explicit-bigram corrections (bucketed CSR) ---------
+            # source-word value table extended with the <s> row
+            rword_ext = jnp.concatenate([rword_v, rmin[P][None, :]], 0)
+            rarg_ext = jnp.concatenate(
+                [rword_a, jnp.full((1, B), P, jnp.int32)], 0)
+            parts_v, parts_sw = [], []
+            for (src_tab, cost_tab) in buckets:
+                nw = src_tab.shape[0]
+                cand = rword_ext[src_tab] + cost_tab[..., None]
+                parts_v.append(jnp.min(cand, axis=1))        # (nw,B)
+                win = jnp.argmin(cand, axis=1)               # (nw,B)
+                parts_sw.append(
+                    src_tab[jnp.arange(nw)[:, None], win])
+            corr = jnp.concatenate(parts_v, 0)[inv_perm]     # (V,B)
+            sw_win = jnp.concatenate(parts_sw, 0)[inv_perm]
+            corr_a = rarg_ext[sw_win, jnp.arange(B)[None, :]]
             take_corr = corr < base
             entry = jnp.where(take_corr, corr, base)   # (V,B)
             entry_arg = jnp.where(take_corr, corr_a,
@@ -938,7 +970,12 @@ class LexChainDecoder:
         Vp8 = _round_up(V, 8)
         Pp8 = _round_up(P, 8)
 
-        def post(ecost, roots_all, take_end, am_rs, lengths):
+        arr_slack = 16.0   # arrival margin past the lattice beam: the
+        # device arrival filter is a pre-filter (frame-local alpha is
+        # only a lower bound on a path's extra cost), the host
+        # alpha+beta pass does the exact pruning
+
+        def post(ecost, roots_all, take_end, arr_cost, am_rs, lengths):
             T = ecost.shape[0]
             a_best = jnp.min(roots_all[:, :P, :], axis=1)   # (T,B)
             # entry candidates at frame t are costs BEFORE consuming
@@ -956,8 +993,13 @@ class LexChainDecoder:
             w8 = (1 << jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1),
                                                 2))
             bits = (flat * w8).sum(axis=2).astype(jnp.uint8)
+            # arrivals: drop INF garbage (roots still empty) and
+            # events far outside the beam — this bounds every
+            # downstream host cost
+            arr_keep = take_end & (arr_cost < INF / 2) & \
+                (arr_cost <= a_best[:, None, :] + beam + arr_slack)
             te_pad = jnp.concatenate(
-                [take_end, jnp.zeros((T, Pp8 - P, B), bool)], axis=1)
+                [arr_keep, jnp.zeros((T, Pp8 - P, B), bool)], axis=1)
             tf = te_pad.reshape(T, Pp8 // 8, 8, B).astype(jnp.int32)
             te_bits = (tf * w8[0]).sum(axis=1 + 1).astype(jnp.uint8)
             am_cs = jnp.cumsum(am_rs, axis=0)               # (T,P,B)
@@ -1016,8 +1058,8 @@ class LexChainDecoder:
         if pkey not in self._jit:
             self._jit[pkey] = self._make_lat_post(B, J, lattice_beam)
         bits_d, te_bits_d, a_best_d, am_cs_d, alpha_fin_d = \
-            self._jit[pkey](ecost, roots_all, take_end_d, am_rs,
-                            jnp.asarray(lengths.astype(np.int32)))
+            self._jit[pkey](ecost, roots_all, take_end_d, arr_cost_d,
+                            am_rs, jnp.asarray(lengths.astype(np.int32)))
         bits = np.asarray(bits_d)
         te_bits = np.asarray(te_bits_d)
         alpha_fin = np.asarray(alpha_fin_d)
@@ -1303,20 +1345,17 @@ class LexChainDecoder:
                 cur = nxt
             return cur
 
-        for i in range(len(a_cost)):
+        src_alpha_arr = np.where(src_is_start, 0.0,
+                                 node_alpha[np.maximum(src_i, 0)])
+        keep_arc = keep_node[dst_i] & \
+            (src_is_start | keep_node[np.maximum(src_i, 0)]) & \
+            (src_alpha_arr + arc_delta + beta[dst_i] <= cutoff)
+        for i in np.nonzero(keep_arc)[0]:
             src_t = int(a_srct[i])
             p, t, te = int(a_dstp[i]), int(a_dstt[i]), int(a_te[i])
             lm_cost = float(a_lm[i])
             is_start = bool(src_is_start[i])
             di = int(dst_i[i])
-            if not keep_node[di]:
-                continue
-            src_alpha = 0.0 if is_start else \
-                float(node_alpha[int(src_i[i])])
-            if not is_start and not keep_node[int(src_i[i])]:
-                continue
-            if src_alpha + arc_delta[i] + beta[di] > cutoff:
-                continue
             cur = start if is_start else node_state(int(src_i[i]))
             dst = node_state(di)
             n_sil = (te - 1) - src_t
