@@ -394,6 +394,7 @@ class LexChainDecoder:
         import jax.numpy as jnp
         g = graph
         self.g = g
+        self._c: Dict[str, object] = {}
         N, P, V = g.N, g.P, g.V
         lm = g.lm
         # explicit arcs at root level, padded so every word has >= 1
@@ -446,6 +447,52 @@ class LexChainDecoder:
         inv_perm = np.empty(V, np.int64)
         inv_perm[perm] = np.arange(V)
         self._bucket_inv_perm = jnp.asarray(inv_perm)
+        # reverse buckets (arcs grouped by SOURCE context word) for the
+        # lattice backward pass; every context appears exactly once
+        # (out-degree 0 -> a BIG dummy in the class-1 bucket)
+        order2 = np.argsort(srcw, kind="stable")
+        s2, d2, c2 = srcw[order2], dst[order2], cost[order2]
+        outdeg = np.bincount(s2, minlength=V + 1)
+        start2 = np.concatenate([[0], np.cumsum(outdeg)[:-1]])
+        classes2 = np.maximum(1, 1 << np.ceil(
+            np.log2(np.maximum(outdeg, 1))).astype(np.int64))
+        self._rev_buckets = []
+        perm2 = []
+        for cc in sorted(set(classes2.tolist())):
+            usel = np.nonzero(classes2 == cc)[0]
+            nc = len(usel)
+            dtab = np.zeros((nc, cc), np.int64)
+            ctab = np.full((nc, cc), BIG, np.float32)
+            for row, u in enumerate(usel):
+                s0, d = int(start2[u]), int(outdeg[u])
+                dtab[row, :d] = d2[s0:s0 + d]
+                ctab[row, :d] = c2[s0:s0 + d]
+            self._rev_buckets.append(
+                (jnp.asarray(dtab.astype(np.int32)), jnp.asarray(ctab)))
+            perm2.append(usel)
+        perm2 = np.concatenate(perm2)
+        inv2 = np.empty(V + 1, np.int64)
+        inv2[perm2] = np.arange(V + 1)
+        self._rev_inv_perm = jnp.asarray(inv2)
+        # backward-pass row helpers
+        is_end = np.zeros(g.N, bool)
+        for e in g.end_row:
+            if e >= 0:
+                is_end[e] = True
+        self._c["is_end_row"] = jnp.asarray(is_end[:, None])
+        self._c["var_of_row"] = jnp.asarray(
+            np.maximum(g.row_var, 0).astype(np.int32))
+        klen = np.asarray([len(p) for p in g.prons])
+        self._c["first_row_of_var"] = jnp.asarray(
+            np.where(g.end_row >= 0,
+                     g.end_row - (klen - 2), 0).astype(np.int32))
+        self._c["k1_mask"] = jnp.asarray((g.end_row < 0)[:, None])
+        self._c["tr_fwd_pad"] = jnp.asarray(
+            (g.tr_fwd_row + np.where(g.row_var < 0, BIG, 0.0)
+             )[:, None].astype(np.float32))
+        self._c["tr_self_pad"] = jnp.asarray(
+            (g.tr_self_row + np.where(g.row_var < 0, BIG, 0.0)
+             )[:, None].astype(np.float32))
         # map context word -> representative... contexts are per-ROOT;
         # explicit arc from word u applies to every variant root of u.
         # Instead of expanding arcs per variant, precompute for each
@@ -464,7 +511,6 @@ class LexChainDecoder:
         self._w_segend = jnp.asarray(wseg_end)
         self._word_has_var = jnp.asarray(wcounts > 0)
         # constants
-        self._c = {}
         c = self._c
         c["first"] = jnp.asarray(g.row_is_first)
         c["row_word"] = jnp.asarray(np.maximum(g.row_word, 0))
@@ -796,16 +842,13 @@ class LexChainDecoder:
         N, P, V = g.N, g.P, g.V
         c = self._c
         use_sil = g.use_sil
-        e_srcw = jnp.asarray(self._e_srcw)
-        e_cost = self._e_cost
-        e_starts = self._e_starts
-        e_segend = self._e_segend
         roots_by_word = jnp.asarray(self._roots_by_word)
         w_starts = self._w_starts
         w_segend = self._w_segend
         word_has_var = self._word_has_var
         segmin = self._segmin_scan
-        E = len(self._e_srcw)
+        buckets = self._buckets
+        inv_perm = self._bucket_inv_perm
         lm_bo = jnp.asarray(self.g.lm.bo)       # (V+1,) by WORD context
         ctx_word = jnp.asarray(self._ctx_word)  # (P+1,) root -> word ctx
 
@@ -840,41 +883,50 @@ class LexChainDecoder:
                 pv.append(m)
                 pa.append(a.astype(jnp.float32))
                 pt.append(src_time[a, jnp.arange(B)])
-                pool_m = pool_m.at[a, jnp.arange(B)].set(INF)
+                pool_m = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, pool_m.shape, 0)
+                    == a[None, :], INF, pool_m)
             bo_v = jnp.stack(pv)                        # (J,B)
             bo_a = jnp.stack(pa)
             bo_t = jnp.stack(pt)
             bo_lm = bo_v - rmin[bo_a.astype(jnp.int32),
                                 jnp.arange(B)[None, :]]  # bo cost only
-            # ---------- explicit pool: segmented top-J by dest word
-            arc_p = jnp.where(e_srcw[:, None] >= V, jnp.int32(P),
-                              rword_a[jnp.minimum(e_srcw, V - 1)])
+            # ---------- explicit pool: bucketed top-J per dest word
             lane = jnp.arange(B)[None, :]
-            arc_t = src_time[arc_p, lane]
-            arc_src_val = jnp.where(e_srcw[:, None] >= V,
-                                    rmin[P][None, :],
-                                    rword_v[jnp.minimum(e_srcw, V - 1)])
-            cand0 = arc_src_val + e_cost[:, None]
-            idx_e = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0) * \
-                jnp.ones((1, B), jnp.int32)
-            ev, ea, et_, elm_ = [], [], [], []
-            cand_m = cand0
-            e_dst = jnp.asarray(self._e_dst)
-            for _ in range(J):
-                sv, sa = segmin(cand_m, idx_e, e_starts)
-                wv = sv[e_segend]                       # (V,B)
-                wa = sa[e_segend]                       # winning arc idx
-                ev.append(wv)
-                ea.append(arc_p[wa, lane].astype(jnp.float32))
-                et_.append(arc_t[wa, lane])
-                elm_.append(e_cost[wa])
-                # mask each segment's winning arc for the next round
-                win_of_arc = wa[e_dst]                  # (E,B)
-                cand_m = jnp.where(idx_e == win_of_arc, INF, cand_m)
-            ex_v = jnp.stack(ev)                        # (J,V,B)
-            ex_a = jnp.stack(ea)
-            ex_t = jnp.stack(et_)
-            ex_lm = jnp.stack(elm_)
+            rword_ext = jnp.concatenate([rword_v, rmin[P][None, :]], 0)
+            rarg_ext = jnp.concatenate(
+                [rword_a, jnp.full((1, B), P, jnp.int32)], 0)
+            tw = src_time[rword_a, lane]                 # (V,B)
+            time_ext = jnp.concatenate([tw, src_time[P][None, :]], 0)
+            ev_p, esw_p, elm_p = [], [], []
+            for (src_tab, cost_tab) in buckets:
+                nw = src_tab.shape[0]
+                cand = rword_ext[src_tab] + cost_tab[..., None]
+                cols = jax.lax.broadcasted_iota(jnp.int32, cand.shape,
+                                                1)
+                taken = jnp.zeros(cand.shape, bool)
+                vs, sws, lms = [], [], []
+                st3 = jnp.broadcast_to(
+                    src_tab[:, :, None],
+                    cand.shape).astype(jnp.int32)
+                ct3 = jnp.broadcast_to(cost_tab[:, :, None], cand.shape)
+                for _ in range(J):
+                    m = jnp.where(taken, INF, cand)
+                    a = jnp.argmin(m, axis=1)            # (nw,B)
+                    vs.append(jnp.min(m, axis=1))
+                    sws.append(jnp.take_along_axis(
+                        st3, a[:, None, :], 1)[:, 0, :])
+                    lms.append(jnp.take_along_axis(
+                        ct3, a[:, None, :], 1)[:, 0, :])
+                    taken = taken | (cols == a[:, None, :])
+                ev_p.append(jnp.stack(vs))               # (J,nw,B)
+                esw_p.append(jnp.stack(sws))
+                elm_p.append(jnp.stack(lms))
+            ex_v = jnp.concatenate(ev_p, 1)[:, inv_perm]  # (J,V,B)
+            ex_sw = jnp.concatenate(esw_p, 1)[:, inv_perm]
+            ex_lm = jnp.concatenate(elm_p, 1)[:, inv_perm]
+            ex_a = rarg_ext[ex_sw, lane[None]].astype(jnp.float32)
+            ex_t = time_ext[ex_sw, lane[None]]
             # ---------- merge pools per word: top-J of 2J
             uni = c["uni"]                              # (V,1)
             all_v = jnp.concatenate(
@@ -959,10 +1011,98 @@ class LexChainDecoder:
 
         return jax.jit(forward, donate_argnums=(0, 1))
 
+    def _make_backward_step(self, B: int):
+        """EXACT device backward (beta) pass over the same graph —
+        the mirror of the forward scan.  Emits per frame:
+        bentry[t, w] = best completion cost of ENTERING word w with
+        frame t (pron + first-frame am + beta of the word interior),
+        and broots[t, p] = beta of variant root p AFTER frame t.
+        These turn the survivor filters into exact alpha+beta beam
+        decisions against the global best (the reference prunes raw
+        lattices the same way, just on host)."""
+        import jax
+        import jax.numpy as jnp
+        g = self.g
+        N, P, V = g.N, g.P, g.V
+        c = self._c
+        use_sil = g.use_sil
+        roots_by_word = jnp.asarray(self._roots_by_word)
+        w_starts = self._w_starts
+        w_segend = self._w_segend
+        word_has_var = self._word_has_var
+        segmin = self._segmin_scan
+        rev_buckets = self._rev_buckets
+        rev_inv = self._rev_inv_perm
+        ctxw = jnp.asarray(self._ctx_word)
+        uni = c["uni"]
+        lm_bo = jnp.asarray(g.lm.bo)
+        zero_args = jnp.zeros((P, B), jnp.int32)
+
+        def frame(carry, x):
+            bcost, broots, bsil = carry       # beta AFTER frame t
+            am_t, act = x                     # am at frame t
+            amf = am_t[c["pdf_fwd_row"]] + c["tr_fwd_pad"]
+            ams = am_t[c["pdf_self_row"]] + c["tr_self_pad"]
+            am_end = am_t[c["pdf_end"]] + c["tr_end"]        # (P,B)
+            am_rs = am_t[c["pdf_root_self"]] + c["tr_root_self"]
+            # ---- ys: entry/arrival betas for frame t -----------------
+            cand_var = jnp.where(
+                c["k1_mask"], am_end + broots[:P],
+                amf[c["first_row_of_var"]]
+                + bcost[c["first_row_of_var"]]) + c["end_pron_cost"]
+            bw_v, _ = segmin(cand_var[roots_by_word], zero_args,
+                             w_starts)
+            bentry = bw_v[w_segend]
+            bentry = jnp.where(word_has_var[:, None], bentry, INF)
+            ys = (bentry, broots[:P])
+            # ---- update to beta BEFORE frame t -----------------------
+            rolled = jnp.roll(bcost, -1, axis=0)
+            amf_next = jnp.roll(amf, -1, axis=0)
+            next_val = jnp.where(
+                c["is_end_row"],
+                am_end[c["var_of_row"]] + broots[c["var_of_row"]],
+                amf_next + rolled)
+            bcost_new = jnp.minimum(ams + bcost, next_val)
+            h = jnp.min(uni + bentry, axis=0)            # (B,)
+            parts = []
+            for (dtab, ctab) in rev_buckets:
+                cnd = bentry[dtab] + ctab[..., None]
+                parts.append(jnp.min(cnd, axis=1))
+            expl_u = jnp.concatenate(parts, 0)[rev_inv]  # (V+1,B)
+            eb = jnp.minimum(lm_bo[:, None] + h[None, :], expl_u)
+            wordexit = eb[ctxw]                          # (P+1,B)
+            root_self = jnp.concatenate(
+                [am_rs + broots[:P], jnp.full((1, B), INF, jnp.float32)],
+                axis=0)
+            broots_new = jnp.minimum(root_self,
+                                     wordexit + c["nosil"])
+            if use_sil:
+                sil_in = g.sil_cost + g.sil_tr_fwd + \
+                    am_t[g.sil_pdf_fwd][None, :] + bsil
+                broots_new = jnp.minimum(broots_new, sil_in)
+                bsil_new = jnp.minimum(
+                    g.sil_tr_self + am_t[g.sil_pdf_self][None, :] + bsil,
+                    wordexit)
+            else:
+                bsil_new = bsil
+            bcost_new = jnp.where(act[None, :], bcost_new, bcost)
+            broots_new = jnp.where(act[None, :], broots_new, broots)
+            bsil_new = jnp.where(act[None, :], bsil_new, bsil)
+            return (bcost_new, broots_new, bsil_new), ys
+
+        def backward(binit_roots, binit_sil, am, active):
+            bcost0 = jnp.full((N, B), INF, jnp.float32)
+            _, ys = jax.lax.scan(frame, (bcost0, binit_roots, binit_sil),
+                                 (am, active), reverse=True)
+            return ys        # (bentry (T,V,B), broots (T,P,B))
+
+        return jax.jit(backward)
+
     def _make_lat_post(self, B: int, J: int, beam: float):
-        """Device pruning after the lattice forward: survivor bitmask
-        over entry candidates + arrival bitmask + am cumsum — only
-        small packed planes cross the tunneled D2H link."""
+        """Device pruning after forward + backward: survivors are the
+        candidates whose EXACT alpha+beta path cost is within `beam`
+        of the lane's best final cost — the true raw-lattice beam —
+        packed to bitmasks before the (tunneled, slow) D2H."""
         import jax
         import jax.numpy as jnp
         g = self.g
@@ -970,44 +1110,29 @@ class LexChainDecoder:
         Vp8 = _round_up(V, 8)
         Pp8 = _round_up(P, 8)
 
-        arr_slack = 16.0   # arrival margin past the lattice beam: the
-        # device arrival filter is a pre-filter (frame-local alpha is
-        # only a lower bound on a path's extra cost), the host
-        # alpha+beta pass does the exact pruning
-
-        def post(ecost, roots_all, take_end, arr_cost, am_rs, lengths):
+        def post(ecost, bentry, broots_b, take_end, arr_cost,
+                 roots_all, am_rs, best, lengths):
             T = ecost.shape[0]
-            a_best = jnp.min(roots_all[:, :P, :], axis=1)   # (T,B)
-            # entry candidates at frame t are costs BEFORE consuming
-            # frame t — compare against the best alpha after t-1
-            # (begin alpha = 0); the j=0 candidate of every recorded
-            # arrival is force-kept host-side, so this filter only
-            # shapes alternative richness, never best-path validity
-            a_prev = jnp.concatenate(
-                [jnp.zeros((1,) + a_best.shape[1:], a_best.dtype),
-                 a_best[:-1]], axis=0)
-            keep = ecost <= a_prev[:, None, None, :] + beam
+            cut = best + beam + 1e-3                     # (B,)
+            keep = ecost + bentry[:, None] <= cut[None, None, None, :]
             keepp = jnp.concatenate(
                 [keep, jnp.zeros((T, J, Vp8 - V, B), bool)], axis=2)
             flat = keepp.reshape(T, (J * Vp8) // 8, 8, B).astype(jnp.int32)
             w8 = (1 << jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1),
                                                 2))
             bits = (flat * w8).sum(axis=2).astype(jnp.uint8)
-            # arrivals: drop INF garbage (roots still empty) and
-            # events far outside the beam — this bounds every
-            # downstream host cost
-            arr_keep = take_end & (arr_cost < INF / 2) & \
-                (arr_cost <= a_best[:, None, :] + beam + arr_slack)
+            arr_keep = take_end & (arr_cost + broots_b
+                                   <= cut[None, None, :])
             te_pad = jnp.concatenate(
                 [arr_keep, jnp.zeros((T, Pp8 - P, B), bool)], axis=1)
             tf = te_pad.reshape(T, Pp8 // 8, 8, B).astype(jnp.int32)
             te_bits = (tf * w8[0]).sum(axis=1 + 1).astype(jnp.uint8)
-            am_cs = jnp.cumsum(am_rs, axis=0)               # (T,P,B)
+            am_cs = jnp.cumsum(am_rs, axis=0)            # (T,P,B)
             idx = jnp.maximum(lengths - 1, 0)[None, None, :]
             alpha_fin = jnp.take_along_axis(
                 roots_all, jnp.broadcast_to(idx, (1, P + 1, B)),
                 axis=0)[0]
-            return bits, te_bits, a_best, am_cs, alpha_fin
+            return bits, te_bits, am_cs, alpha_fin
 
         return jax.jit(post)
 
@@ -1054,12 +1179,31 @@ class LexChainDecoder:
             cost0, ent0, roots0, sil0, silt0, am, active)
         (ecost, esrc, esrct, elm, arr_cost_d, arr_te_d, take_end_d,
          roots_all, am_rs) = ys
+        # lane-best final costs (the alpha+beta cut anchor)
+        eos = self._c["eos"]
+        fin_root = roots_fin + eos
+        fin_sil = sil_fin + eos if g.use_sil else \
+            jnp.full_like(fin_root, INF)
+        best_d = jnp.minimum(jnp.min(fin_root, axis=0),
+                             jnp.min(fin_sil, axis=0))
+        # exact backward pass
+        bkey = ("latbwd", B)
+        if bkey not in self._jit:
+            self._jit[bkey] = self._make_backward_step(B)
+        eosr_np = self.g.lm.eos[self._ctx_word]
+        binit = jnp.broadcast_to(
+            jnp.asarray(eosr_np.astype(np.float32))[:, None],
+            (P + 1, B))
+        bentry_d, broots_d = self._jit[bkey](
+            binit, binit if g.use_sil else jnp.full_like(binit, INF),
+            am, active)
         pkey = ("latpost", B, J, float(lattice_beam))
         if pkey not in self._jit:
             self._jit[pkey] = self._make_lat_post(B, J, lattice_beam)
-        bits_d, te_bits_d, a_best_d, am_cs_d, alpha_fin_d = \
-            self._jit[pkey](ecost, roots_all, take_end_d, arr_cost_d,
-                            am_rs, jnp.asarray(lengths.astype(np.int32)))
+        bits_d, te_bits_d, am_cs_d, alpha_fin_d = \
+            self._jit[pkey](ecost, bentry_d, broots_d, take_end_d,
+                            arr_cost_d, roots_all, am_rs, best_d,
+                            jnp.asarray(lengths.astype(np.int32)))
         bits = np.asarray(bits_d)
         te_bits = np.asarray(te_bits_d)
         alpha_fin = np.asarray(alpha_fin_d)
