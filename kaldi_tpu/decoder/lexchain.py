@@ -1214,19 +1214,33 @@ class LexChainDecoder:
         _t0 = _time.time()
         Vp8 = _round_up(V, 8)
         Pp8 = _round_up(P, 8)
-        # unpack survivor entry candidates
-        u8 = np.unpackbits(bits.transpose(2, 0, 1).reshape(B, T, -1),
-                           axis=2, bitorder="little")
-        u8 = u8.reshape(B, T, J, Vp8)[:, :, :, :V]
-        sb, st, sj, sw = np.nonzero(u8)
-        m = st < lengths[sb]
+
+        def sparse_unpack(packed):
+            """(T, nbytes, B) uint8 -> (t, bitindex, b) of set bits —
+            sparse: only nonzero BYTES are expanded (survivor masks
+            are overwhelmingly zero after exact pruning)."""
+            Tn, nbytes, Bn = packed.shape
+            flat = np.ascontiguousarray(packed).reshape(-1)
+            nz = np.flatnonzero(flat)
+            if not len(nz):
+                z = np.zeros(0, np.int64)
+                return z, z, z
+            vals = flat[nz]
+            bits8 = np.unpackbits(vals[:, None], axis=1,
+                                  bitorder="little")   # (n, 8)
+            byi, bit = np.nonzero(bits8)
+            g_t = nz[byi] // (nbytes * Bn)
+            rem = nz[byi] % (nbytes * Bn)
+            g_byte = rem // Bn
+            g_b = rem % Bn
+            return g_t, g_byte * 8 + bit, g_b
+
+        st, q, sb = sparse_unpack(bits)
+        sj, sw = q // Vp8, q % Vp8
+        m = (sw < V) & (st < lengths[sb])
         sb, st, sj, sw = sb[m], st[m], sj[m], sw[m]
-        # unpack arrival events
-        a8 = np.unpackbits(te_bits.transpose(2, 0, 1).reshape(B, T, -1),
-                           axis=2, bitorder="little")
-        a8 = a8.reshape(B, T, Pp8)[:, :, :P]
-        ab, at_, ap = np.nonzero(a8)
-        ma = at_ < lengths[ab]
+        at_, ap, ab = sparse_unpack(te_bits)
+        ma = (ap < P) & (at_ < lengths[ab])
         ab, at_, ap = ab[ma], at_[ma], ap[ma]
         if stats is not None:
             stats["unpack_s"] = _time.time() - _t0
@@ -1322,16 +1336,57 @@ class LexChainDecoder:
             stats["expand_s"] = _time.time() - _t0
             stats["n_arcs"] = len(a_cost)
         _t0 = _time.time()
+        # ---- global node set + ONE batched gather of node alphas and
+        # am-cumsum values (replaces two full (T,P,B) D2H transfers,
+        # ~30MB over the ~20MB/s tunnel) ------------------------------
+        eosr = self.g.lm.eos[self._ctx_word]
+        fin_r_all = alpha_fin[:P, :] + eosr[:P, None]       # (P,B)
+        fin_s_all = (sil_fin_np[:P, :] + eosr[:P, None]) if g.use_sil \
+            else np.full((P, B), np.inf, np.float32)
+        fin_beg_all = (sil_fin_np[P, :] + eosr[P]) if g.use_sil \
+            else np.full(B, np.inf, np.float32)
+        best_all = np.minimum(np.minimum(fin_r_all.min(0),
+                                         fin_s_all.min(0)), fin_beg_all)
+        cutoff_all = best_all + lattice_beam + 1e-4
+        gk = []
+        src_ok = ~((a_srcp >= P) | (a_srct < 0))
+        gk.append((a_b * P + a_dstp) * T + a_dstt)
+        gk.append(((a_b * P + a_srcp) * T + a_srct)[src_ok])
+        fp, fb = np.nonzero(fin_r_all <= cutoff_all[None, :])
+        gk.append((fb * P + fp) * T + (lengths[fb] - 1))
+        if g.use_sil:
+            sp, sb2 = np.nonzero(fin_s_all <= cutoff_all[None, :])
+            tsrc = np.rint(sil_t_fin_np[sp, sb2]).astype(np.int64)
+            ok2 = tsrc >= 0
+            gk.append(((sb2 * P + sp) * T + tsrc)[ok2])
+        gkeys = np.unique(np.concatenate(gk))
+        n_b = gkeys // (P * T)
+        n_p = (gkeys // T) % P
+        n_t = gkeys % T
+
+        def g2(ra, cs, ti, pi, bi):
+            return ra[ti, pi, bi], cs[ti, pi, bi]
+        fn2, S2 = self._gather_jit("lat_g2", g2, len(gkeys))
+        pad2 = S2 - len(gkeys)
+        argn = [jnp.asarray(np.pad(x, (0, pad2)))
+                for x in (n_t, n_p, n_b)]
+        node_alpha_all, node_amcs_all = (
+            np.asarray(a)[:len(gkeys)] for a in
+            fn2(roots_all, am_cs_d, *argn))
+        if stats is not None:
+            stats["nodegather_s"] = _time.time() - _t0
+            stats["n_nodes"] = len(gkeys)
+        _t0 = _time.time()
         lats = []
-        roots_np = np.asarray(roots_all)   # (T, P+1, B) — node alphas
-        am_cs = np.asarray(am_cs_d)
         for b in range(B):
             sel = np.nonzero(a_b == b)[0]
+            nsel = np.nonzero(n_b == b)[0]
             lats.append(self._assemble_lane(
                 b, int(lengths[b]), T,
                 a_srcp[sel], a_srct[sel], a_dstp[sel], a_dstt[sel],
                 a_cost[sel], a_lm[sel], a_te[sel],
-                roots_np[:, :, b], am_cs[:, :, b],
+                gkeys[nsel] % (P * T), node_alpha_all[nsel],
+                node_amcs_all[nsel],
                 alpha_fin[:, b], sil_fin_np[:, b], sil_t_fin_np[:, b],
                 lattice_beam))
         if stats is not None:
@@ -1339,17 +1394,17 @@ class LexChainDecoder:
         return lats
 
     def _assemble_lane(self, b, Tb, T, a_srcp, a_srct, a_dstp, a_dstt,
-                       a_cost, a_lm, a_te, roots_lane, am_cs_lane,
-                       alpha_fin, sil_fin, sil_t_fin, beam):
+                       a_cost, a_lm, a_te, node_keys, node_alpha,
+                       node_amcs, alpha_fin, sil_fin, sil_t_fin, beam):
         """Host lattice assembly for one lane with exact alpha+beta
         pruning on the word-event node graph.  Arc arrays arrive
-        pre-expanded (decode_batch_lattice joins arrivals with their
-        surviving entry candidates, vectorized over all lanes)."""
+        pre-expanded and node alphas/am-cumsums pre-gathered
+        (decode_batch_lattice batches both across all lanes)."""
         from kaldi_tpu.fstext.fst import Arc, LatticeWeight, VectorFst
         from kaldi_tpu.fstext.ops import connect
         g = self.g
         P, V = g.P, g.V
-        if Tb == 0 or len(a_cost) == 0:
+        if Tb == 0 or len(a_cost) == 0 or len(node_keys) == 0:
             return None
         eosr = self.g.lm.eos[self._ctx_word]           # (P+1,)
         fin_r = alpha_fin[:P] + eosr[:P]
@@ -1362,49 +1417,26 @@ class LexChainDecoder:
             return None
         cutoff = best + beam + 1e-4
 
-        # ---- node set: arc endpoints --------------------------------
-        # node key = p * T + t; start = -1 (p == P or t < 0 on source)
+        # ---- node set: pre-gathered (sorted by p * T + t) -----------
+        # start node = -1 (p == P or t < 0 on source side)
         src_is_start = (a_srcp >= P) | (a_srct < 0)
         src_keys = np.where(src_is_start, -1, a_srcp * T + a_srct)
         dst_keys = a_dstp * T + a_dstt
-        # final-frame nodes for every in-beam root: a path may arrive
-        # earlier and ride the root self-loop to the last frame
-        fin_ok = np.nonzero(fin_r <= cutoff)[0]
-        fin_keys = fin_ok * T + (Tb - 1)
-        # source nodes of trailing-silence finals
-        fs_keys = []
-        if g.use_sil:
-            for p in np.nonzero(fin_s <= cutoff)[0]:
-                t_src = int(round(float(sil_t_fin[p])))
-                if t_src >= 0:
-                    fs_keys.append(p * T + t_src)
-        fs_keys = np.asarray(fs_keys, np.int64)
-        node_keys = np.unique(np.concatenate(
-            [dst_keys, src_keys[~src_is_start], fin_keys, fs_keys]))
         node_p = node_keys // T
         node_t = node_keys % T
-        node_alpha = roots_lane[node_t, node_p].astype(np.float64)
+        node_alpha = node_alpha.astype(np.float64)
         n = len(node_keys)
         src_i = np.where(src_is_start, -1,
                          np.searchsorted(node_keys, src_keys))
         dst_i = np.searchsorted(node_keys, dst_keys)
         # ---- self-extension arcs between consecutive same-p nodes ---
-        ss, sd, s_cost, s_ac = [], [], [], []
-        order_pt = np.lexsort((node_t, node_p))
-        for k in range(len(order_pt) - 1):
-            i0, i1 = order_pt[k], order_pt[k + 1]
-            if node_p[i0] != node_p[i1]:
-                continue
-            p = int(node_p[i0])
-            t0, t1 = int(node_t[i0]), int(node_t[i1])
-            ac = float(am_cs_lane[t1, p] - am_cs_lane[t0, p])
-            gcost = (t1 - t0) * float(g.tr_root_self[p])
-            ss.append(i0)
-            sd.append(i1)
-            s_cost.append(gcost + ac)
-            s_ac.append(ac)
-        ss = np.asarray(ss, np.int64)
-        sd = np.asarray(sd, np.int64)
+        # node_keys sorted by (p, t): consecutive entries with equal p
+        same = node_p[1:] == node_p[:-1]
+        ss = np.nonzero(same)[0]
+        sd = ss + 1
+        s_ac = (node_amcs[sd] - node_amcs[ss]).astype(np.float64)
+        s_cost = (node_t[sd] - node_t[ss]) * \
+            np.asarray(g.tr_root_self, np.float64)[node_p[ss]] + s_ac
         # ---- final-silence arcs -------------------------------------
         # a path may end inside a silence shadow: arc from node
         # (p, sil_t_fin[p]) consuming trailing sil frames
