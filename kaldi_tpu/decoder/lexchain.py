@@ -409,16 +409,6 @@ class LexChainDecoder:
                                        np.float32)])
         order = np.argsort(dst, kind="stable")
         dst, srcw, cost = dst[order], srcw[order], cost[order]
-        E = len(dst)
-        starts = np.ones(E, bool)
-        starts[1:] = dst[1:] != dst[:-1]
-        seg_end = np.zeros(V, np.int64)
-        seg_end[dst] = np.arange(E)      # last index per word (sorted)
-        self._e_srcw = srcw              # context WORD id (V = <s>)
-        self._e_dst = dst                # destination word (sorted)
-        self._e_cost = jnp.asarray(cost)
-        self._e_starts = jnp.asarray(starts[:, None])
-        self._e_segend = jnp.asarray(seg_end)
         # ---- bucketed-CSR layout for the best-path entry relaxation:
         # words grouped by in-degree class (next pow2), each bucket a
         # dense (n_words, class) table of (source word, cost) — the
@@ -426,7 +416,7 @@ class LexChainDecoder:
         # reduction per class (O(E * B) total, no log-depth scan;
         # this is what makes V >= 20k vocabularies fast)
         indeg = np.bincount(dst, minlength=V)
-        seg_start = seg_end - indeg + 1
+        seg_start = np.concatenate([[0], np.cumsum(indeg)[:-1]])
         classes = np.maximum(1, 1 << np.ceil(
             np.log2(np.maximum(indeg, 1))).astype(np.int64))
         self._buckets = []

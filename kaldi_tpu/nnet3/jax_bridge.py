@@ -276,9 +276,11 @@ def _comp_timefn(comp: Component) -> Optional[Callable]:
                 src = jnp.where(jnp.asarray(valid)[None, None, :, None],
                                 src, 0.0)
                 out = out + jnp.einsum("bthf,of->btho", src, Wk)
-            return (out + b.reshape(hout, fout)).reshape(B, T, -1) \
-                if b.size == hout * fout else \
-                (out + b).reshape(B, T, -1)
+            if b.size == hout * fout:
+                out = out + b.reshape(hout, fout)
+            elif b.size:
+                out = out + b
+            return out.reshape(B, T, -1)
         return conv
     if t == "StatisticsExtractionComponent":
         D = int(f["InputDim"])
