@@ -59,8 +59,6 @@ class BatchedDeviceOnlinePipeline:
                  feat_dim: int, num_lanes: int = 8,
                  chunk_frames: int = 16, acoustic_scale: float = 1.0,
                  feature_opts=None, max_frames: int = 2048):
-        import jax
-        import jax.numpy as jnp
         self.decoder = decoder
         self.scorer = scorer
         self.feat_dim = feat_dim
@@ -69,21 +67,26 @@ class BatchedDeviceOnlinePipeline:
         self.acoustic_scale = acoustic_scale
         self.feature_opts = feature_opts
         self.max_frames = max_frames
-        g = decoder.g
-        if num_lanes not in decoder._jit:
-            decoder._jit[num_lanes] = decoder._make_step(num_lanes)
-        self._fwd, self._fol = decoder._jit[num_lanes]
         self.channels: List[Optional[_Channel]] = [None] * num_lanes
-        # device carry
-        self._cost = jnp.full((decoder.Up, g.N, self.B), INF,
-                              jnp.float32)
-        self._ovr = jnp.full((decoder.Up, self.B), INF, jnp.float32)
-        self._ys: List[Tuple] = []     # per-chunk (bits, arg, self) + act
+        self._ys: List[Tuple] = []     # per-chunk decision planes
         self._acts: List[np.ndarray] = []
         self._total_frames = 0
         self._generation = 0           # bumps on every state change
         self._tb_cache: Tuple[int, Optional[list]] = (-1, None)
+        self._init_device()
 
+    # -- decoder-specific hooks (overridden by the LexChain variant) --
+    def _init_device(self) -> None:
+        import jax
+        import jax.numpy as jnp
+        decoder = self.decoder
+        g = decoder.g
+        if self.B not in decoder._jit:
+            decoder._jit[self.B] = decoder._make_step(self.B)
+        self._fwd, self._fol = decoder._jit[self.B]
+        self._cost = jnp.full((decoder.Up, g.N, self.B), INF,
+                              jnp.float32)
+        self._ovr = jnp.full((decoder.Up, self.B), INF, jnp.float32)
         V = g.V
 
         @jax.jit
@@ -95,7 +98,27 @@ class BatchedDeviceOnlinePipeline:
             ovr = jnp.where(mask[None, :], init[:, None], ovr)
             return cost, ovr
 
-        self._reset_lanes = reset_lanes
+        self._reset_lanes_fn = reset_lanes
+
+    def _reset_mask(self, mask: np.ndarray) -> None:
+        import jax.numpy as jnp
+        self._cost, self._ovr = self._reset_lanes_fn(
+            self._cost, self._ovr, jnp.asarray(mask))
+
+    def _advance(self, am, act) -> Tuple:
+        """One chunk scan; returns the chunk's ys planes."""
+        self._cost, self._ovr, ys = self._fwd(self._cost, self._ovr,
+                                              am, act)
+        return ys
+
+    def _final_costs(self):
+        """-> (best_cost (B,) numpy, final_state (B,) device)."""
+        import jax.numpy as jnp
+        g = self.decoder.g
+        total = self._ovr[:g.V] + self.decoder._eos[:g.V, None]
+        best_w = jnp.argmin(total, axis=0)
+        best_cost = np.asarray(jnp.min(total, axis=0))
+        return best_cost, g.U * g.N + best_w
 
     # -- channel management -------------------------------------------
     def init_channel(self, lane: int, utterance_id: str) -> None:
@@ -107,9 +130,7 @@ class BatchedDeviceOnlinePipeline:
         self._generation += 1
         mask = np.zeros(self.B, bool)
         mask[lane] = True
-        import jax.numpy as jnp
-        self._cost, self._ovr = self._reset_lanes(self._cost, self._ovr,
-                                                  jnp.asarray(mask))
+        self._reset_mask(mask)
 
     def free_channel(self, lane: int) -> None:
         self.channels[lane] = None
@@ -186,8 +207,7 @@ class BatchedDeviceOnlinePipeline:
         am = jnp.transpose(jnp.asarray(loglikes)
                            * (-self.acoustic_scale), (1, 2, 0))
         act = np.arange(Tc)[:, None] < n_new[None, :]
-        self._cost, self._ovr, ys = self._fwd(
-            self._cost, self._ovr, am, jnp.asarray(act))
+        ys = self._advance(am, jnp.asarray(act))
         self._ys.append(ys)
         self._acts.append(act)
         self._generation += 1
@@ -209,8 +229,6 @@ class BatchedDeviceOnlinePipeline:
             return [None] * self.B
         if self._tb_cache[0] == self._generation:
             return self._tb_cache[1]
-        g = self.decoder.g
-        U, V, N = g.U, g.V, g.N
         # lane-specific activity: within [start_frame, end_frame), and
         # only the chunk-frames that were active for that lane
         act = np.concatenate(self._acts, 0)          # (T, B)
@@ -234,10 +252,7 @@ class BatchedDeviceOnlinePipeline:
                 ys)
             act = np.concatenate(
                 [act, np.zeros((pad, self.B), bool)], 0)
-        total = self._ovr[:V] + self.decoder._eos[:V, None]
-        best_w = jnp.argmin(total, axis=0)
-        best_cost = np.asarray(jnp.min(total, axis=0))
-        final_state = U * N + best_w
+        best_cost, final_state = self._final_costs()
         first, states = self._fol(ys, jnp.asarray(act), final_state)
         states = np.asarray(states)
         out = []
@@ -291,3 +306,90 @@ class BatchedDeviceOnlinePipeline:
             self._ys.clear()
             self._acts.clear()
             self._total_frames = 0
+
+
+class BatchedDeviceOnlinePipelineLex(BatchedDeviceOnlinePipeline):
+    """The round-3 variant over decoder.lexchain.LexChainDecoder: the
+    resident carry is (chain rows, variant roots, silence shadows) of
+    the shared-lexicon entry-LM graph — streaming decode over graphs
+    built from real lexicons + backoff LMs + trained trees."""
+
+    def _init_device(self) -> None:
+        import jax
+        import jax.numpy as jnp
+        dec = self.decoder
+        g = dec.g
+        if self.B not in dec._jit:
+            dec._jit[self.B] = dec._make_step(self.B)
+        self._fwd, self._fol = dec._jit[self.B]
+        N, P = g.N, g.P
+        self._cost = jnp.full((N, self.B), INF, jnp.float32)
+        self._roots = jnp.full((P + 1, self.B), INF, jnp.float32)
+        self._sil = jnp.full((P + 1, self.B), INF, jnp.float32)
+
+        @jax.jit
+        def reset(cost, roots, sil, mask):
+            cost = jnp.where(mask[None, :], INF, cost)
+            init = jnp.full((P + 1,), INF, jnp.float32).at[P].set(0.0)
+            roots = jnp.where(mask[None, :], init[:, None], roots)
+            sil = jnp.where(mask[None, :], INF, sil)
+            return cost, roots, sil
+
+        self._reset_fn = reset
+
+    def _reset_mask(self, mask: np.ndarray) -> None:
+        import jax.numpy as jnp
+        self._cost, self._roots, self._sil = self._reset_fn(
+            self._cost, self._roots, self._sil, jnp.asarray(mask))
+
+    def _advance(self, am, act):
+        self._cost, self._roots, self._sil, ys = self._fwd(
+            self._cost, self._roots, self._sil, am, act)
+        return ys
+
+    def _final_costs(self):
+        import jax.numpy as jnp
+        dec = self.decoder
+        g = dec.g
+        N, P = g.N, g.P
+        eos = dec._c["eos"]
+        fin_root = self._roots + eos
+        fin_sil = self._sil + eos if g.use_sil else \
+            jnp.full_like(fin_root, INF)
+        allfin = jnp.concatenate([fin_root, fin_sil], axis=0)
+        best_i = jnp.argmin(allfin, axis=0)
+        best_cost = np.asarray(jnp.min(allfin, axis=0))
+        final_state = jnp.where(
+            best_i <= P,
+            jnp.where(best_i == P, N + P, N + best_i),
+            N + P + 1 + (best_i - (P + 1)))
+        return best_cost, final_state
+
+    def _decode_traj(self, traj: List[int], b: int):
+        g = self.decoder.g
+        N, P = g.N, g.P
+        root0, begin, sil0 = N, N + P, N + P + 1
+        words: List[int] = []
+        tids: List[int] = []
+        prev = begin
+        for cur in traj:
+            if cur < N:
+                if prev == cur:
+                    tids.append(int(g.tid_self_row[cur]))
+                else:
+                    tids.append(int(g.tid_fwd_row[cur]))
+                    if g.row_is_first[cur] and prev >= N:
+                        words.append(int(g.row_word[cur]) + 1)
+            elif cur >= sil0 and g.use_sil:
+                tids.append(int(g.sil_tid_self if prev == cur
+                                else g.sil_tid_fwd))
+            else:
+                p = cur - root0
+                if prev == cur:
+                    tids.append(int(g.tid_root_self[p]))
+                else:
+                    tids.append(int(g.tid_end[p]))
+                    if g.end_row[p] < 0:
+                        words.append(int(g.pron_word[p]) + 1)
+            prev = cur
+        return words, tids

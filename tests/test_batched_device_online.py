@@ -88,3 +88,51 @@ def test_partials_progress_and_lane_reuse():
     ref2 = dec.decode_batch(ll2[None], 1.0)[0]
     assert final2[0] == ref2[0] and final2[1] == ref2[1]
     assert final2[2] == pytest.approx(ref2[2], abs=1e-3)
+
+
+@pytest.mark.parametrize("seed,use_sil", [(0, True), (1, False)])
+def test_lexchain_streaming_matches_offline(seed, use_sil):
+    """Round-3 decoder in the online pipeline: chunked streaming over
+    the shared-lexicon entry-LM graph == offline batch decode."""
+    from kaldi_tpu.decoder.lexchain import LexChainDecoder, LexChainGraph
+    from kaldi_tpu.online.batched_device_pipeline import \
+        BatchedDeviceOnlinePipelineLex
+    from tests.test_lexchain import random_lexicon, random_lm
+    rng = np.random.default_rng(seed)
+    lm = random_lm(7, rng)
+    prons, pron_word, pron_cost = random_lexicon(7, rng)
+    g = LexChainGraph.build(prons, lm, pron_word=pron_word,
+                            pron_cost=pron_cost, num_pdfs=12,
+                            use_sil=use_sil, sil_phone=4)
+    dec = LexChainDecoder(g)
+    B, Tc = 3, 4
+    lens = [11, 7, 9]
+    lls = [rng.normal(size=(T, g.num_pdfs)).astype(np.float32)
+           for T in lens]
+    pipe = BatchedDeviceOnlinePipelineLex(
+        dec, identity_scorer, feat_dim=g.num_pdfs, num_lanes=B,
+        chunk_frames=Tc)
+    for b in range(B):
+        pipe.init_channel(b, f"utt{b}")
+    cursors = [0] * B
+    while any(c < lens[b] for b, c in enumerate(cursors)):
+        for b in range(B):
+            if cursors[b] < lens[b]:
+                n = min(int(rng.integers(1, 5)), lens[b] - cursors[b])
+                pipe.accept_features(b, lls[b][cursors[b]:cursors[b] + n])
+                cursors[b] += n
+        pipe.compute()
+    while pipe.compute():
+        pass
+    results = [pipe.finalize(b) for b in range(B)]
+    Tmax = max(lens)
+    batch = np.zeros((B, Tmax, g.num_pdfs), np.float32)
+    for b in range(B):
+        batch[b, :lens[b]] = lls[b]
+    ref = dec.decode_batch(batch, acoustic_scale=1.0, lengths=lens)
+    for b in range(B):
+        assert results[b] is not None and ref[b] is not None
+        words, tids, cost = results[b]
+        assert words == ref[b][0], f"lane {b}"
+        assert tids == ref[b][1], f"lane {b}"
+        assert cost == pytest.approx(ref[b][2], abs=1e-3)
