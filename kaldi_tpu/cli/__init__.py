@@ -189,6 +189,22 @@ _register("kaldi_tpu.cli.tail3_tools", {
     "nnet3-discriminative-copy-egs": "nnet3_discriminative_copy_egs",
 })
 
+_register("kaldi_tpu.cli.tail4_tools", {
+    "copy-post": "copy_post",
+    "scale-post": "scale_post",
+    "sum-post": "sum_post",
+    "weight-post": "weight_post",
+    "post-to-pdf-post": "post_to_pdf_post",
+    "post-to-phone-post": "post_to_phone_post",
+    "matrix-dim": "matrix_dim",
+    "matrix-scale": "matrix_scale",
+    "extract-rows": "extract_rows",
+    "gmm-copy": "gmm_copy",
+    "copy-transition-model": "copy_transition_model",
+    "copy-tree": "copy_tree",
+    "show-transitions": "show_transitions",
+})
+
 
 def get_tool(name: str) -> Callable[[List[str]], int]:
     module_name, func = TOOLS[name]
