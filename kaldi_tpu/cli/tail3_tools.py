@@ -37,22 +37,27 @@ def compute_eer(argv: List[str]) -> int:
         po.print_usage()
         return 1
     fn = po.get_arg(1)
-    stream = sys.stdin if fn == "-" else open(fn)
     target, nontarget = [], []
-    for line in stream:
-        parts = line.split()
-        if len(parts) != 2:
-            print(f"compute-eer: bad line {line!r}", file=sys.stderr)
-            return 1
-        score = float(parts[0])
-        if parts[1] == "target":
-            target.append(score)
-        elif parts[1] == "nontarget":
-            nontarget.append(score)
-        else:
-            print(f"compute-eer: bad label {parts[1]!r}",
-                  file=sys.stderr)
-            return 1
+    stream = sys.stdin if fn == "-" else open(fn)
+    try:
+        for line in stream:
+            parts = line.split()
+            if len(parts) != 2:
+                print(f"compute-eer: bad line {line!r}",
+                      file=sys.stderr)
+                return 1
+            score = float(parts[0])
+            if parts[1] == "target":
+                target.append(score)
+            elif parts[1] == "nontarget":
+                nontarget.append(score)
+            else:
+                print(f"compute-eer: bad label {parts[1]!r}",
+                      file=sys.stderr)
+                return 1
+    finally:
+        if stream is not sys.stdin:
+            stream.close()
     if not target or not nontarget:
         print("compute-eer: need both target and nontarget scores",
               file=sys.stderr)
