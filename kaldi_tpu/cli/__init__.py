@@ -158,6 +158,8 @@ _register("kaldi_tpu.cli.lat_tools", {
 })
 
 _register("kaldi_tpu.cli.lat_tools2", {
+    "lattice-to-mpe-post": "lattice_to_mpe_post",
+    "lattice-to-smbr-post": "lattice_to_smbr_post",
     "lattice-union": "lattice_union",
     "lattice-reverse": "lattice_reverse",
     "lattice-project": "lattice_project",
@@ -187,6 +189,28 @@ _register("kaldi_tpu.cli.tail3_tools", {
     "vector-scale": "vector_scale",
     "nnet3-discriminative-get-egs": "nnet3_discriminative_get_egs",
     "nnet3-discriminative-copy-egs": "nnet3_discriminative_copy_egs",
+})
+
+_register("kaldi_tpu.cli.fst_tools", {
+    "fstcopy": "fstcopy",
+    "fstisstochastic": "fstisstochastic",
+    "fstaddselfloops": "fstaddselfloops",
+    "fstaddsubsequentialloop": "fstaddsubsequentialloop",
+    "fstrmsymbols": "fstrmsymbols",
+    "fstrmepslocal": "fstrmepslocal",
+    "fstdeterminizestar": "fstdeterminizestar",
+    "fstdeterminizelog": "fstdeterminizelog",
+    "fstminimizeencoded": "fstminimizeencoded",
+    "fsttablecompose": "fsttablecompose",
+    "fstphicompose": "fstphicompose",
+    "fstcomposecontext": "fstcomposecontext",
+    "fsts-concat": "fsts_concat",
+    "fsts-union": "fsts_union",
+    "fsts-project": "fsts_project",
+    "fsts-to-transcripts": "fsts_to_transcripts",
+    "transcripts-to-fsts": "transcripts_to_fsts",
+    "arpa2fst": "arpa2fst",
+    "make-pdf-to-tid-transducer": "make_pdf_to_tid_transducer",
 })
 
 _register("kaldi_tpu.cli.tail4_tools", {

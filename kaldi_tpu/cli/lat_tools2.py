@@ -12,7 +12,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from kaldi_tpu.base.logging import log, warn
+from kaldi_tpu.base.logging import KaldiTpuError, log, warn
 from kaldi_tpu.fstext.fst import EPS, Arc, LatticeWeight, TropicalWeight, \
     VectorFst
 from kaldi_tpu.lat.functions import (_forward_backward_costs, _topsort,
@@ -754,3 +754,75 @@ def lattice_push(argv: List[str]) -> int:
         return out
 
     return _each(po.get_arg(1), po.get_arg(2), fn, "lattice-push")
+
+
+def _lat_to_discrim_post(argv: List[str], criterion: str,
+                         name: str) -> int:
+    po = ParseOptions(
+        f"Do forward-backward and collect {criterion} frame accuracies "
+        "over lattices scored against a numerator alignment; output\n"
+        "posteriors weighted by accuracy-difference (the gradients of "
+        f"{'MPFE' if criterion == 'mpfe' else 'sMBR'} training).\n"
+        f"Usage: {name} [options] <model> <num-ali-rspecifier> "
+        "<lats-rspecifier> <posts-wspecifier>\n"
+        "(src/latbin/" + name + ".cc)")
+    acoustic_scale = po.register_value(
+        "acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    lm_scale = po.register_value(
+        "lm-scale", 1.0, "Scaling factor for graph/LM costs")
+    one_silence_class = po.register_value(
+        "one-silence-class", False, "If true, newer behavior that "
+        "will tend to reduce insertions")
+    silence_phones_str = po.register_value(
+        "silence-phones", "", "Colon-separated list of integer ids of "
+        "silence phones")
+    po.read(argv)
+    if po.num_args() != 4:
+        po.print_usage()
+        return 1
+    if acoustic_scale[0] == 0.0:
+        raise KaldiTpuError("do not use a zero acoustic scale "
+                            "(cannot be inverted)")
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.lat.functions import \
+        lattice_forward_backward_mpe_variants
+    from kaldi_tpu.util.kaldi_io import read_kaldi_object
+    tm = read_kaldi_object(TransitionModel.read, po.get_arg(1))
+    sil = [int(p) for p in silence_phones_str[0].split(":") if p]
+    if not sil:
+        warn(f"{name}: no silence phones specified, make sure this "
+             "is what you intended")
+    ali_reader = RandomAccessTableReader("int-vector", po.get_arg(2))
+    writer = TableWriter("posterior", po.get_arg(4))
+    n = 0
+    tot_acc = 0.0
+    tot_t = 0
+    for key, lat in SequentialTableReader(LatticeHolder(),
+                                          po.get_arg(3)):
+        if not ali_reader.has_key(key):
+            warn(f"{name}: no alignment for utterance {key}")
+            continue
+        if acoustic_scale[0] != 1.0 or lm_scale[0] != 1.0:
+            lat = lattice_scale(lat, lm_scale=lm_scale[0],
+                                acoustic_scale=acoustic_scale[0])
+        acc, post = lattice_forward_backward_mpe_variants(
+            tm, sil, lat, ali_reader[key], criterion=criterion,
+            one_silence_class=one_silence_class[0])
+        writer.write(key, post)
+        tot_acc += acc
+        tot_t += len(post)
+        n += 1
+    writer.close()
+    if tot_t:
+        log(f"overall average frame-accuracy is {tot_acc / tot_t} "
+            f"over {tot_t} frames")
+    log(f"done {n} lattices")
+    return 0 if n else 1
+
+
+def lattice_to_mpe_post(argv: List[str]) -> int:
+    return _lat_to_discrim_post(argv, "mpfe", "lattice-to-mpe-post")
+
+
+def lattice_to_smbr_post(argv: List[str]) -> int:
+    return _lat_to_discrim_post(argv, "smbr", "lattice-to-smbr-post")

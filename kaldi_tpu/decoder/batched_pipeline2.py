@@ -74,7 +74,8 @@ class BatchedOfflinePipeline2:
     def decode_batch(self, waves: Sequence[np.ndarray],
                      stats: Optional[PipelineStats] = None,
                      generate_lattices: bool = False,
-                     lattice_beam: float = 8.0):
+                     lattice_beam: float = 8.0,
+                     lat_stats: Optional[dict] = None):
         """generate_lattices=False: per lane (word_ids, total_cost).
         generate_lattices=True: per lane (word_ids, total_cost,
         word Lattice) — the search runs in lattice mode (device dumps
@@ -104,7 +105,7 @@ class BatchedOfflinePipeline2:
             from kaldi_tpu.lat.functions import lattice_best_path
             lats = self.decoder.decode_batch_lattice(
                 loglikes, self.acoustic_scale, lengths=out_lens,
-                lattice_beam=lattice_beam)
+                lattice_beam=lattice_beam, stats=lat_stats)
             out = []
             for lt in lats:
                 if lt is None:

@@ -437,6 +437,18 @@ class LexChainDecoder:
         inv_perm = np.empty(V, np.int64)
         inv_perm[perm] = np.arange(V)
         self._bucket_inv_perm = jnp.asarray(inv_perm)
+        # dense per-word arc table (V, maxdeg) for the lattice
+        # survivor-pool gather-compute (BIG-padded; same candidate set
+        # as the buckets, so mins agree bitwise)
+        maxdeg = int(indeg.max()) if V else 1
+        srcw_tab = np.zeros((V, maxdeg), np.int64)
+        costw_tab = np.full((V, maxdeg), BIG, np.float32)
+        for w_i in range(V):
+            s0, d = int(seg_start[w_i]), int(indeg[w_i])
+            srcw_tab[w_i, :d] = srcw[s0:s0 + d]
+            costw_tab[w_i, :d] = cost[s0:s0 + d]
+        self._srcw_tab = jnp.asarray(srcw_tab.astype(np.int32))
+        self._costw_tab = jnp.asarray(costw_tab)
         # reverse buckets (arcs grouped by SOURCE context word) for the
         # lattice backward pass; every context appears exactly once
         # (out-degree 0 -> a BIG dummy in the class-1 bucket)
@@ -489,17 +501,25 @@ class LexChainDecoder:
         # context word its variant list and fold at the ROOT level:
         # rword[r,b] = min over variants of word u of root cost — a
         # (V+1, B) segment-min over roots grouped by word.
-        var_of_word_order = np.argsort(g.pron_word, kind="stable")
-        self._roots_by_word = var_of_word_order.astype(np.int32)
         wcounts = np.bincount(g.pron_word, minlength=V)
-        wstarts = np.ones(P, bool)
-        sorted_w = g.pron_word[var_of_word_order]
-        wstarts[1:] = sorted_w[1:] != sorted_w[:-1]
-        wseg_end = np.zeros(V, np.int64)
-        wseg_end[sorted_w] = np.arange(P)
-        self._w_starts = jnp.asarray(wstarts[:, None])
-        self._w_segend = jnp.asarray(wseg_end)
         self._word_has_var = jnp.asarray(wcounts > 0)
+        # dense variant table: word -> its variant roots, padded by
+        # repeating the first entry (duplicates don't change a min).
+        # The per-frame root->word fold becomes one gather + a min
+        # over a <=maxvar axis instead of a log-depth associative
+        # scan over P roots — the fold runs every frame of the
+        # forward, lattice-forward AND backward scans, so this is
+        # the single hottest op of the decoder.
+        vlists: Dict[int, List[int]] = {}
+        for p_i, w_i in enumerate(g.pron_word.tolist()):
+            vlists.setdefault(int(w_i), []).append(p_i)
+        maxvar = max((len(v) for v in vlists.values()), default=1)
+        vtab = np.zeros((V, maxvar), np.int64)
+        for w_i in range(V):
+            lst = vlists.get(w_i, [0])
+            vtab[w_i] = lst + [lst[0]] * (maxvar - len(lst))
+        self._vtab = jnp.asarray(vtab.astype(np.int32))
+        self._maxvar = maxvar
         # constants
         c = self._c
         c["first"] = jnp.asarray(g.row_is_first)
@@ -531,24 +551,6 @@ class LexChainDecoder:
         self._jit = {}
 
     # ------------------------------------------------------------------
-    def _segmin_scan(self, vals, args, starts):
-        """Segmented (min, argmin) prefix scan along axis 0.
-        starts: (E, 1) bool, True at segment heads."""
-        import jax
-        import jax.numpy as jnp
-
-        def combine(x, y):
-            # x earlier, y later; f = "span contains a segment start":
-            # if y's span starts a segment, x's contribution is cut off
-            vx, ax, fx = x
-            vy, ay, fy = y
-            v = jnp.where(fy, vy, jnp.minimum(vx, vy))
-            a = jnp.where(fy | (vy <= vx), ay, ax)
-            return v, a, fx | fy
-        v, a, _ = jax.lax.associative_scan(
-            combine, (vals, args, jnp.broadcast_to(starts, vals.shape)))
-        return v, a
-
     def _make_step(self, B: int):
         import jax
         import jax.numpy as jnp
@@ -556,11 +558,8 @@ class LexChainDecoder:
         N, P, V = g.N, g.P, g.V
         c = self._c
         use_sil = g.use_sil
-        roots_by_word = jnp.asarray(self._roots_by_word)
-        w_starts = self._w_starts
-        w_segend = self._w_segend
         word_has_var = self._word_has_var
-        segmin = self._segmin_scan
+        vtab = self._vtab
         buckets = self._buckets
         inv_perm = self._bucket_inv_perm
 
@@ -575,13 +574,11 @@ class LexChainDecoder:
             else:
                 rmin = radj
                 pick_sil = jnp.zeros_like(radj, bool)
-            # --- fold variant roots to word level -------------------
-            rw_v, rw_a = segmin(rmin[roots_by_word],
-                                roots_by_word[:, None].astype(jnp.int32) *
-                                jnp.ones((1, B), jnp.int32),
-                                w_starts)
-            rword_v = rw_v[w_segend]                   # (V,B)
-            rword_a = rw_a[w_segend]                   # (V,B) root index
+            # --- fold variant roots to word level (vtab gather+min) -
+            rv = rmin[vtab]                            # (V,maxvar,B)
+            am1 = jnp.argmin(rv, axis=1)               # (V,B)
+            rword_v = jnp.min(rv, axis=1)              # (V,B)
+            rword_a = vtab[jnp.arange(V)[:, None], am1]  # (V,B) root
             rword_v = jnp.where(word_has_var[:, None], rword_v, INF)
             # --- backoff entry --------------------------------------
             bo_cand = rmin + c["root_bo"]              # (P+1,B)
@@ -826,21 +823,22 @@ class LexChainDecoder:
     # the entry arc (the source-time gap determines the silence span).
     # ==================================================================
     def _make_lattice_step(self, B: int, J: int):
+        """Lattice forward scan.  Unlike the round-2 version this
+        computes ONLY the j=0 entry VALUE in the sequential body (the
+        recursion needs nothing else); the top-J candidate pools are
+        a pure function of the dumped per-frame (rmin, src_time) and
+        are recomputed batched over all frames by _make_pools — one
+        throughput-bound op instead of ~60% of the per-frame scan."""
         import jax
         import jax.numpy as jnp
         g = self.g
         N, P, V = g.N, g.P, g.V
         c = self._c
         use_sil = g.use_sil
-        roots_by_word = jnp.asarray(self._roots_by_word)
-        w_starts = self._w_starts
-        w_segend = self._w_segend
         word_has_var = self._word_has_var
-        segmin = self._segmin_scan
+        vtab = self._vtab
         buckets = self._buckets
         inv_perm = self._bucket_inv_perm
-        lm_bo = jnp.asarray(self.g.lm.bo)       # (V+1,) by WORD context
-        ctx_word = jnp.asarray(self._ctx_word)  # (P+1,) root -> word ctx
 
         def frame(carry, x):
             cost, ent, roots, sil, sil_t, t = carry
@@ -855,94 +853,21 @@ class LexChainDecoder:
                 pick_sil = jnp.zeros_like(radj, bool)
             src_time = jnp.where(pick_sil, sil_t,
                                  jnp.broadcast_to(tf - 1.0, radj.shape))
-            # fold variant roots to word level (value, root index)
-            rw_v, rw_a = segmin(rmin[roots_by_word],
-                                roots_by_word[:, None].astype(jnp.int32) *
-                                jnp.ones((1, B), jnp.int32), w_starts)
-            rword_v = rw_v[w_segend]
-            rword_a = rw_a[w_segend]
+            # fold variant roots to word level (vtab gather+min)
+            rword_v = jnp.min(rmin[vtab], axis=1)       # (V,B)
             rword_v = jnp.where(word_has_var[:, None], rword_v, INF)
-            # ---------- backoff pool: top-J sources (word-independent)
-            bo_by_root = lm_bo[ctx_word][:, None]       # (P+1,1)
-            pool = rmin + bo_by_root                    # (P+1,B)
-            pv, pa, pt = [], [], []
-            pool_m = pool
-            for _ in range(J):
-                m = jnp.min(pool_m, axis=0)             # (B,)
-                a = jnp.argmin(pool_m, axis=0)
-                pv.append(m)
-                pa.append(a.astype(jnp.float32))
-                pt.append(src_time[a, jnp.arange(B)])
-                pool_m = jnp.where(
-                    jax.lax.broadcasted_iota(jnp.int32, pool_m.shape, 0)
-                    == a[None, :], INF, pool_m)
-            bo_v = jnp.stack(pv)                        # (J,B)
-            bo_a = jnp.stack(pa)
-            bo_t = jnp.stack(pt)
-            bo_lm = bo_v - rmin[bo_a.astype(jnp.int32),
-                                jnp.arange(B)[None, :]]  # bo cost only
-            # ---------- explicit pool: bucketed top-J per dest word
-            lane = jnp.arange(B)[None, :]
+            # j=0 entry value (identical op sequence to _make_pools'
+            # first merge candidate, so alphas match the pool values
+            # bitwise)
+            gval = jnp.min(rmin + c["root_bo"], axis=0)  # (B,)
+            base = gval[None, :] + c["uni"]              # (V,B)
             rword_ext = jnp.concatenate([rword_v, rmin[P][None, :]], 0)
-            rarg_ext = jnp.concatenate(
-                [rword_a, jnp.full((1, B), P, jnp.int32)], 0)
-            tw = src_time[rword_a, lane]                 # (V,B)
-            time_ext = jnp.concatenate([tw, src_time[P][None, :]], 0)
-            ev_p, esw_p, elm_p = [], [], []
+            parts_v = []
             for (src_tab, cost_tab) in buckets:
-                nw = src_tab.shape[0]
                 cand = rword_ext[src_tab] + cost_tab[..., None]
-                cols = jax.lax.broadcasted_iota(jnp.int32, cand.shape,
-                                                1)
-                taken = jnp.zeros(cand.shape, bool)
-                vs, sws, lms = [], [], []
-                st3 = jnp.broadcast_to(
-                    src_tab[:, :, None],
-                    cand.shape).astype(jnp.int32)
-                ct3 = jnp.broadcast_to(cost_tab[:, :, None], cand.shape)
-                for _ in range(J):
-                    m = jnp.where(taken, INF, cand)
-                    a = jnp.argmin(m, axis=1)            # (nw,B)
-                    vs.append(jnp.min(m, axis=1))
-                    sws.append(jnp.take_along_axis(
-                        st3, a[:, None, :], 1)[:, 0, :])
-                    lms.append(jnp.take_along_axis(
-                        ct3, a[:, None, :], 1)[:, 0, :])
-                    taken = taken | (cols == a[:, None, :])
-                ev_p.append(jnp.stack(vs))               # (J,nw,B)
-                esw_p.append(jnp.stack(sws))
-                elm_p.append(jnp.stack(lms))
-            ex_v = jnp.concatenate(ev_p, 1)[:, inv_perm]  # (J,V,B)
-            ex_sw = jnp.concatenate(esw_p, 1)[:, inv_perm]
-            ex_lm = jnp.concatenate(elm_p, 1)[:, inv_perm]
-            ex_a = rarg_ext[ex_sw, lane[None]].astype(jnp.float32)
-            ex_t = time_ext[ex_sw, lane[None]]
-            # ---------- merge pools per word: top-J of 2J
-            uni = c["uni"]                              # (V,1)
-            all_v = jnp.concatenate(
-                [bo_v[:, None, :] + uni[None], ex_v], axis=0)  # (2J,V,B)
-            all_a = jnp.concatenate(
-                [jnp.broadcast_to(bo_a[:, None, :], (J, V, B)), ex_a], 0)
-            all_t = jnp.concatenate(
-                [jnp.broadcast_to(bo_t[:, None, :], (J, V, B)), ex_t], 0)
-            all_lm = jnp.concatenate(
-                [bo_lm[:, None, :] + uni[None], ex_lm], axis=0)
-            mv, ma, mt, mlm = [], [], [], []
-            for _ in range(J):
-                m = jnp.min(all_v, axis=0)              # (V,B)
-                a = jnp.argmin(all_v, axis=0)
-                mv.append(m)
-                mt.append(jnp.take_along_axis(all_t, a[None], 0)[0])
-                ma.append(jnp.take_along_axis(all_a, a[None], 0)[0])
-                mlm.append(jnp.take_along_axis(all_lm, a[None], 0)[0])
-                all_v = jnp.where(
-                    jax.lax.broadcasted_iota(jnp.int32, all_v.shape, 0)
-                    == a[None], INF, all_v)
-            ecost = jnp.stack(mv)                       # (J,V,B) sorted
-            esrc = jnp.stack(ma)
-            esrct = jnp.stack(mt)
-            elm = jnp.stack(mlm)
-            entry = ecost[0]
+                parts_v.append(jnp.min(cand, axis=1))    # (nw,B)
+            corr = jnp.concatenate(parts_v, 0)[inv_perm]  # (V,B)
+            entry = jnp.minimum(corr, base)
             # ---------- chain rows (+ entry-time propagation) --------
             amf = am_t[c["pdf_fwd_row"]] + c["fwd_extra"]
             ams = am_t[c["pdf_self_row"]] + c["self_extra"]
@@ -988,7 +913,7 @@ class LexChainDecoder:
             roots_new = jnp.where(act[None, :], roots_new, roots)
             sil_new = jnp.where(act[None, :], sil_new, sil)
             sil_t_new = jnp.where(act[None, :], sil_t_new, sil_t)
-            ys = (ecost, esrc, esrct, elm, end_cand, arr_te, take_end,
+            ys = (rmin, src_time, entry, end_cand, arr_te, take_end,
                   roots_new, am_rs)
             return (new_cost, new_ent, roots_new, sil_new, sil_t_new,
                     t + 1), ys
@@ -1000,6 +925,122 @@ class LexChainDecoder:
             return roots, sil, sil_t, ys
 
         return jax.jit(forward, donate_argnums=(0, 1))
+
+    def _make_surv_pools(self, B: int, J: int, beam: float):
+        """Top-J entry-candidate pools computed ONLY at the surviving
+        (frame, word, lane) positions — a gather-compute over the
+        dumped per-frame (rmin, src_time).  Because the per-word pool
+        is sorted, a word position whose BEST (j=0) entry fails the
+        alpha+beta beam has no surviving candidate at all, so the
+        word-level bitmask from _make_lat_post is exactly the union
+        over j — and the O(T*V*B*J + T*E*B*J) full-pool computation
+        of the previous design collapses to O(S*(P+V+maxdeg)) for S
+        survivors (~10^3-10^4).  Op sequences mirror the scan's j=0
+        entry computation, so values match the forward alphas
+        bitwise."""
+        import jax
+        import jax.numpy as jnp
+        g = self.g
+        P, V = g.P, g.V
+        c = self._c
+        word_has_var = self._word_has_var
+        vtab = self._vtab
+        srcw_tab = self._srcw_tab        # (V, maxdeg)
+        costw_tab = self._costw_tab
+        root_bo = c["root_bo"][:, 0]     # (P+1,)
+        uni = c["uni"][:, 0]             # (V,)
+
+        def pools(rmin_all, srct_all, bentry, best, st, sw, sb):
+            # st/sw/sb: (S,) padded survivor coordinates
+            S = st.shape[0]
+            rmin_s = rmin_all[st, :, sb]             # (S, P+1)
+            srct_s = srct_all[st, :, sb]
+            # ---- backoff pool: top-J root sources ----
+            pool_m = rmin_s + root_bo[None, :]
+            pv, pa, pt, plm = [], [], [], []
+            for _ in range(J):
+                a = jnp.argmin(pool_m, axis=1)       # (S,)
+                m = jnp.min(pool_m, axis=1)
+                rsrc = jnp.take_along_axis(rmin_s, a[:, None], 1)[:, 0]
+                pv.append(m)
+                pa.append(a.astype(jnp.float32))
+                pt.append(jnp.take_along_axis(srct_s,
+                                              a[:, None], 1)[:, 0])
+                plm.append(m - rsrc)                 # bo cost only
+                pool_m = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, pool_m.shape, 1)
+                    == a[:, None], INF, pool_m)
+            bo_v = jnp.stack(pv, 1)                  # (S,J)
+            bo_a = jnp.stack(pa, 1)
+            bo_t = jnp.stack(pt, 1)
+            bo_lm = jnp.stack(plm, 1)
+            # ---- fold roots to word level ----
+            rv = rmin_s[:, vtab]                     # (S,V,maxvar)
+            am1 = jnp.argmin(rv, axis=2)             # (S,V)
+            rword_v = jnp.min(rv, axis=2)
+            rword_a = vtab[jnp.arange(V)[None, :], am1]
+            rword_v = jnp.where(word_has_var[None, :], rword_v, INF)
+            tw = jnp.take_along_axis(srct_s, rword_a, axis=1)
+            rword_ext = jnp.concatenate([rword_v, rmin_s[:, P:P + 1]],
+                                        1)           # (S,V+1)
+            rarg_ext = jnp.concatenate(
+                [rword_a, jnp.full((S, 1), P, jnp.int32)], 1)
+            time_ext = jnp.concatenate([tw, srct_s[:, P:P + 1]], 1)
+            # ---- explicit pool: this word's arc rows ----
+            stab = srcw_tab[sw]                      # (S, maxdeg)
+            ctab = costw_tab[sw]
+            cand = jnp.take_along_axis(rword_ext, stab, axis=1) + ctab
+            cols = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
+            taken = jnp.zeros(cand.shape, bool)
+            vs, sws, lms = [], [], []
+            for _ in range(J):
+                m = jnp.where(taken, INF, cand)
+                a = jnp.argmin(m, axis=1)            # (S,)
+                vs.append(jnp.min(m, axis=1))
+                sws.append(jnp.take_along_axis(stab,
+                                               a[:, None], 1)[:, 0])
+                lms.append(jnp.take_along_axis(ctab,
+                                               a[:, None], 1)[:, 0])
+                taken = taken | (cols == a[:, None])
+            ex_v = jnp.stack(vs, 1)                  # (S,J)
+            ex_sw = jnp.stack(sws, 1)
+            ex_lm = jnp.stack(lms, 1)
+            ex_a = jnp.take_along_axis(rarg_ext, ex_sw, axis=1
+                                       ).astype(jnp.float32)
+            ex_t = jnp.take_along_axis(time_ext, ex_sw, axis=1)
+            # ---- merge pools: top-J of 2J ----
+            uni_s = uni[sw][:, None]                 # (S,1)
+            all_v = jnp.concatenate([bo_v + uni_s, ex_v], axis=1)
+            all_a = jnp.concatenate([bo_a, ex_a], axis=1)
+            all_t = jnp.concatenate([bo_t, ex_t], axis=1)
+            all_lm = jnp.concatenate([bo_lm + uni_s, ex_lm], axis=1)
+            mv, ma, mt, mlm = [], [], [], []
+            for _ in range(J):
+                a = jnp.argmin(all_v, axis=1)
+                mv.append(jnp.min(all_v, axis=1))
+                ma.append(jnp.take_along_axis(all_a,
+                                              a[:, None], 1)[:, 0])
+                mt.append(jnp.take_along_axis(all_t,
+                                              a[:, None], 1)[:, 0])
+                mlm.append(jnp.take_along_axis(all_lm,
+                                               a[:, None], 1)[:, 0])
+                all_v = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, all_v.shape, 1)
+                    == a[:, None], INF, all_v)
+            ecv = jnp.stack(mv, 1)                   # (S,J) sorted
+            esv = jnp.stack(ma, 1)
+            etv = jnp.stack(mt, 1)
+            elv = jnp.stack(mlm, 1)
+            # ---- per-candidate beam filter (matches the round-2
+            # elementwise keep); j=0 always kept (it defines the
+            # survivor, and forced Viterbi entries must stay)
+            bent_s = bentry[st, sw, sb]              # (S,)
+            cut = best[sb] + beam + 1e-3
+            valid = ecv + bent_s[:, None] <= cut[:, None]
+            valid = valid.at[:, 0].set(True)
+            return ecv, esv, etv, elv, valid
+
+        return jax.jit(pools)
 
     def _make_backward_step(self, B: int):
         """EXACT device backward (beta) pass over the same graph —
@@ -1016,17 +1057,13 @@ class LexChainDecoder:
         N, P, V = g.N, g.P, g.V
         c = self._c
         use_sil = g.use_sil
-        roots_by_word = jnp.asarray(self._roots_by_word)
-        w_starts = self._w_starts
-        w_segend = self._w_segend
         word_has_var = self._word_has_var
-        segmin = self._segmin_scan
+        vtab = self._vtab
         rev_buckets = self._rev_buckets
         rev_inv = self._rev_inv_perm
         ctxw = jnp.asarray(self._ctx_word)
         uni = c["uni"]
         lm_bo = jnp.asarray(g.lm.bo)
-        zero_args = jnp.zeros((P, B), jnp.int32)
 
         def frame(carry, x):
             bcost, broots, bsil = carry       # beta AFTER frame t
@@ -1040,9 +1077,7 @@ class LexChainDecoder:
                 c["k1_mask"], am_end + broots[:P],
                 amf[c["first_row_of_var"]]
                 + bcost[c["first_row_of_var"]]) + c["end_pron_cost"]
-            bw_v, _ = segmin(cand_var[roots_by_word], zero_args,
-                             w_starts)
-            bentry = bw_v[w_segend]
+            bentry = jnp.min(cand_var[vtab], axis=1)     # (V,B)
             bentry = jnp.where(word_has_var[:, None], bentry, INF)
             ys = (bentry, broots[:P])
             # ---- update to beta BEFORE frame t -----------------------
@@ -1088,11 +1123,13 @@ class LexChainDecoder:
 
         return jax.jit(backward)
 
-    def _make_lat_post(self, B: int, J: int, beam: float):
-        """Device pruning after forward + backward: survivors are the
-        candidates whose EXACT alpha+beta path cost is within `beam`
-        of the lane's best final cost — the true raw-lattice beam —
-        packed to bitmasks before the (tunneled, slow) D2H."""
+    def _make_lat_post(self, B: int, beam: float):
+        """Device pruning after forward + backward: surviving WORD
+        positions are those whose best (j=0) entry's EXACT alpha+beta
+        path cost is within `beam` of the lane's best final cost —
+        the true raw-lattice beam — packed to bitmasks before the
+        (tunneled, slow) D2H.  Per-candidate (j>0) filtering happens
+        in _make_surv_pools."""
         import jax
         import jax.numpy as jnp
         g = self.g
@@ -1100,17 +1137,17 @@ class LexChainDecoder:
         Vp8 = _round_up(V, 8)
         Pp8 = _round_up(P, 8)
 
-        def post(ecost, bentry, broots_b, take_end, arr_cost,
+        def post(entry_all, bentry, broots_b, take_end, arr_cost,
                  roots_all, am_rs, best, lengths):
-            T = ecost.shape[0]
+            T = entry_all.shape[0]
             cut = best + beam + 1e-3                     # (B,)
-            keep = ecost + bentry[:, None] <= cut[None, None, None, :]
+            keep = entry_all + bentry <= cut[None, None, :]  # (T,V,B)
             keepp = jnp.concatenate(
-                [keep, jnp.zeros((T, J, Vp8 - V, B), bool)], axis=2)
-            flat = keepp.reshape(T, (J * Vp8) // 8, 8, B).astype(jnp.int32)
+                [keep, jnp.zeros((T, Vp8 - V, B), bool)], axis=1)
+            flat = keepp.reshape(T, Vp8 // 8, 8, B).astype(jnp.int32)
             w8 = (1 << jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1),
                                                 2))
-            bits = (flat * w8).sum(axis=2).astype(jnp.uint8)
+            bits = (flat * w8[0]).sum(axis=2).astype(jnp.uint8)
             arr_keep = take_end & (arr_cost + broots_b
                                    <= cut[None, None, :])
             te_pad = jnp.concatenate(
@@ -1167,8 +1204,12 @@ class LexChainDecoder:
         _t0 = _time.time()
         roots_fin, sil_fin, sil_t_fin, ys = fwd(
             cost0, ent0, roots0, sil0, silt0, am, active)
-        (ecost, esrc, esrct, elm, arr_cost_d, arr_te_d, take_end_d,
-         roots_all, am_rs) = ys
+        (rmin_all, srct_all, entry_all, arr_cost_d, arr_te_d,
+         take_end_d, roots_all, am_rs) = ys
+        if stats is not None:            # sync for stage attribution
+            np.asarray(roots_fin[0, 0])
+            stats["fwd_scan_s"] = _time.time() - _t0
+            _t1 = _time.time()
         # lane-best final costs (the alpha+beta cut anchor)
         eos = self._c["eos"]
         fin_root = roots_fin + eos
@@ -1187,11 +1228,15 @@ class LexChainDecoder:
         bentry_d, broots_d = self._jit[bkey](
             binit, binit if g.use_sil else jnp.full_like(binit, INF),
             am, active)
-        pkey = ("latpost", B, J, float(lattice_beam))
+        if stats is not None:
+            np.asarray(bentry_d[0, 0, 0])
+            stats["bwd_scan_s"] = _time.time() - _t1
+            _t1 = _time.time()
+        pkey = ("latpost", B, float(lattice_beam))
         if pkey not in self._jit:
-            self._jit[pkey] = self._make_lat_post(B, J, lattice_beam)
+            self._jit[pkey] = self._make_lat_post(B, lattice_beam)
         bits_d, te_bits_d, am_cs_d, alpha_fin_d = \
-            self._jit[pkey](ecost, bentry_d, broots_d, take_end_d,
+            self._jit[pkey](entry_all, bentry_d, broots_d, take_end_d,
                             arr_cost_d, roots_all, am_rs, best_d,
                             jnp.asarray(lengths.astype(np.int32)))
         bits = np.asarray(bits_d)
@@ -1200,6 +1245,7 @@ class LexChainDecoder:
         sil_fin_np = np.asarray(sil_fin)
         sil_t_fin_np = np.asarray(sil_t_fin)
         if stats is not None:
+            stats["post_s"] = _time.time() - _t1
             stats["fwd_s"] = _time.time() - _t0
         _t0 = _time.time()
         Vp8 = _round_up(V, 8)
@@ -1225,10 +1271,9 @@ class LexChainDecoder:
             g_b = rem % Bn
             return g_t, g_byte * 8 + bit, g_b
 
-        st, q, sb = sparse_unpack(bits)
-        sj, sw = q // Vp8, q % Vp8
+        st, sw, sb = sparse_unpack(bits)     # word-level survivors
         m = (sw < V) & (st < lengths[sb])
-        sb, st, sj, sw = sb[m], st[m], sj[m], sw[m]
+        sb, st, sw = sb[m], st[m], sw[m]
         at_, ap, ab = sparse_unpack(te_bits)
         ma = (ap < P) & (at_ < lengths[ab])
         ab, at_, ap = ab[ma], at_[ma], ap[ma]
@@ -1249,15 +1294,13 @@ class LexChainDecoder:
                        fn3(arr_cost_d, arr_te_d, *args3))
         arrte = np.rint(arrte).astype(np.int64)
         word_of_var = g.pron_word
-        # force-keep: the winning (j=0) entry candidate of every
-        # arrival must survive, or the Viterbi path itself is lost
-        # when the device beam filter is tight (vectorized set diff
-        # over encoded (b, te, w) keys)
+        # force-keep: the word entry feeding every arrival must
+        # survive, or the Viterbi path itself is lost when the device
+        # beam filter is tight (vectorized set diff over encoded
+        # (b, te, w) keys)
         req_key = (ab * T + np.maximum(arrte, 0)) * V + word_of_var[ap]
         req_key = np.unique(req_key)
-        have0 = sj == 0
-        have_key = np.unique((sb[have0] * T + st[have0]) * V
-                             + sw[have0])
+        have_key = np.unique((sb * T + st) * V + sw)
         missing = np.setdiff1d(req_key, have_key, assume_unique=True)
         if len(missing):
             mb = missing // (T * V)
@@ -1265,34 +1308,49 @@ class LexChainDecoder:
             mw = missing % V
             sb = np.concatenate([sb, mb])
             st = np.concatenate([st, mt])
-            sj = np.concatenate([sj, np.zeros(len(missing), np.int64)])
             sw = np.concatenate([sw, mw])
         if stats is not None:
-            stats["n_entry"] = len(sb)
+            stats["n_word_surv"] = len(sb)
 
-        # survivor payload gathers (entry candidates)
-        def g4(ec, es, et, el, ti, ji, wi, bi):
-            return (ec[ti, ji, wi, bi], es[ti, ji, wi, bi],
-                    et[ti, ji, wi, bi], el[ti, ji, wi, bi])
-        fn, S = self._gather_jit("lat_g4", g4, len(sb))
-        pad = S - len(sb)
-        args = [jnp.asarray(np.pad(x, (0, pad))) for x in
-                (st, sj, sw, sb)]
-        ecv, esv, etv, elv = (np.asarray(a)[:len(sb)] for a in
-                              fn(ecost, esrc, esrct, elm, *args))
+        # top-J entry pools computed only at survivor positions
+        # (gather-compute over the scan's rmin/src_time dumps)
+        spkey = ("latsurv", B, J, float(lattice_beam))
+        if spkey not in self._jit:
+            self._jit[spkey] = self._make_surv_pools(B, J, lattice_beam)
+        n_sv = len(sb)
+        Sp = 1 << max(int(np.ceil(np.log2(max(n_sv, 1)))), 4)
+        padn = Sp - n_sv
+        ecv2, esv2, etv2, elv2, valid2 = self._jit[spkey](
+            rmin_all, srct_all, bentry_d, best_d,
+            jnp.asarray(np.pad(st, (0, padn))),
+            jnp.asarray(np.pad(sw, (0, padn))),
+            jnp.asarray(np.pad(sb, (0, padn))))
+        ecv2, esv2, etv2, elv2, valid2 = (
+            np.asarray(a)[:n_sv] for a in
+            (ecv2, esv2, etv2, elv2, valid2))
+        keepf = valid2.reshape(-1)
+        sb_r = np.repeat(sb, J)[keepf]
+        st_r = np.repeat(st, J)[keepf]
+        sw_r = np.repeat(sw, J)[keepf]
+        ecv = ecv2.reshape(-1)[keepf]
+        esv = esv2.reshape(-1)[keepf]
+        etv = etv2.reshape(-1)[keepf]
+        elv = elv2.reshape(-1)[keepf]
 
-        # winning entry value per (t, w, b): j=0 candidate
-        def g1(ec, ti, wi, bi):
-            return ec[ti, 0, wi, bi]
+        # winning (j=0) entry value per arrival from the scan's dump
+        def g1(ea, ti, wi, bi):
+            return ea[ti, wi, bi]
         fn1, S1 = self._gather_jit("lat_g1", g1, len(ab))
         pad1 = S1 - len(ab)
         argw = jnp.asarray(np.pad(word_of_var[ap], (0, pad1)))
         argt = jnp.asarray(np.pad(np.maximum(arrte, 0), (0, pad1)))
         argb = jnp.asarray(np.pad(ab, (0, pad1)))
-        entry_win = np.asarray(fn1(ecost, argt, argw, argb))[:len(ab)]
+        entry_win = np.asarray(fn1(entry_all, argt, argw,
+                                   argb))[:len(ab)]
+        sb, st, sw = sb_r, st_r, sw_r
         if stats is not None:
+            stats["n_entry"] = len(sb)
             stats["gather_s"] = _time.time() - _t0
-        _t0 = _time.time()
         _t0 = _time.time()
         # vectorized arc expansion: each arrival joins the sorted
         # survivor span of its (b, te, w) key

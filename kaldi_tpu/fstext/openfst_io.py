@@ -242,3 +242,25 @@ def _write_compact(stream: BinaryIO, lat: VectorFst) -> None:
             stream.write(struct.pack("<ii", a.ilabel, a.olabel))
             write_cw(a.weight)
             stream.write(struct.pack("<i", a.nextstate))
+
+
+from kaldi_tpu.util.table import Holder as _TableHolder  # noqa: E402
+
+
+class FstHolder(_TableHolder):
+    """Table holder for archives of OpenFst-binary FSTs (the
+    reference's VectorFstHolder — fstext/kaldi-fst-io.h): entries are
+    raw OpenFst binary after the \\0B marker (fsts-concat / fsts-union
+    / transcripts-to-fsts archives)."""
+
+    binary_container = True
+
+    def read(self, stream):
+        from kaldi_tpu.base import io_funcs as iof
+        iof.init_input_stream(stream)
+        return read_fst(stream)
+
+    def write(self, stream, binary, value):
+        if not binary:
+            raise KaldiTpuError("FST tables require binary mode")
+        write_fst(stream, value)

@@ -349,6 +349,9 @@ def _make_holder(holder) -> Holder:
         if holder == "lattice":
             from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
             return LatticeHolder()
+        if holder == "fst":
+            from kaldi_tpu.fstext.openfst_io import FstHolder
+            return FstHolder()
         return _HOLDERS[holder]()
     if isinstance(holder, type) and issubclass(holder, Holder):
         return holder()
