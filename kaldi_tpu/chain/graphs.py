@@ -106,6 +106,18 @@ class DenominatorGraph:
         return self.graph.num_states
 
 
+def den_graph_from_fst_file(path: str) -> DenominatorGraph:
+    """den.fst (a pdf+1 acceptor as written by chain-make-den-fst) ->
+    DenominatorGraph with the stationary initial distribution
+    (chain-den-graph.cc:249 SetInitialProbs equivalent)."""
+    from kaldi_tpu.chain.supervision import _stationary_initial
+    from kaldi_tpu.fstext.openfst_io import read_fst_file
+    fst = read_fst_file(path)
+    pg = pack_emission_fst(fst)
+    pg.initial = _stationary_initial(pg)
+    return DenominatorGraph(pg)
+
+
 def batch_pack(graphs: Sequence[PackedGraph]
                ) -> Tuple[np.ndarray, ...]:
     """Pad a list of per-sequence graphs to common shapes; returns

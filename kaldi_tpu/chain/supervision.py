@@ -104,6 +104,13 @@ def make_denominator_graph(phone_seqs: Sequence[Sequence[int]],
                            interp: float = 0.1) -> DenominatorGraph:
     """Phone LM -> HMM acceptor over pdfs -> packed arrays."""
     lm = estimate_phone_lm(phone_seqs, tm.get_phones(), interp)
+    return denominator_graph_from_phone_lm(lm, tm, ctx_dep)
+
+
+def denominator_graph_from_phone_lm(lm, tm: TransitionModel,
+                                    ctx_dep) -> DenominatorGraph:
+    """Denominator graph from an existing phone-LM acceptor
+    (chain-make-den-fst, chainbin/chain-make-den-fst.cc)."""
     # expand phones to HMMs with TRUE probabilities (scale 1/1)
     h = expand_hmm(lm, tm, ctx_dep, transition_scale=1.0,
                    self_loop_scale=1.0)

@@ -191,6 +191,21 @@ _register("kaldi_tpu.cli.tail3_tools", {
     "nnet3-discriminative-copy-egs": "nnet3_discriminative_copy_egs",
 })
 
+_register("kaldi_tpu.cli.chain_tools", {
+    "chain-est-phone-lm": "chain_est_phone_lm",
+    "chain-make-den-fst": "chain_make_den_fst",
+    "chain-get-supervision": "chain_get_supervision",
+    "nnet3-chain-get-egs": "nnet3_chain_get_egs",
+    "nnet3-chain-copy-egs": "nnet3_chain_copy_egs",
+    "nnet3-chain-shuffle-egs": "nnet3_chain_shuffle_egs",
+    "nnet3-chain-subset-egs": "nnet3_chain_subset_egs",
+    "nnet3-chain-merge-egs": "nnet3_chain_merge_egs",
+    "nnet3-chain-normalize-egs": "nnet3_chain_normalize_egs",
+    "nnet3-chain-compute-prob": "nnet3_chain_compute_prob",
+    "nnet3-chain-train": "nnet3_chain_train",
+    "nnet3-chain-combine": "nnet3_chain_combine",
+})
+
 _register("kaldi_tpu.cli.fst_tools", {
     "fstcopy": "fstcopy",
     "fstisstochastic": "fstisstochastic",

@@ -101,6 +101,44 @@ def generate_chain_egs(feats: Dict[str, np.ndarray],
     return n
 
 
+def write_packed_graph(stream, binary, g: PackedGraph) -> None:
+    iof.write_token(stream, binary, "<Sup>")
+    iof.write_int32(stream, binary, g.num_states)
+    iof.write_int_vector(stream, binary, g.src.tolist())
+    iof.write_int_vector(stream, binary, g.dst.tolist())
+    iof.write_int_vector(stream, binary, g.pdf.tolist())
+    iof.write_vector(stream, binary, g.log_prob)
+    iof.write_vector(stream, binary, g.initial)
+    iof.write_vector(stream, binary, g.final)
+    iof.write_token(stream, binary, "</Sup>")
+
+
+def read_packed_graph(stream, binary) -> PackedGraph:
+    iof.expect_token(stream, binary, "<Sup>")
+    iof.read_int32(stream, binary)      # num_states (implied by initial)
+    src = np.array(iof.read_int_vector(stream, binary), np.int32)
+    dst = np.array(iof.read_int_vector(stream, binary), np.int32)
+    pdf = np.array(iof.read_int_vector(stream, binary), np.int32)
+    lp = iof.read_vector(stream, binary).astype(np.float32)
+    initial = iof.read_vector(stream, binary).astype(np.float32)
+    final = iof.read_vector(stream, binary).astype(np.float32)
+    iof.expect_token(stream, binary, "</Sup>")
+    return PackedGraph(src, dst, pdf, lp, initial, final)
+
+
+class SupervisionHolder(Holder):
+    """Archive holder for bare chain supervision graphs
+    (chain-get-supervision output; nnet-chain-example.h supervision)."""
+    binary_container = True
+
+    def read(self, stream):
+        binary = iof.init_input_stream(stream)
+        return read_packed_graph(stream, binary)
+
+    def write(self, stream, binary, value):
+        write_packed_graph(stream, binary, value)
+
+
 def shuffle_egs(rspecifier: str, wspecifier: str, seed: int = 0,
                 buffer_size: int = 5000) -> int:
     """nnet3-shuffle-egs: randomized-buffer shuffle."""

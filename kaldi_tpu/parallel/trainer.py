@@ -126,3 +126,80 @@ def make_sharded_train_step(model: ChainTdnnf, tx, opts: ChainTrainingOptions,
     # rely on jit + explicit input shardings applied by the caller
     # (see __graft_entry__.dryrun_multichip for the canonical usage)
     return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+
+
+def train_chain_from_egs(den_fst_path: str, egs_rspecifier: str,
+                         model_out: str, num_epochs: int = 4,
+                         minibatch_size: int = 32,
+                         learning_rate: float = 1e-3,
+                         hidden_dim: int = 256,
+                         bottleneck_dim: int = 64,
+                         num_layers: int = 6,
+                         xent_regularize: float = 0.1,
+                         frame_subsampling_factor: int = 3,
+                         seed: int = 0) -> Tuple[int, float]:
+    """nnet3-chain-train: train the native TDNN-F from prepared
+    chain egs + a den.fst, write an exporter raw .mdl (the reference's
+    raw-nnet in/out contract, src/chainbin/nnet3-chain-train.cc).
+    Returns (num_steps, final_objf)."""
+    from kaldi_tpu.chain.graphs import den_graph_from_fst_file
+    from kaldi_tpu.nnet3.egs import merged_minibatches
+    from kaldi_tpu.nnet3.mdl_io import (chain_tdnnf_to_nnet3,
+                                        write_raw_nnet3)
+    den_graph = den_graph_from_fst_file(den_fst_path)
+    num_pdfs = int(den_graph.graph.pdf.max()) + 1
+    state = model = step_fn = None
+    opts = ChainTrainingOptions(xent_regularize=xent_regularize)
+    n_steps, objf = 0, float("nan")
+    for _epoch in range(num_epochs):
+        for batch in merged_minibatches(egs_rspecifier, minibatch_size,
+                                        drop_last=False):
+            # the model pads its convs internally (SAME), so the extra
+            # acoustic context stored with each eg is trimmed to keep
+            # output frames aligned with the numerator graph
+            lc = int(batch.get("left_context", 0))
+            rc = int(batch.get("right_context", 0))
+            feats = np.asarray(batch["feats"])
+            feats = feats[:, lc:feats.shape[1] - rc if rc else None]
+            feats = jnp.asarray(feats)
+            if state is None:
+                # the subsample point must fall INSIDE the stack or the
+                # output stays at the input rate and never matches the
+                # numerator graph (the config default of 8 assumes the
+                # 17-layer flagship)
+                cfg = ChainTdnnfConfig(
+                    feat_dim=int(feats.shape[-1]),
+                    num_pdfs=max(num_pdfs,
+                                 int(batch["num_graphs"][2].max()) + 1),
+                    hidden_dim=hidden_dim,
+                    bottleneck_dim=bottleneck_dim,
+                    prefinal_dim=max(hidden_dim // 2, bottleneck_dim),
+                    num_layers=num_layers,
+                    subsample_layer=min(8, max(1, num_layers // 2)),
+                    frame_subsampling_factor=frame_subsampling_factor)
+                state, model, tx = make_chain_train_state(
+                    cfg, jax.random.PRNGKey(seed),
+                    learning_rate=learning_rate,
+                    example_T=int(feats.shape[1]))
+                step_fn = make_sharded_train_step(model, tx, opts,
+                                                  den_graph)
+            state, metrics = step_fn(
+                state, {"feats": feats,
+                        "num_graphs": tuple(jnp.asarray(a) for a in
+                                            batch["num_graphs"])})
+            objf = float(metrics["objf"])
+            if n_steps == 0 and objf < -1e9:
+                raise ValueError(
+                    "train_chain_from_egs: numerator forward-backward "
+                    "returned -inf on the first minibatch — the model's "
+                    "output frame rate does not match the egs' "
+                    "supervision (check frame-subsampling-factor / "
+                    "chunk-width)")
+            n_steps += 1
+    if state is None:
+        raise ValueError("train_chain_from_egs: no examples")
+    graph = chain_tdnnf_to_nnet3(
+        model, {"params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats)})
+    write_raw_nnet3(graph, model_out)
+    return n_steps, objf
