@@ -548,10 +548,50 @@ class LexChainDecoder:
         c["uni"] = jnp.asarray(lm.uni[:, None])
         c["eos"] = jnp.asarray(lm.eos[ctx_word][:, None])
         c["nosil"] = jnp.float32(g.nosil_cost if g.use_sil else 0.0)
+        c["uni_flat"] = jnp.asarray(lm.uni)                    # (V,)
+        # ---- virtual-context tables for the PRUNED entry expansion
+        # (reference cuda-decoder ExpandArcs over the ACTIVE token set,
+        # cuda-decoder-kernels.h:80; here "tokens" are LM contexts):
+        # explicit arcs CSR-by-source, split into rows of <= VC_D arcs;
+        # a context with out-degree d becomes ceil(d/VC_D) virtual rows
+        # that share its root value, so the per-frame top-K selection
+        # is over fixed-shape rows and the expansion of the K winners
+        # is a dense (K, VC_D) gather + scatter-min.
+        self.VC_D = 16
+        vc_ctx, vc_dst, vc_cost = [], [], []
+        for u in range(V + 1):
+            s0, d = int(start2[u]), int(outdeg[u])
+            for off in range(0, d, self.VC_D):
+                sl = slice(s0 + off, s0 + min(off + self.VC_D, d))
+                k = sl.stop - sl.start
+                vc_ctx.append(u)
+                vc_dst.append(np.concatenate(
+                    [d2[sl], np.zeros(self.VC_D - k, np.int64)]))
+                vc_cost.append(np.concatenate(
+                    [c2[sl], np.full(self.VC_D - k, BIG, np.float32)]))
+        # pad the row count so top-k never sees a degenerate shape;
+        # padded rows point at the INF context slot (index V+1)
+        n_vc = max(8, len(vc_ctx))
+        while len(vc_ctx) < n_vc:
+            vc_ctx.append(V + 1)
+            vc_dst.append(np.zeros(self.VC_D, np.int64))
+            vc_cost.append(np.full(self.VC_D, BIG, np.float32))
+        self.VC = len(vc_ctx)
+        self._vc_ctx = jnp.asarray(np.asarray(vc_ctx, np.int32))
+        self._vc_dst = jnp.asarray(
+            np.asarray(vc_dst, np.int64).astype(np.int32))
+        self._vc_cost = jnp.asarray(np.asarray(vc_cost, np.float32))
         self._jit = {}
 
     # ------------------------------------------------------------------
-    def _make_step(self, B: int):
+    def _make_step(self, B: int, prune: Optional[Tuple] = None):
+        """prune = None for the exact full-E entry expansion, or
+        (K, beam, exact_topk) for the beam-pruned active-context
+        expansion: per frame each lane expands only the explicit arcs
+        of its top-K in-beam LM contexts (the cudadecoder active-token
+        ExpandArcs analogue, cuda-decoder-kernels.h:80) and the
+        traceback argument is recovered from the stored candidate pool
+        instead of a dense (V, B) argmin plane."""
         import jax
         import jax.numpy as jnp
         g = self.g
@@ -562,10 +602,15 @@ class LexChainDecoder:
         vtab = self._vtab
         buckets = self._buckets
         inv_perm = self._bucket_inv_perm
+        vc_ctx, vc_dst, vc_cost = self._vc_ctx, self._vc_dst, self._vc_cost
+        if prune is not None:
+            Kp, beam_p, exact_topk = prune
+            Kp = int(min(Kp, self.VC))
 
         def frame(carry, x):
             cost, roots, sil = carry     # (N,B), (P+1,B), (P+1,B)
             am_t, act = x                # (num_pdfs, B), (B,)
+            lane = jnp.arange(B)
             # --- source combination: root vs its silence shadow -----
             radj = roots + c["nosil"]
             if use_sil:
@@ -585,26 +630,54 @@ class LexChainDecoder:
             gval = jnp.min(bo_cand, axis=0)            # (B,)
             garg = jnp.argmin(bo_cand, axis=0).astype(jnp.int32)
             base = gval[None, :] + c["uni"]            # (V,B)
-            # --- explicit-bigram corrections (bucketed CSR) ---------
-            # source-word value table extended with the <s> row
-            rword_ext = jnp.concatenate([rword_v, rmin[P][None, :]], 0)
-            rarg_ext = jnp.concatenate(
-                [rword_a, jnp.full((1, B), P, jnp.int32)], 0)
-            parts_v, parts_sw = [], []
-            for (src_tab, cost_tab) in buckets:
-                nw = src_tab.shape[0]
-                cand = rword_ext[src_tab] + cost_tab[..., None]
-                parts_v.append(jnp.min(cand, axis=1))        # (nw,B)
-                win = jnp.argmin(cand, axis=1)               # (nw,B)
-                parts_sw.append(
-                    src_tab[jnp.arange(nw)[:, None], win])
-            corr = jnp.concatenate(parts_v, 0)[inv_perm]     # (V,B)
-            sw_win = jnp.concatenate(parts_sw, 0)[inv_perm]
-            corr_a = rarg_ext[sw_win, jnp.arange(B)[None, :]]
-            take_corr = corr < base
-            entry = jnp.where(take_corr, corr, base)   # (V,B)
-            entry_arg = jnp.where(take_corr, corr_a,
-                                  garg[None, :]).astype(jnp.int32)
+            if prune is None:
+                # --- explicit-bigram corrections (bucketed CSR) -----
+                # source-word value table extended with the <s> row
+                rword_ext = jnp.concatenate([rword_v, rmin[P][None, :]],
+                                            0)
+                rarg_ext = jnp.concatenate(
+                    [rword_a, jnp.full((1, B), P, jnp.int32)], 0)
+                parts_v, parts_sw = [], []
+                for (src_tab, cost_tab) in buckets:
+                    nw = src_tab.shape[0]
+                    cand = rword_ext[src_tab] + cost_tab[..., None]
+                    parts_v.append(jnp.min(cand, axis=1))    # (nw,B)
+                    win = jnp.argmin(cand, axis=1)           # (nw,B)
+                    parts_sw.append(
+                        src_tab[jnp.arange(nw)[:, None], win])
+                corr = jnp.concatenate(parts_v, 0)[inv_perm]  # (V,B)
+                sw_win = jnp.concatenate(parts_sw, 0)[inv_perm]
+                corr_a = rarg_ext[sw_win, jnp.arange(B)[None, :]]
+                take_corr = corr < base
+                entry = jnp.where(take_corr, corr, base)   # (V,B)
+                entry_arg = jnp.where(take_corr, corr_a,
+                                      garg[None, :]).astype(jnp.int32)
+            else:
+                # --- pruned explicit corrections --------------------
+                # value table with <s> row and an INF slot for padding
+                rword_ext = jnp.concatenate(
+                    [rword_v, rmin[P][None, :],
+                     jnp.full((1, B), INF, jnp.float32)], 0)
+                rarg_ext = jnp.concatenate(
+                    [rword_a, jnp.full((2, B), P, jnp.int32)], 0)
+                vvals = rword_ext[vc_ctx]              # (VC,B)
+                cutoff = jnp.min(rmin, axis=0) + beam_p
+                vm = jnp.where(vvals <= cutoff[None, :], vvals, INF)
+                vt = vm.T                              # (B,VC)
+                if exact_topk:
+                    neg, ids = jax.lax.top_k(-vt, Kp)
+                    vals = -neg                        # (B,K)
+                else:
+                    vals, ids = jax.lax.approx_min_k(vt, Kp)
+                ids = ids.astype(jnp.int32)
+                dsts = vc_dst[ids]                     # (B,K,D)
+                cand = vals[:, :, None] + vc_cost[ids]
+                corr = jnp.full((V, B), INF, jnp.float32).at[
+                    dsts, lane[:, None, None]].min(cand)
+                entry = jnp.minimum(corr, base)        # (V,B)
+                root_k = rarg_ext[vc_ctx[ids], lane[:, None]]  # (B,K)
+                sil_k = pick_sil[root_k, lane[:, None]]
+                g_sil = pick_sil[garg, lane]           # (B,)
             # --- chain rows -----------------------------------------
             amf = am_t[c["pdf_fwd_row"]] + c["fwd_extra"]    # (N,B)
             ams = am_t[c["pdf_self_row"]] + c["self_extra"]
@@ -647,7 +720,11 @@ class LexChainDecoder:
             new_cost = jnp.where(act[None, :], new_cost, cost)
             roots_new = jnp.where(act[None, :], roots_new, roots)
             sil_new = jnp.where(act[None, :], sil_new, sil)
-            ys = (bits, entry_arg, pick_sil, take_end, sil_take)
+            if prune is None:
+                ys = (bits, entry_arg, pick_sil, take_end, sil_take)
+            else:
+                ys = (bits, ids, vals, root_k, sil_k, gval, garg,
+                      g_sil, take_end, sil_take)
             return (new_cost, roots_new, sil_new), ys
 
         def forward(cost0, roots0, sil0, am, active):
@@ -667,18 +744,45 @@ class LexChainDecoder:
         sil0_id = N + P + 1
 
         def follow(ys, active, final_state):
-            bits_all, arg_all, pick_all, tend_all, stake_all = ys
             lane = jnp.arange(B)
 
-            def entry_src(w, bits_x, arg, pick):
-                p_src = arg[w, lane]                     # (B,)
-                from_sil = pick[p_src, lane]
-                return jnp.where(from_sil, sil0_id + p_src,
-                                 jnp.where(p_src == P, begin,
-                                           root0 + p_src))
+            if prune is None:
+                def entry_src(w, x):
+                    _bits, arg, pick, _tend, _stake = x
+                    p_src = arg[w, lane]                 # (B,)
+                    from_sil = pick[p_src, lane]
+                    return jnp.where(from_sil, sil0_id + p_src,
+                                     jnp.where(p_src == P, begin,
+                                               root0 + p_src))
+            else:
+                def entry_src(w, x):
+                    (_bits, ids, vals, root_k, sil_k, gval, garg,
+                     g_sil, _tend, _stake) = x
+                    # recover the winning source among the frame's
+                    # stored top-K candidate pool (same candidate set
+                    # the forward scatter-min reduced, so the min
+                    # value matches the forward's entry bitwise)
+                    dsts = vc_dst[ids]                   # (B,K,D)
+                    cand = vals[:, :, None] + vc_cost[ids]
+                    candw = jnp.where(dsts == w[:, None, None],
+                                      cand, INF)
+                    flat = candw.reshape(B, -1)
+                    amin = jnp.argmin(flat, axis=1)      # (B,)
+                    cmin = jnp.min(flat, axis=1)
+                    k_win = (amin // self.VC_D).astype(jnp.int32)
+                    base_w = gval + c["uni_flat"][w]
+                    use_corr = cmin < base_w
+                    p_src = jnp.where(use_corr, root_k[lane, k_win],
+                                      garg)
+                    from_sil = jnp.where(use_corr,
+                                         sil_k[lane, k_win], g_sil)
+                    return jnp.where(from_sil, sil0_id + p_src,
+                                     jnp.where(p_src == P, begin,
+                                               root0 + p_src))
 
-            def step(cur, x):
-                bits, arg, pick, tend, stake, act = x
+            def step(cur, xa):
+                x, act = xa
+                bits, tend, stake = x[0], x[-2], x[-1]
                 is_row = cur < N
                 is_shadow = cur >= sil0_id
                 is_begin = cur == begin
@@ -690,7 +794,7 @@ class LexChainDecoder:
                 row_prev = jnp.where(
                     bit == 1,
                     jnp.where(row_first[n_c],
-                              entry_src(w_row, bits, arg, pick),
+                              entry_src(w_row, x),
                               cur - 1),
                     cur)
                 # root predecessor
@@ -699,7 +803,7 @@ class LexChainDecoder:
                 root_prev = jnp.where(
                     te,
                     jnp.where(end_is_row[p_c], end_row[p_c],
-                              entry_src(end_word[p_c], bits, arg, pick)),
+                              entry_src(end_word[p_c], x)),
                     cur)
                 # shadow predecessor
                 ps = jnp.clip(cur - sil0_id, 0, P)
@@ -714,18 +818,24 @@ class LexChainDecoder:
                 return prev, cur
 
             first_state, states = jax.lax.scan(
-                step, final_state,
-                (bits_all, arg_all, pick_all, tend_all, stake_all,
-                 active), reverse=True)
+                step, final_state, (ys, active), reverse=True)
             return first_state, states
 
         return jax.jit(forward, donate_argnums=(0,)), jax.jit(follow)
 
     # ------------------------------------------------------------------
     def decode_batch(self, loglikes, acoustic_scale: float = 1.0,
-                     lengths: Optional[Sequence[int]] = None
+                     lengths: Optional[Sequence[int]] = None,
+                     prune_k: Optional[int] = None,
+                     prune_beam: float = float(BIG),
+                     exact_topk: bool = False
                      ) -> List[Optional[Tuple[List[int], List[int],
                                               float]]]:
+        """prune_k: expand only each lane's top-K in-beam LM contexts'
+        explicit arcs per frame (beam-pruned search; None = exact).
+        prune_beam: contexts worse than best+beam are dropped before
+        the top-K. exact_topk uses lax.top_k instead of approx_min_k
+        (exact selection; approx trades ~5% recall for speed)."""
         import jax.numpy as jnp
         g = self.g
         N, P, V = g.N, g.P, g.V
@@ -734,9 +844,12 @@ class LexChainDecoder:
             raise KaldiTpuError(f"loglikes pdf dim {Pdf} < {g.num_pdfs}")
         lengths = np.asarray(lengths if lengths is not None
                              else [T] * B, np.int64)
-        if B not in self._jit:
-            self._jit[B] = self._make_step(B)
-        fwd, fol = self._jit[B]
+        prune = None if prune_k is None else \
+            (int(prune_k), float(prune_beam), bool(exact_topk))
+        key = (B, prune)
+        if key not in self._jit:
+            self._jit[key] = self._make_step(B, prune)
+        fwd, fol = self._jit[key]
         am = jnp.transpose(jnp.asarray(loglikes) * (-acoustic_scale),
                            (1, 2, 0))
         active = jnp.asarray(np.arange(T)[:, None] < lengths[None, :])

@@ -77,6 +77,54 @@ def test_exact_match_host(seed, use_sil):
         assert tids_d == r_ali
 
 
+@pytest.mark.parametrize("seed,use_sil", [(0, True), (1, False)])
+def test_pruned_full_k_matches_exact(seed, use_sil):
+    """Beam-pruned entry expansion with K >= VC and exact top-k must
+    reproduce the exact decode bitwise (same candidate set, same
+    scatter-min reduction), including the traceback."""
+    rng = np.random.default_rng(seed)
+    V = 7
+    lm = random_lm(V, rng)
+    prons, pron_word, pron_cost = random_lexicon(V, rng)
+    g = LexChainGraph.build(prons, lm, pron_word=pron_word,
+                            pron_cost=pron_cost, num_pdfs=12,
+                            use_sil=use_sil, sil_phone=5, sil_prob=0.4)
+    dec = LexChainDecoder(g)
+    B, T = 3, 9
+    ll = rng.normal(size=(B, T, g.num_pdfs)).astype(np.float32)
+    lengths = [T, T - 2, T - 4]
+    ref = dec.decode_batch(ll, acoustic_scale=1.0, lengths=lengths)
+    out = dec.decode_batch(ll, acoustic_scale=1.0, lengths=lengths,
+                           prune_k=dec.VC, exact_topk=True)
+    for b in range(B):
+        assert out[b] is not None
+        assert out[b][0] == ref[b][0]
+        assert out[b][1] == ref[b][1]
+        assert abs(out[b][2] - ref[b][2]) < 1e-4 * max(1, abs(ref[b][2]))
+
+
+def test_pruned_small_k_degrades_gracefully(seed=0):
+    """With a tiny K and a finite beam the decode must still produce
+    word sequences on every lane, with cost >= the exact cost."""
+    rng = np.random.default_rng(seed)
+    V = 7
+    lm = random_lm(V, rng)
+    prons, pron_word, pron_cost = random_lexicon(V, rng)
+    g = LexChainGraph.build(prons, lm, pron_word=pron_word,
+                            pron_cost=pron_cost, num_pdfs=12,
+                            use_sil=True, sil_phone=5, sil_prob=0.4)
+    dec = LexChainDecoder(g)
+    B, T = 2, 9
+    ll = rng.normal(size=(B, T, g.num_pdfs)).astype(np.float32)
+    ref = dec.decode_batch(ll, acoustic_scale=1.0)
+    out = dec.decode_batch(ll, acoustic_scale=1.0, prune_k=2,
+                           prune_beam=20.0, exact_topk=True)
+    for b in range(B):
+        assert out[b] is not None
+        assert len(out[b][0]) > 0
+        assert out[b][2] >= ref[b][2] - 1e-4
+
+
 def test_state_count_linear_in_vocab():
     """The whole point vs block_chain: states grow O(rows + V), not
     O(V^2).  V=200 with <=4-phone prons must stay under 2k states
