@@ -150,14 +150,19 @@ def main():
           f"({sum(w.nbytes for w in waves) / 1e6:.1f} MB/batch)",
           file=sys.stderr)
 
+    # two ingest waves: the second wave's H2D overlaps the first
+    # wave's compute (transfers overlap compute on this chip; the
+    # equivalence to num_waves=1 is pinned by
+    # tests/test_bench_corpus_e2e.py::test_wave_pipelined_decode...)
+    W = 2
     t0 = time.time()
-    out = pipe.decode_batch(waves)                 # compile + warm
+    out = pipe.decode_batch(waves, num_waves=W)    # compile + warm
     print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
     xrts = []
     for it in range(1 if quick else 3):
         stats = PipelineStats()
-        out = pipe.decode_batch(waves, stats=stats)
+        out = pipe.decode_batch(waves, stats=stats, num_waves=W)
         n_ok = sum(o is not None for o in out)
         xrts.append(stats.xrt)
         print(f"# iter{it}: {stats.total_audio_s:.0f}s audio in "

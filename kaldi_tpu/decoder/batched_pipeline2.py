@@ -75,49 +75,74 @@ class BatchedOfflinePipeline2:
                      stats: Optional[PipelineStats] = None,
                      generate_lattices: bool = False,
                      lattice_beam: float = 8.0,
-                     lat_stats: Optional[dict] = None):
+                     lat_stats: Optional[dict] = None,
+                     num_waves: int = 1):
         """generate_lattices=False: per lane (word_ids, total_cost).
         generate_lattices=True: per lane (word_ids, total_cost,
         word Lattice) — the search runs in lattice mode (device dumps
         of top-J word predecessors, host assembly, cudadecoder's
-        GetRawLattice + LatticePostprocessor split)."""
+        GetRawLattice + LatticePostprocessor split).
+
+        num_waves > 1 splits the batch into contiguous waves whose
+        host->device audio transfers are ALL started up front (async
+        device_put), so wave i+1's ingest overlaps wave i's compute —
+        the tunnel-attached chip's ~20MB/s link otherwise serializes
+        with the compute (BASELINE.md).  The reference overlaps its
+        H2D the same way with per-lane cudaMemcpyAsync streams
+        (cudadecoder/batched-threaded-nnet3-cuda-pipeline2.h:57)."""
         import jax
         import jax.numpy as jnp
         t_all = time.time()
         B = len(waves)
-        # 1. features: fused batched device program; waves ship as
-        # int16 when possible (the tunnel link is the bottleneck) and
-        # the features STAY on device for the AM
+        W = max(1, min(int(num_waves), B))
+        bounds = np.linspace(0, B, W + 1).astype(int)
+        chunks = [waves[bounds[i]:bounds[i + 1]] for i in range(W)
+                  if bounds[i + 1] > bounds[i]]
+        # stage + launch ALL ingest transfers before any compute
         t0 = time.time()
-        feats_d, dims = self.feats.compute_batch_device(waves)
-        T = int(feats_d.shape[1])
+        stageds = []
+        for cw in chunks:
+            batch, lengths, nframes, bucket_f = \
+                self.feats.stage_batch(cw)
+            stageds.append((jax.device_put(batch), lengths, nframes,
+                            bucket_f))
         t_feat = time.time() - t0
-        # 2. acoustic model (one batched dispatch, bf16); padded
-        # feature rows are garbage but masked by out_lens downstream
-        t0 = time.time()
-        loglikes = self._am_forward(feats_d)
-        sub = max(1, -(-T // loglikes.shape[1]))
-        out_lens = -(-dims // sub)
-        t_am = time.time() - t0
-        # 3. device search (+ lattice assembly)
-        t0 = time.time()
-        if generate_lattices:
-            from kaldi_tpu.lat.functions import lattice_best_path
-            lats = self.decoder.decode_batch_lattice(
-                loglikes, self.acoustic_scale, lengths=out_lens,
-                lattice_beam=lattice_beam, stats=lat_stats)
-            out = []
-            for lt in lats:
-                if lt is None:
-                    out.append(None)
-                    continue
-                _ali, words, cost = lattice_best_path(lt)
-                out.append((words, cost, lt))
-        else:
-            hyps = self.decoder.decode_batch(loglikes, self.acoustic_scale,
-                                             lengths=out_lens)
-            out = [None if h is None else (h[0], h[2]) for h in hyps]
-        t_search = time.time() - t0
+        t_am = t_search = 0.0
+        out: list = []
+        for cw, staged in zip(chunks, stageds):
+            # 1. features: fused batched device program; the features
+            # STAY on device for the AM
+            t0 = time.time()
+            feats_d, dims = self.feats.compute_batch_device(
+                staged=staged)
+            T = int(feats_d.shape[1])
+            t_feat += time.time() - t0
+            # 2. acoustic model (one batched dispatch, bf16); padded
+            # feature rows are garbage but masked by out_lens
+            t0 = time.time()
+            loglikes = self._am_forward(feats_d)
+            sub = max(1, -(-T // loglikes.shape[1]))
+            out_lens = -(-dims // sub)
+            t_am += time.time() - t0
+            # 3. device search (+ lattice assembly)
+            t0 = time.time()
+            if generate_lattices:
+                from kaldi_tpu.lat.functions import lattice_best_path
+                lats = self.decoder.decode_batch_lattice(
+                    loglikes, self.acoustic_scale, lengths=out_lens,
+                    lattice_beam=lattice_beam, stats=lat_stats)
+                for lt in lats:
+                    if lt is None:
+                        out.append(None)
+                        continue
+                    _ali, words, cost = lattice_best_path(lt)
+                    out.append((words, cost, lt))
+            else:
+                hyps = self.decoder.decode_batch(
+                    loglikes, self.acoustic_scale, lengths=out_lens)
+                out.extend(None if h is None else (h[0], h[2])
+                           for h in hyps)
+            t_search += time.time() - t0
         wall = time.time() - t_all
         if stats is not None:
             stats.total_audio_s += sum(len(w) for w in waves) / \

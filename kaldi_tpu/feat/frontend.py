@@ -310,27 +310,26 @@ class OfflineFeature:
         feats = np.asarray(feats)
         return [feats[i, :nframes[i]] for i in range(len(waves))]
 
-    def compute_batch_device(self, waves: Sequence[np.ndarray],
-                             vtln_warp: float = 1.0,
-                             seed: Optional[int] = None):
-        """Device-resident variant: returns (feats (B, F_bucket, dim)
-        ON DEVICE, nframes (B,) numpy).  Rows past nframes[i] are
-        garbage (reflection-gathered) — consumers mask by length.
-        int16 input waves are uploaded as int16 and widened on device,
-        halving the host->device transfer (the tunnel link is the
-        bottleneck of the offline pipeline; see BASELINE.md)."""
+    def stage_batch(self, waves: Sequence[np.ndarray]):
+        """Host-side staging only: pad the wave batch to its bucket
+        and pick the wire dtype.  Returns (batch (B, T) numpy, lengths,
+        nframes, bucket_f) — hand `jax.device_put(batch)` plus the
+        metadata to compute_batch_device(staged=...) to overlap the
+        host->device transfer with earlier waves' compute (the tunnel
+        link transfers DO overlap device compute; BASELINE.md)."""
         fo = self.opts.frame_opts
         lengths = np.array([len(w) for w in waves], dtype=np.int32)
         nframes = np.array([win.num_frames(int(n), fo) for n in lengths],
                            dtype=np.int32)
         max_f = int(nframes.max(initial=0))
         if max_f == 0:
-            return (jnp.zeros((len(waves), 0, self.dim()), jnp.float32),
-                    nframes)
+            return (np.zeros((len(waves), 1), np.float32), lengths,
+                    nframes, 0)
         bucket_f = _bucket(max_f)
-        # padded sample budget covering bucket_f frames; reflection maps any
-        # out-of-range index back into [0, true_length)
-        need = win.first_sample_of_frame(bucket_f - 1, fo) + fo.window_size()
+        # padded sample budget covering bucket_f frames; reflection
+        # maps any out-of-range index back into [0, true_length)
+        need = win.first_sample_of_frame(bucket_f - 1, fo) + \
+            fo.window_size()
         T = max(need, int(lengths.max(initial=1)))
         dtypes = {np.asarray(w).dtype for w in waves}
         if dtypes == {np.dtype(np.uint8)}:        # mu-law wire
@@ -342,6 +341,28 @@ class OfflineFeature:
         batch = np.zeros((len(waves), T), dtype=wire_dtype)
         for i, w in enumerate(waves):
             batch[i, :len(w)] = np.asarray(w, dtype=wire_dtype)
+        return batch, lengths, nframes, bucket_f
+
+    def compute_batch_device(self, waves: Sequence[np.ndarray] = (),
+                             vtln_warp: float = 1.0,
+                             seed: Optional[int] = None,
+                             staged=None):
+        """Device-resident variant: returns (feats (B, F_bucket, dim)
+        ON DEVICE, nframes (B,) numpy).  Rows past nframes[i] are
+        garbage (reflection-gathered) — consumers mask by length.
+        int16 input waves are uploaded as int16 and widened on device,
+        halving the host->device transfer (the tunnel link is the
+        bottleneck of the offline pipeline; see BASELINE.md).
+        staged: the (batch, lengths, nframes, bucket_f) of
+        stage_batch(), where batch may already live on device."""
+        fo = self.opts.frame_opts
+        if staged is not None:
+            batch, lengths, nframes, bucket_f = staged
+        else:
+            batch, lengths, nframes, bucket_f = self.stage_batch(waves)
+        if bucket_f == 0:
+            return (jnp.zeros((batch.shape[0], 0, self.dim()),
+                              jnp.float32), nframes)
 
         params = {"window_fn": jnp.asarray(self.window_fn)}
         if self.type in ("mfcc", "fbank", "plp"):

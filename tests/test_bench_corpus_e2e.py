@@ -83,6 +83,23 @@ class TestBenchCorpusDevicePipeline:
         bad = _decode_wer(sysd, graph, spec, acoustic_scale=0.02)
         assert bad > good + 15.0, (good, bad)
 
+    def test_wave_pipelined_decode_matches_single(self, system):
+        """num_waves>1 (ingest/compute overlap) must be a pure
+        performance option: identical words and costs to the
+        single-wave decode."""
+        sysd, graph, spec = system
+        pipe = _pipeline(sysd, graph, spec)
+        utts = sorted(sysd["test_wav"])
+        waves = [sysd["test_wav"][u] for u in utts]
+        ref = pipe.decode_batch(waves)
+        out = pipe.decode_batch(waves, num_waves=3)
+        assert len(out) == len(ref)
+        for r, o in zip(ref, out):
+            assert (r is None) == (o is None)
+            if r is not None:
+                assert o[0] == r[0]
+                assert o[1] == pytest.approx(r[1], abs=1e-3)
+
     def test_lm_informative(self, system):
         """The estimated bigram must model held-out text far better
         than a flat LM (perplexity — the statistically stable check at
