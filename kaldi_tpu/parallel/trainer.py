@@ -89,6 +89,9 @@ def make_sharded_train_step(model: ChainTdnnf, tx, opts: ChainTrainingOptions,
         return -objf, (aux, updates["batch_stats"])
 
     def train_step(state: ChainTrainState, batch) -> Tuple[ChainTrainState, Dict]:
+        # optional runtime LR multiplier (a traced scalar, so the
+        # divergence guard's backoff does not recompile the step)
+        lr_scale = batch.get("lr_scale", 1.0)
         (loss, (aux, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
         if backstitch_scale > 0:
@@ -96,18 +99,22 @@ def make_sharded_train_step(model: ChainTdnnf, tx, opts: ChainTrainingOptions,
             upd1, _ = tx.update(grads, state.opt_state, state.params)
             mid = optax.apply_updates(
                 state.params,
-                jax.tree.map(lambda u: -backstitch_scale * u, upd1))
+                jax.tree.map(lambda u: -backstitch_scale * lr_scale * u,
+                             upd1))
             # step 2: descend by (1+alpha) * update(g(mid))
             (loss, (aux, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(mid, state.batch_stats, batch)
             upd2, new_opt = tx.update(grads, state.opt_state, mid)
             new_params = optax.apply_updates(
-                mid, jax.tree.map(lambda u: (1 + backstitch_scale) * u,
-                                  upd2))
+                mid, jax.tree.map(
+                    lambda u: (1 + backstitch_scale) * lr_scale * u,
+                    upd2))
         else:
             updates, new_opt = tx.update(grads, state.opt_state,
                                          state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            new_params = optax.apply_updates(
+                state.params,
+                jax.tree.map(lambda u: lr_scale * u, updates))
         metrics = {"objf": -loss, **aux,
                    "grad_norm": optax.global_norm(grads)}
         return ChainTrainState(new_params, new_stats, new_opt,
@@ -137,10 +144,14 @@ def train_chain_from_egs(den_fst_path: str, egs_rspecifier: str,
                          num_layers: int = 6,
                          xent_regularize: float = 0.1,
                          frame_subsampling_factor: int = 3,
-                         seed: int = 0) -> Tuple[int, float]:
+                         seed: int = 0,
+                         divergence_guard: bool = True) -> Tuple[int, float]:
     """nnet3-chain-train: train the native TDNN-F from prepared
     chain egs + a den.fst, write an exporter raw .mdl (the reference's
     raw-nnet in/out contract, src/chainbin/nnet3-chain-train.cc).
+    divergence_guard enables snapshot/rollback + LR backoff on
+    non-finite or collapsing objectives (parallel/recovery.py — the
+    reference's get_successful_models / iteration-restart policy).
     Returns (num_steps, final_objf)."""
     from kaldi_tpu.chain.graphs import den_graph_from_fst_file
     from kaldi_tpu.nnet3.egs import merged_minibatches
@@ -151,6 +162,10 @@ def train_chain_from_egs(den_fst_path: str, egs_rspecifier: str,
     state = model = step_fn = None
     opts = ChainTrainingOptions(xent_regularize=xent_regularize)
     n_steps, objf = 0, float("nan")
+    guard = None
+    if divergence_guard:
+        from kaldi_tpu.parallel.recovery import DivergenceGuard
+        guard = DivergenceGuard()
     for _epoch in range(num_epochs):
         for batch in merged_minibatches(egs_rspecifier, minibatch_size,
                                         drop_last=False):
@@ -183,11 +198,18 @@ def train_chain_from_egs(den_fst_path: str, egs_rspecifier: str,
                     example_T=int(feats.shape[1]))
                 step_fn = make_sharded_train_step(model, tx, opts,
                                                   den_graph)
-            state, metrics = step_fn(
-                state, {"feats": feats,
-                        "num_graphs": tuple(jnp.asarray(a) for a in
-                                            batch["num_graphs"])})
+            step_batch = {"feats": feats,
+                          "num_graphs": tuple(jnp.asarray(a) for a in
+                                              batch["num_graphs"])}
+            if guard is not None:
+                step_batch["lr_scale"] = jnp.float32(guard.lr_scale)
+            state, metrics = step_fn(state, step_batch)
             objf = float(metrics["objf"])
+            if guard is not None and n_steps > 0:
+                state, ok = guard.observe(
+                    state, objf, float(metrics["grad_norm"]))
+                if not ok:
+                    continue
             if n_steps == 0 and objf < -1e9:
                 raise ValueError(
                     "train_chain_from_egs: numerator forward-backward "
