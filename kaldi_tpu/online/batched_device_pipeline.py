@@ -135,6 +135,7 @@ class BatchedDeviceOnlinePipeline:
     def free_channel(self, lane: int) -> None:
         self.channels[lane] = None
         self._maybe_trim()
+        self._trim_committed()
 
     def accept_waveform(self, lane: int, samp_freq: float,
                         samples: np.ndarray) -> None:
@@ -306,6 +307,38 @@ class BatchedDeviceOnlinePipeline:
             self._ys.clear()
             self._acts.clear()
             self._total_frames = 0
+
+    def _trim_committed(self) -> None:
+        """Drop decision history before the all-lane watermark (the
+        earliest ACTIVE utterance start).  This bounds the follow-pass
+        cost and the decision-store HBM by the active window instead
+        of the session length, so a rotating-lane session streams
+        indefinitely (the reference frees per-channel history on
+        ConcurrentGetRawLatticeSingleChannel completion the same way,
+        cudadecoder/cuda-decoder.h:370) and a single finalize() costs
+        one follow over the active window, not the whole session."""
+        import jax
+        import jax.numpy as jnp
+        if not self._ys:
+            return
+        active = [c for c in self.channels if c is not None]
+        wm = min((c.start_frame for c in active),
+                 default=self._total_frames)
+        if wm < 4 * self.Tc:          # not worth a device slice yet
+            return
+        act = np.concatenate(self._acts, 0)
+        if len(self._ys) > 1:
+            ys = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0),
+                              *self._ys)
+        else:
+            ys = self._ys[0]
+        self._ys = [jax.tree.map(lambda x: x[wm:], ys)]
+        self._acts = [act[wm:]]
+        self._total_frames -= wm
+        for ch in active:
+            ch.start_frame -= wm
+            ch.end_frame -= wm
+        self._tb_cache = (-1, None)   # frame indices shifted
 
 
 class BatchedDeviceOnlinePipelineLex(BatchedDeviceOnlinePipeline):

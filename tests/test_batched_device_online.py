@@ -90,6 +90,54 @@ def test_partials_progress_and_lane_reuse():
     assert final2[2] == pytest.approx(ref2[2], abs=1e-3)
 
 
+def test_rotating_lanes_trim_bounds_history():
+    """Committed-history trim: a rotating-lane session whose TOTAL
+    frame count exceeds max_frames must keep streaming (history before
+    the all-lane watermark is dropped), and every utterance must still
+    match its offline decode exactly."""
+    g = build_small(seed=0)
+    dec = BlockChainDecoder(g, interpret=True)
+    rng = np.random.default_rng(3)
+    Tc = 4
+    max_frames = 48
+    pipe = BatchedDeviceOnlinePipeline(
+        dec, identity_scorer, feat_dim=g.num_pdfs, num_lanes=2,
+        chunk_frames=Tc, max_frames=max_frames)
+    n_utt, T_u = 8, 12
+    lls = [rng.normal(size=(T_u, g.num_pdfs)).astype(np.float32)
+           for _ in range(n_utt)]
+    refs = [dec.decode_batch(ll[None], 1.0)[0] for ll in lls]
+    results = [None] * n_utt
+
+    pipe.init_channel(0, "u0")
+    pipe.accept_features(0, lls[0])
+    while pipe.compute():
+        pass
+    for i in range(1, n_utt):
+        lane, prev_lane = i % 2, (i - 1) % 2
+        # overlap: utterance i starts BEFORE utterance i-1 is freed
+        pipe.init_channel(lane, f"u{i}")
+        pipe.accept_features(lane, lls[i])
+        while pipe.compute():
+            pass
+        results[i - 1] = pipe.finalize(prev_lane)
+        pipe.free_channel(prev_lane)
+        assert pipe._total_frames <= max_frames, \
+            "history not trimmed to the active window"
+    results[n_utt - 1] = pipe.finalize((n_utt - 1) % 2)
+    pipe.free_channel((n_utt - 1) % 2)
+
+    # total streamed frames (8*12=96 plus chunk padding) far exceeds
+    # max_frames=48 — only the watermark trim makes this session legal
+    assert n_utt * T_u > max_frames
+    for i in range(n_utt):
+        assert results[i] is not None and refs[i] is not None, i
+        words, tids, cost = results[i]
+        assert words == refs[i][0], f"utt {i}"
+        assert tids == refs[i][1], f"utt {i}"
+        assert cost == pytest.approx(refs[i][2], abs=1e-3)
+
+
 @pytest.mark.parametrize("seed,use_sil", [(0, True), (1, False)])
 def test_lexchain_streaming_matches_offline(seed, use_sil):
     """Round-3 decoder in the online pipeline: chunked streaming over
