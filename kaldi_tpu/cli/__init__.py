@@ -244,6 +244,17 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.sgmm2_tools", {
+    "sgmm2-init": "sgmm2_init",
+    "sgmm2-acc-stats-ali": "sgmm2_acc_stats_ali",
+    "sgmm2-sum-accs": "sgmm2_sum_accs",
+    "sgmm2-est": "sgmm2_est",
+    "sgmm2-est-spkvecs": "sgmm2_est_spkvecs",
+    "sgmm2-latgen-faster": "sgmm2_latgen_faster",
+    "sgmm2-info": "sgmm2_info",
+    "sgmm2-copy": "sgmm2_copy",
+})
+
 
 def get_tool(name: str) -> Callable[[List[str]], int]:
     module_name, func = TOOLS[name]

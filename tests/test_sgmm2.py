@@ -114,6 +114,79 @@ def test_subspace_structure_is_shared():
     assert model.M.shape == (I, D, model.phn_dim)
 
 
+def _spk_data(seed=0, n_spk=3, n_utt_per_spk=2, n_per_state=150):
+    """Speaker-shifted variant: every speaker adds a global offset
+    along a shared direction — exactly what N_i v^(s) models."""
+    rng = np.random.default_rng(seed)
+    ubm, feats, states = _data(seed)
+    direction = rng.normal(size=(1, D))
+    direction /= np.linalg.norm(direction)
+    sf, ss, spk = [], [], []
+    for s in range(n_spk):
+        shift = (s - 1) * 2.5 * direction      # -2.5, 0, +2.5 sigma
+        for u in range(n_utt_per_spk):
+            j = (s + u) % J
+            sf.append((feats[j] + shift).astype(np.float32))
+            ss.append(states[j])
+            spk.append(s)
+    return ubm, sf, ss, spk
+
+
+def test_speaker_subspace_improves_loglike():
+    from kaldi_tpu.sgmm2 import estimate_speaker_vectors
+    ubm, sf, ss, spk = _spk_data()
+    base = train_sgmm2(ubm, sf, ss, J, Sgmm2Options(num_iters=4))
+    adapted = train_sgmm2(ubm, sf, ss, J,
+                          Sgmm2Options(num_iters=4, spk_dim=2),
+                          speakers=spk)
+    assert adapted.N is not None and adapted.u is not None
+    vecs = estimate_speaker_vectors(adapted, sf, ss, spk)
+    # speaker-adapted per-frame loglike beats the unadapted model
+    def avg_ll(model, use_vecs):
+        tot = n = 0.0
+        for f, st, s in zip(sf, ss, spk):
+            ll = model.log_likes(
+                f, vecs[s] if use_vecs else None)
+            tot += float(ll[np.arange(len(st)), st].sum())
+            n += len(st)
+        return tot / n
+    ll_base = avg_ll(base, False)
+    ll_adapt = avg_ll(adapted, True)
+    assert ll_adapt > ll_base + 0.1, (ll_base, ll_adapt)
+    # distinct speakers get distinct vectors; shifted speakers move
+    # in opposite directions from the central one
+    v0, v2 = vecs[0], vecs[2]
+    assert np.linalg.norm(v0 - v2) > 0.2, (v0, v2)
+
+
+def test_speaker_subspace_round_trip():
+    ubm, sf, ss, spk = _spk_data(seed=5)
+    model = train_sgmm2(ubm, sf, ss, J,
+                        Sgmm2Options(num_iters=2, spk_dim=2),
+                        speakers=spk)
+    import io as _io
+    buf = _io.BytesIO()
+    model.write(buf, binary=True)
+    buf.seek(0)
+    model2 = AmSgmm2.read(buf, binary=True)
+    assert model2.spk_dim == 2 and model2.u is not None
+    x = sf[0][:20]
+    v = np.array([0.5, -0.3])
+    np.testing.assert_allclose(model2.log_likes(x, v),
+                               model.log_likes(x, v), atol=1e-4)
+
+
+def test_speaker_vector_zero_is_unadapted_means():
+    """v^(s)=0 gives the speaker-independent model up to the u term
+    (which is zero at init)."""
+    ubm, feats, states = _data(seed=6)
+    model = train_sgmm2(ubm, feats, states, J, Sgmm2Options(num_iters=2))
+    model.init_speaker_subspace(2, use_u=True)
+    x = feats[0][:15]
+    np.testing.assert_allclose(model.log_likes(x, np.zeros(2)),
+                               model.log_likes(x), atol=1e-8)
+
+
 @pytest.mark.slow
 def test_sgmm2_decode_end_to_end():
     """Full SGMM2 recipe shape: mono GMM bootstrap -> pdf alignments ->
