@@ -244,6 +244,35 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.tail5_tools", {
+    "feat-to-post": "feat_to_post",
+    "prob-to-post": "prob_to_post",
+    "logprob-to-post": "logprob_to_post",
+    "get-post-on-ali": "get_post_on_ali",
+    "post-to-tacc": "post_to_tacc",
+    "matrix-sum-rows": "matrix_sum_rows",
+    "sum-matrices": "sum_matrices",
+    "paste-vectors": "paste_vectors",
+    "multiply-vectors": "multiply_vectors",
+    "transform-vec": "transform_vec",
+    "compare-int-vector": "compare_int_vector",
+    "analyze-counts": "analyze_counts",
+    "select-voiced-frames": "select_voiced_frames",
+    "merge-vads": "merge_vads",
+    "compute-vad-from-frame-likes": "compute_vad_from_frame_likes",
+    "gmm-compute-likes": "gmm_compute_likes",
+    "gmm-adapt-map": "gmm_adapt_map",
+    "gmm-rescore-lattice": "gmm_rescore_lattice",
+    "decode-faster-mapped": "decode_faster_mapped",
+    "hmm-info": "hmm_info",
+    "ivector-extractor-init": "ivector_extractor_init",
+    "ivector-extractor-acc-stats": "ivector_extractor_acc_stats",
+    "ivector-extractor-sum-accs": "ivector_extractor_sum_accs",
+    "ivector-extractor-est": "ivector_extractor_est",
+    "ivector-compute-lda": "ivector_compute_lda",
+    "ivector-transform": "ivector_transform",
+})
+
 _register("kaldi_tpu.cli.sgmm2_tools", {
     "sgmm2-init": "sgmm2_init",
     "sgmm2-acc-stats-ali": "sgmm2_acc_stats_ali",

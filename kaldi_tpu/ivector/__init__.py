@@ -1,6 +1,7 @@
 from kaldi_tpu.ivector.extractor import (  # noqa: F401
     IvectorExtractor,
     IvectorExtractorOptions,
+    IvectorExtractorStats,
     OnlineIvectorEstimationStats,
     train_ivector_extractor,
 )

@@ -206,6 +206,73 @@ class OnlineIvectorEstimationStats:
         self.num_frames *= s
 
 
+class IvectorExtractorStats:
+    """Accumulable E-step statistics (ivector-extractor.h:481
+    IvectorExtractorStats): acc per utterance, sum across jobs
+    (ivector-extractor-sum-accs), update() applies the M-step
+    (ivector-extractor-est)."""
+
+    def __init__(self, ex: IvectorExtractor):
+        G, D, R = ex.num_gauss, ex.dim, ex.R
+        self.A = np.zeros((G, R, R))   # Σ_u γ_u,g E[w wᵀ]
+        self.B = np.zeros((G, D, R))   # Σ_u x_u,g E[w]ᵀ
+        self.num_utts = 0
+
+    def acc_stats(self, ex: IvectorExtractor, feats: np.ndarray,
+                  posteriors: Optional[np.ndarray] = None) -> None:
+        gamma, x = ex.acc_utt_stats(feats, posteriors)
+        self.acc_from_utt_stats(ex, gamma, x)
+
+    def acc_from_utt_stats(self, ex: IvectorExtractor,
+                           gamma: np.ndarray, x: np.ndarray) -> None:
+        L, b = ex._precision_linear(gamma, x)
+        cov = np.linalg.inv(L)
+        mean = cov @ b
+        Eww = cov + np.outer(mean, mean)
+        self.A += gamma[:, None, None] * Eww[None, :, :]
+        self.B += np.einsum("gd,r->gdr", x, mean)
+        self.num_utts += 1
+
+    def add(self, other: "IvectorExtractorStats") -> None:
+        self.A += other.A
+        self.B += other.B
+        self.num_utts += other.num_utts
+
+    def update(self, ex: IvectorExtractor) -> None:
+        """M-step: M_g = B_g A_g^{-1} (row-wise; diagonal or full
+        sigma factors out of the per-gaussian solve)."""
+        for g in range(ex.num_gauss):
+            ex.M[g] = np.linalg.solve(self.A[g].T, self.B[g].T).T
+
+    # -- I/O -----------------------------------------------------------
+
+    def write(self, stream, binary: bool = True) -> None:
+        iof.write_token(stream, binary, "<IvectorExtractorStats>")
+        iof.write_int32(stream, binary, self.num_utts)
+        G = self.A.shape[0]
+        iof.write_int32(stream, binary, G)
+        for g in range(G):
+            iof.write_matrix(stream, binary, self.A[g])
+            iof.write_matrix(stream, binary, self.B[g])
+        iof.write_token(stream, binary, "</IvectorExtractorStats>")
+
+    @classmethod
+    def read(cls, stream, binary: bool = True
+             ) -> "IvectorExtractorStats":
+        iof.expect_token(stream, binary, "<IvectorExtractorStats>")
+        out = cls.__new__(cls)
+        out.num_utts = iof.read_int32(stream, binary)
+        G = iof.read_int32(stream, binary)
+        A, B = [], []
+        for _ in range(G):
+            A.append(iof.read_matrix(stream, binary))
+            B.append(iof.read_matrix(stream, binary))
+        out.A = np.stack(A).astype(np.float64)
+        out.B = np.stack(B).astype(np.float64)
+        iof.expect_token(stream, binary, "</IvectorExtractorStats>")
+        return out
+
+
 def train_ivector_extractor(ubm, feats_list: Sequence[np.ndarray],
                             opts: Optional[IvectorExtractorOptions] = None
                             ) -> IvectorExtractor:
@@ -214,23 +281,11 @@ def train_ivector_extractor(ubm, feats_list: Sequence[np.ndarray],
     if opts is None:
         opts = IvectorExtractorOptions()
     ex = IvectorExtractor(ubm, opts.ivector_dim, opts.prior_offset)
-    G, D, R = ex.num_gauss, ex.dim, ex.R
     utt_stats = [ex.acc_utt_stats(f) for f in feats_list]
     for it in range(opts.num_iters):
-        # E-step: per utterance posterior mean/cov of w
-        A = np.zeros((G, R, R))   # Σ_u γ_u,g E[w wᵀ]
-        B = np.zeros((G, D, R))   # Σ_u x_u,g E[w]ᵀ
-        tot_like = 0.0
+        stats = IvectorExtractorStats(ex)
         for gamma, x in utt_stats:
-            L, b = ex._precision_linear(gamma, x)
-            cov = np.linalg.inv(L)
-            mean = cov @ b
-            Eww = cov + np.outer(mean, mean)
-            A += gamma[:, None, None] * Eww[None, :, :]
-            B += np.einsum("gd,r->gdr", x, mean)
-        # M-step: M_g = B_g A_g^{-1}  (row-wise; diagonal sigma makes the
-        # per-dim solution shared)
-        for g in range(G):
-            ex.M[g] = np.linalg.solve(A[g].T, B[g].T).T
+            stats.acc_from_utt_stats(ex, gamma, x)
+        stats.update(ex)
         log(f"ivector EM iteration {it} done")
     return ex
