@@ -244,6 +244,18 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.lat_tools3", {
+    "lattice-add-trans-probs": "lattice_add_trans_probs",
+    "lattice-copy-backoff": "lattice_copy_backoff",
+    "lattice-rescore-mapped": "lattice_rescore_mapped",
+    "nbest-to-lattice": "nbest_to_lattice",
+    "lattice-minimize": "lattice_minimize",
+    "lattice-to-kws-index": "lattice_to_kws_index",
+    "kws-index-union": "kws_index_union",
+    "kws-search": "kws_search",
+    "compute-atwv": "compute_atwv",
+})
+
 _register("kaldi_tpu.cli.tail5_tools", {
     "feat-to-post": "feat_to_post",
     "prob-to-post": "prob_to_post",

@@ -105,6 +105,54 @@ class KwsIndex:
             for t0, t1, p in merged:
                 self.postings[word].append((utt, t0, t1, p))
 
+    # -- I/O (kws-index-union/kws-search file exchange) ---------------
+
+    def write(self, stream, binary: bool = True) -> None:
+        from kaldi_tpu.base import io_funcs as iof
+        iof.write_token(stream, binary, "<KwsIndex>")
+        utts = sorted({e[0] for es in self.postings.values()
+                       for e in es})
+        uid = {u: i for i, u in enumerate(utts)}
+        iof.write_int32(stream, binary, len(utts))
+        for u in utts:
+            iof.write_token(stream, binary, u)
+        iof.write_int32(stream, binary, len(self.postings))
+        for word in sorted(self.postings):
+            es = self.postings[word]
+            iof.write_int32(stream, binary, int(word))
+            iof.write_int32(stream, binary, len(es))
+            arr = np.asarray([[uid[u], t0, t1] for u, t0, t1, _ in es],
+                             np.float64).reshape(len(es), 3)
+            ps = np.asarray([p for *_x, p in es], np.float64)
+            iof.write_matrix(
+                stream, binary,
+                np.concatenate([arr, ps[:, None]], axis=1))
+        iof.write_token(stream, binary, "</KwsIndex>")
+
+    @classmethod
+    def read(cls, stream, binary: bool = True) -> "KwsIndex":
+        from kaldi_tpu.base import io_funcs as iof
+        iof.expect_token(stream, binary, "<KwsIndex>")
+        out = cls()
+        nu = iof.read_int32(stream, binary)
+        utts = [iof.read_token(stream, binary) for _ in range(nu)]
+        nw = iof.read_int32(stream, binary)
+        for _ in range(nw):
+            word = iof.read_int32(stream, binary)
+            ne = iof.read_int32(stream, binary)
+            mat = iof.read_matrix(stream, binary)
+            assert mat.shape == (ne, 4), mat.shape
+            out.postings[word] = [
+                (utts[int(r[0])], int(r[1]), int(r[2]), float(r[3]))
+                for r in mat]
+        iof.expect_token(stream, binary, "</KwsIndex>")
+        return out
+
+    def union(self, other: "KwsIndex") -> None:
+        """Merge another index's postings (kws-index-union)."""
+        for word, es in other.postings.items():
+            self.postings[word].extend(es)
+
     # -- search -------------------------------------------------------------------
 
     def search(self, keyword: Sequence[int],
