@@ -376,25 +376,47 @@ def read_matrix(stream: BinaryIO, binary: bool) -> np.ndarray:
         cols = read_int32(stream, binary)
         data = stream.read(rows * cols * (4 if tok == "FM" else 8))
         return np.frombuffer(data, dtype=dt).reshape(rows, cols).copy()
-    # Text format: " [ \n r0... \n r1... ]"
+    # Text format: " [ \n r0... \n r1... ]".  Tokens are scanned
+    # manually (never consuming the delimiter) so a row break is
+    # detected whether or not the row has a trailing space before its
+    # newline (the reference writer emits one; hand-written files may
+    # not).
     expect_token(stream, binary, "[")
     rows: List[List[float]] = []
     cur: List[float] = []
     while True:
-        tok = read_token(stream, binary)
+        saw_nl = False
+        while True:                       # skip whitespace, note \n
+            pos = stream.tell()
+            c = stream.read(1)
+            if not c:
+                raise KaldiTpuError("read_matrix: unexpected EOF")
+            if c.isspace():
+                if c == b"\n":
+                    saw_nl = True
+                continue
+            stream.seek(pos)
+            break
+        if saw_nl and cur:
+            rows.append(cur)
+            cur = []
+        chars = bytearray()               # read token, keep delimiter
+        while True:
+            pos = stream.tell()
+            c = stream.read(1)
+            if not c or c.isspace():
+                stream.seek(pos)
+                break
+            chars += c
+        tok = chars.decode("utf-8")
         if tok == "]":
+            pos = stream.tell()           # consume one trailing ws, if any
+            if not (stream.read(1) or b" ").isspace():
+                stream.seek(pos)
             if cur:
                 rows.append(cur)
             break
-        # text rows are newline-separated; we rebuild by detecting newlines
         cur.append(float(tok))
-        pos = stream.tell()
-        # peek for newline → end of row
-        c = stream.read(1)
-        stream.seek(pos)
-        if c == b"\n":
-            rows.append(cur)
-            cur = []
     if not rows:
         return np.zeros((0, 0), dtype=np.float32)
     ncol = len(rows[0])

@@ -244,6 +244,18 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.nnet3_tools2", {
+    "nnet3-get-egs": "nnet3_get_egs",
+    "nnet3-copy-egs": "nnet3_copy_egs",
+    "nnet3-shuffle-egs": "nnet3_shuffle_egs",
+    "nnet3-merge-egs": "nnet3_merge_egs",
+    "nnet3-subset-egs": "nnet3_subset_egs",
+    "nnet3-copy": "nnet3_copy",
+    "nnet3-average": "nnet3_average",
+    "nnet3-compute-from-egs": "nnet3_compute_from_egs",
+    "nnet3-compute-prob": "nnet3_compute_prob",
+})
+
 _register("kaldi_tpu.cli.lat_tools3", {
     "lattice-add-trans-probs": "lattice_add_trans_probs",
     "lattice-copy-backoff": "lattice_copy_backoff",

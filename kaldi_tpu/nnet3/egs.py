@@ -139,6 +139,75 @@ class SupervisionHolder(Holder):
         write_packed_graph(stream, binary, value)
 
 
+class NnetExample:
+    """Plain (non-chain) frame-supervised example (nnet3/nnet-example.h
+    NnetExample): feature rows + per-frame sparse posterior targets.
+    A merged minibatch concatenates rows and records `batch` (the
+    reference's multiple-n indexes)."""
+
+    def __init__(self, feats: np.ndarray, targets, left_context: int = 0,
+                 right_context: int = 0, batch: int = 1):
+        self.feats = np.asarray(feats, np.float32)
+        self.targets = targets      # list per row of [(pdf, weight)]
+        self.left_context = int(left_context)
+        self.right_context = int(right_context)
+        self.batch = int(batch)
+
+    def write(self, stream: BinaryIO, binary: bool = True) -> None:
+        iof.write_token(stream, binary, "<Egs>")
+        iof.write_matrix(stream, binary, self.feats)
+        iof.write_int32(stream, binary, len(self.targets))
+        for frame in self.targets:
+            iof.write_int_vector(stream, binary,
+                                 [p for p, _ in frame])
+            iof.write_vector(
+                stream, binary,
+                np.asarray([w for _, w in frame], np.float64))
+        iof.write_int32(stream, binary, self.left_context)
+        iof.write_int32(stream, binary, self.right_context)
+        iof.write_int32(stream, binary, self.batch)
+        iof.write_token(stream, binary, "</Egs>")
+
+    @classmethod
+    def read(cls, stream: BinaryIO, binary: bool = True
+             ) -> "NnetExample":
+        iof.expect_token(stream, binary, "<Egs>")
+        feats = iof.read_matrix(stream, binary)
+        T = iof.read_int32(stream, binary)
+        targets = []
+        for _ in range(T):
+            pdfs = iof.read_int_vector(stream, binary)
+            ws = iof.read_vector(stream, binary)
+            targets.append(list(zip([int(p) for p in pdfs],
+                                    [float(w) for w in ws])))
+        left = iof.read_int32(stream, binary)
+        right = iof.read_int32(stream, binary)
+        batch = iof.read_int32(stream, binary)
+        iof.expect_token(stream, binary, "</Egs>")
+        return cls(feats, targets, left, right, batch)
+
+
+class ExampleHolder(Holder):
+    def read(self, stream):
+        binary = iof.init_input_stream(stream)
+        return NnetExample.read(stream, binary)
+
+    def write(self, stream, binary, value):
+        value.write(stream, binary)
+
+
+def merge_plain_egs(egs: List["NnetExample"]) -> "NnetExample":
+    """Concatenate same-width examples into one minibatch example."""
+    assert egs, "merge_plain_egs: empty group"
+    feats = np.concatenate([e.feats for e in egs], axis=0)
+    targets: List = []
+    for e in egs:
+        targets.extend(e.targets)
+    return NnetExample(feats, targets, egs[0].left_context,
+                       egs[0].right_context,
+                       batch=sum(e.batch for e in egs))
+
+
 def shuffle_egs(rspecifier: str, wspecifier: str, seed: int = 0,
                 buffer_size: int = 5000) -> int:
     """nnet3-shuffle-egs: randomized-buffer shuffle."""
