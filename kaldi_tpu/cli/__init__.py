@@ -244,6 +244,14 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.rnnlm_tools", {
+    "rnnlm-train": "rnnlm_train",
+    "rnnlm-sentence-probs": "rnnlm_sentence_probs",
+    "rnnlm-compute-prob": "rnnlm_compute_prob",
+    "rnnlm-get-sampling-lm": "rnnlm_get_sampling_lm",
+    "lattice-lmrescore-kaldi-rnnlm": "lattice_lmrescore_kaldi_rnnlm",
+})
+
 _register("kaldi_tpu.cli.nnet3_tools2", {
     "nnet3-get-egs": "nnet3_get_egs",
     "nnet3-copy-egs": "nnet3_copy_egs",
