@@ -244,6 +244,21 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.tail6_tools", {
+    "gmm-init-model": "gmm_init_model",
+    "gmm-mixup": "gmm_mixup",
+    "gmm-gselect": "gmm_gselect",
+    "fgmm-gselect": "fgmm_gselect",
+    "gmm-global-get-post": "gmm_global_get_post",
+    "gmm-global-info": "gmm_global_info",
+    "fgmm-global-info": "fgmm_global_info",
+    "fgmm-global-copy": "fgmm_global_copy",
+    "convert-ali": "convert_ali",
+    "gmm-acc-mllt": "gmm_acc_mllt",
+    "est-mllt": "est_mllt",
+    "est-pca": "est_pca",
+})
+
 _register("kaldi_tpu.cli.rnnlm_tools", {
     "rnnlm-train": "rnnlm_train",
     "rnnlm-sentence-probs": "rnnlm_sentence_probs",
