@@ -244,6 +244,13 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.online_tools2", {
+    "online2-tcp-nnet3-decode-faster": "online2_tcp_nnet3_decode_faster",
+    "online2-wav-dump-features": "online2_wav_dump_features",
+    "align-compiled-mapped": "align_compiled_mapped",
+    "nnet3-align-compiled": "nnet3_align_compiled",
+})
+
 _register("kaldi_tpu.cli.tail6_tools", {
     "gmm-init-model": "gmm_init_model",
     "gmm-mixup": "gmm_mixup",

@@ -83,6 +83,7 @@ class TcpDecodeServer:
         self.acoustic_scale = acoustic_scale
         self.chunk_bytes = max(2, int(samp_freq * chunk_ms / 1000) * 2)
         self.endpoint_config = endpoint_config or OnlineEndpointConfig()
+        self.num_served = 0       # completed connections (CLI exit-after)
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -91,6 +92,8 @@ class TcpDecodeServer:
                     self._handle()
                 except (ConnectionError, BrokenPipeError) as e:
                     warn(f"client {self.client_address} dropped: {e}")
+                finally:
+                    outer.num_served += 1
 
             def _handle(self):
                 sess = DecodeSession(outer)
