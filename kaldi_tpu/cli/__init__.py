@@ -264,6 +264,8 @@ _register("kaldi_tpu.cli.tail6_tools", {
     "gmm-acc-mllt": "gmm_acc_mllt",
     "est-mllt": "est_mllt",
     "est-pca": "est_pca",
+    "make-h-transducer": "make_h_transducer",
+    "add-self-loops": "add_self_loops",
 })
 
 _register("kaldi_tpu.cli.rnnlm_tools", {

@@ -394,6 +394,71 @@ def est_mllt(argv: List[str]) -> int:
     return 0
 
 
+def make_h_transducer(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Make the Ha transducer (transition-ids, self-loops excluded, "
+        "to context-dependent-phone ilabel indices; "
+        "make-h-transducer.cc).\n"
+        "Usage: make-h-transducer [options] <ilabel-info-file> "
+        "<tree-in> <model-in> [<H-out>]")
+    transition_scale = po.register_value(
+        "transition-scale", 1.0, "Scale on transition probabilities "
+        "(excluding self-loops)")
+    disambig_out = po.register_value(
+        "disambig-syms-out", "", "File to write the H-side "
+        "disambiguation symbol ids")
+    po.read(argv)
+    if po.num_args() < 3 or po.num_args() > 4:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.cli.fst_tools import _write_fst_out
+    from kaldi_tpu.cli.tail5_tools import _read_tm
+    from kaldi_tpu.hmm.hmm_utils import make_h_transducer as make_h
+    from kaldi_tpu.tree.context_dep import ContextDependency
+    with kaldi_io.input_stream(po.get_arg(1)) as f:
+        b = iof.init_input_stream(f)
+        count = iof.read_int32(f, b)
+        ilabel_info = [tuple(iof.read_int_vector(f, b))
+                       for _ in range(count)]
+    tree = kaldi_io.read_kaldi_object(ContextDependency.read,
+                                      po.get_arg(2))
+    tm = _read_tm(po.get_arg(3))
+    ha, disambig = make_h(ilabel_info, tree, tm,
+                          transition_scale=transition_scale[0])
+    if disambig_out[0]:
+        with open(disambig_out[0], "w") as f:
+            for d in disambig:
+                f.write(f"{d}\n")
+    _write_fst_out(ha, po.get_arg(4) if po.num_args() == 4 else "-")
+    log(f"made H transducer: {ha.num_states} states, "
+        f"{len(disambig)} disambig syms")
+    return 0
+
+
+def add_self_loops(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Add self-loops (reorder=true) and undo the 1-p_self "
+        "renormalization at the given scale (add-self-loops.cc).\n"
+        "Usage: add-self-loops [options] <model-in> [<fst-in> "
+        "[<fst-out>]]")
+    self_loop_scale = po.register_value(
+        "self-loop-scale", 0.1, "Scale on self-loop log-probs")
+    po.read(argv)
+    if po.num_args() < 1 or po.num_args() > 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.cli.fst_tools import _write_fst_out
+    from kaldi_tpu.cli.tail5_tools import _read_tm
+    from kaldi_tpu.fstext.openfst_io import read_fst_file
+    from kaldi_tpu.hmm.hmm_utils import add_self_loops as add_sl
+    tm = _read_tm(po.get_arg(1))
+    fin = po.get_arg(2) if po.num_args() >= 2 else "-"
+    fst = read_fst_file(fin)
+    out = add_sl(fst, tm, self_loop_scale=self_loop_scale[0])
+    _write_fst_out(out, po.get_arg(3) if po.num_args() == 3 else "-")
+    return 0
+
+
 def est_pca(argv: List[str]) -> int:
     po = ParseOptions(
         "Estimate a PCA transform from features (est-pca.cc; "
