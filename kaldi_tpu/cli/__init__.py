@@ -196,6 +196,7 @@ _register("kaldi_tpu.cli.chain_tools", {
     "chain-make-den-fst": "chain_make_den_fst",
     "chain-get-supervision": "chain_get_supervision",
     "nnet3-chain-get-egs": "nnet3_chain_get_egs",
+    "nnet3-chain-e2e-get-egs": "nnet3_chain_e2e_get_egs",
     "nnet3-chain-copy-egs": "nnet3_chain_copy_egs",
     "nnet3-chain-shuffle-egs": "nnet3_chain_shuffle_egs",
     "nnet3-chain-subset-egs": "nnet3_chain_subset_egs",

@@ -203,6 +203,36 @@ def nnet3_chain_get_egs(argv: List[str]) -> int:
     return 0 if n else 1
 
 
+def nnet3_chain_e2e_get_egs(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Get whole-utterance FLAT-START chain examples: the numerator "
+        "is the transcript graph with free phone durations — no "
+        "alignment needed (src/chainbin/nnet3-chain-e2e-get-egs.cc).\n"
+        "Usage: nnet3-chain-e2e-get-egs [options] <transition-model> "
+        "<features-rspecifier> <phone-transcripts-rspecifier> "
+        "<egs-wspecifier>")
+    optional_sil = po.register_value(
+        "optional-silence-phone", 0, "Phone id of the optional "
+        "silence insertable at every boundary (0 = none)")
+    po.read(argv)
+    if po.num_args() != 4:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.nnet3.egs import generate_chain_e2e_egs
+    from kaldi_tpu.util.kaldi_io import read_kaldi_object
+    tm = read_kaldi_object(TransitionModel.read, po.get_arg(1))
+    feats = {k: np.asarray(m) for k, m in
+             SequentialTableReader("matrix", po.get_arg(2))}
+    trans = {k: [int(p) for p in v] for k, v in
+             SequentialTableReader("int-vector", po.get_arg(3))}
+    n = generate_chain_e2e_egs(
+        feats, trans, tm, po.get_arg(4),
+        optional_sil=optional_sil[0] or None)
+    log(f"nnet3-chain-e2e-get-egs: {n} examples")
+    return 0 if n else 1
+
+
 def nnet3_chain_copy_egs(argv: List[str]) -> int:
     po = ParseOptions(
         "Copy examples for nnet3+chain training, possibly changing "

@@ -101,6 +101,29 @@ def generate_chain_egs(feats: Dict[str, np.ndarray],
     return n
 
 
+def generate_chain_e2e_egs(feats: Dict[str, np.ndarray],
+                           transcripts: Dict[str, List[int]], tm,
+                           wspecifier: str,
+                           optional_sil: Optional[int] = None,
+                           left_context: int = 13,
+                           right_context: int = 13) -> int:
+    """nnet3-chain-e2e-get-egs: flat-start chain examples — one whole-
+    utterance example per utterance, numerator = full transcript graph
+    with free phone durations (no alignment; chain-supervision.cc
+    TrainingGraphToSupervisionE2e)."""
+    from kaldi_tpu.chain.supervision import transcript_to_e2e_numerator
+    n = 0
+    with TableWriter(ChainExampleHolder(), wspecifier) as w:
+        for utt, f in feats.items():
+            if utt not in transcripts or not len(transcripts[utt]):
+                continue
+            g = transcript_to_e2e_numerator(transcripts[utt], tm,
+                                            optional_sil=optional_sil)
+            w.write(utt, NnetChainExample(np.asarray(f), g, 0, 0))
+            n += 1
+    return n
+
+
 def write_packed_graph(stream, binary, g: PackedGraph) -> None:
     iof.write_token(stream, binary, "<Sup>")
     iof.write_int32(stream, binary, g.num_states)

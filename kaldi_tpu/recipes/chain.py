@@ -402,3 +402,136 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
         log(f"chain-topo epoch {epoch}: objf/frame {np.mean(objfs):.4f}")
     return (model, {"params": params, "batch_stats": batch_stats},
             den_graph, chain_tm, chain_tree)
+
+
+def train_chain_e2e(lang, feats: Dict[str, np.ndarray],
+                    transcripts: Dict[str, List[str]],
+                    cfg: Optional[ChainTdnnfConfig] = None,
+                    opts: Optional[ChainTrainOptions] = None):
+    """FLAT-START ('end2end') LF-MMI: no bootstrap GMM, no alignments
+    (egs/wsj/s5 local/e2e recipes; chain-supervision.cc
+    TrainingGraphToSupervisionE2e).  The numerator for each utterance
+    is the full transcript graph with free phone durations and
+    optional silences at every boundary
+    (chain.supervision.transcript_to_e2e_numerator); the denominator
+    phone LM is estimated from the silence-padded transcripts.
+    Returns (model, variables, den_graph, chain_tm, chain_tree)."""
+    from kaldi_tpu.chain.supervision import transcript_to_e2e_numerator
+    from kaldi_tpu.hmm.topology import HmmTopology
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.tree import monophone_context_dependency
+    if opts is None:
+        opts = ChainTrainOptions()
+    phone_ids = sorted(lang.phones.values())
+    topo = HmmTopology.chain_topology(phone_ids)
+    chain_tree = monophone_context_dependency(
+        phone_ids, {p: 2 for p in phone_ids})
+    chain_tm = TransitionModel(topo, chain_tree)
+    sil = lang.phones[lang.sil_phone]
+
+    def phones_of(words: List[str]) -> List[int]:
+        seq: List[int] = []
+        for w in words:
+            seq.extend(lang.phones[p] for p in lang.lexicon[w][0])
+        return seq
+
+    utts = [u for u in feats if u in transcripts and transcripts[u]]
+    seqs = {u: phones_of(list(transcripts[u])) for u in utts}
+    den_graph = make_denominator_graph(
+        [[sil] + s + [sil] for s in seqs.values()], chain_tm,
+        chain_tree)
+    sub = 3 if cfg is None else cfg.frame_subsampling_factor
+    dim = next(iter(feats.values())).shape[1]
+    if cfg is None:
+        cfg = ChainTdnnfConfig(feat_dim=dim, num_pdfs=chain_tm.num_pdfs,
+                               hidden_dim=128, bottleneck_dim=32,
+                               prefinal_dim=64, num_layers=5,
+                               subsample_layer=3,
+                               frame_subsampling_factor=3)
+        sub = 3
+    # whole-utterance examples (no alignment to chunk by), bucketed by
+    # input length rounded down to a multiple of sub
+    buckets: Dict[int, List[Tuple[np.ndarray, object]]] = {}
+    for u in utts:
+        f = np.asarray(feats[u])
+        T_in = (f.shape[0] // sub) * sub
+        if T_in == 0 or (T_in // sub) < len(seqs[u]):
+            continue        # too short to traverse the transcript
+        g = transcript_to_e2e_numerator(seqs[u], chain_tm,
+                                        optional_sil=sil)
+        buckets.setdefault(T_in, []).append((f[:T_in], g))
+    if not buckets:
+        raise ValueError("train_chain_e2e: no usable utterances")
+    log(f"chain-e2e training: {sum(len(v) for v in buckets.values())} "
+        f"utterances in {len(buckets)} length buckets")
+
+    model = ChainTdnnf(cfg, train=True)
+    rng = jax.random.PRNGKey(opts.seed)
+    variables = model.init(rng, jnp.zeros((2, max(buckets), dim)))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    n_items = sum(len(v) for v in buckets.values())
+    steps_per_epoch = max(1, n_items // opts.minibatch_size)
+    total_steps = steps_per_epoch * opts.num_epochs
+    warmup = min(max(total_steps // 20, 10), total_steps // 2 or 1)
+    sched = optax.join_schedules(
+        [optax.linear_schedule(opts.learning_rate * 0.1,
+                               opts.learning_rate, warmup),
+         optax.linear_schedule(opts.learning_rate,
+                               opts.final_learning_rate,
+                               max(total_steps - warmup, 1))],
+        [warmup])
+    tx = optax.chain(optax.clip_by_global_norm(opts.max_param_change),
+                     optax.adam(sched))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, feats_b, num_arrays):
+        def loss_fn(p, bs):
+            (chain_out, xent_out), upd = model.apply(
+                {"params": p, "batch_stats": bs}, feats_b,
+                mutable=["batch_stats"])
+            objf, aux = chain_loss(opts.chain, den_graph, num_arrays,
+                                   chain_out, xent_out)
+            return -objf, (aux, upd["batch_stats"])
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_bs, new_opt,
+                -loss)
+
+    def apply_orthonormal(params):
+        def walk(tree):
+            if isinstance(tree, dict):
+                return {k: (jnp.asarray(constrain_orthonormal(v))
+                            if k == "linear" and hasattr(v, "ndim")
+                            and v.ndim == 2 else walk(v))
+                        for k, v in tree.items()}
+            return tree
+        return walk(params)
+
+    rng_np = np.random.default_rng(opts.seed)
+    it = 0
+    for epoch in range(opts.num_epochs):
+        objfs = []
+        for T_in, items in buckets.items():
+            order = np.arange(len(items))
+            rng_np.shuffle(order)
+            mb = min(opts.minibatch_size, len(items))
+            for i in range(0, len(order) - mb + 1, mb):
+                idx = order[i:i + mb]
+                feats_b = jnp.asarray(
+                    np.stack([items[j][0] for j in idx]))
+                num_arrays = tuple(jnp.asarray(a) for a in batch_pack(
+                    [items[j][1] for j in idx]))
+                params, batch_stats, opt_state, objf = step(
+                    params, batch_stats, opt_state, feats_b,
+                    num_arrays)
+                objfs.append(float(objf))
+                it += 1
+                if it % opts.orthonormal_interval == 0:
+                    params = apply_orthonormal(params)
+        log(f"chain-e2e epoch {epoch}: objf/frame "
+            f"{np.mean(objfs):.4f}")
+    return (model, {"params": params, "batch_stats": batch_stats},
+            den_graph, chain_tm, chain_tree)
