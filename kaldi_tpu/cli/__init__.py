@@ -245,6 +245,13 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.tail7_tools", {
+    "logistic-regression-train": "logistic_regression_train",
+    "logistic-regression-eval": "logistic_regression_eval",
+    "logistic-regression-copy": "logistic_regression_copy",
+    "compute-gop": "compute_gop",
+})
+
 _register("kaldi_tpu.cli.online_tools2", {
     "online2-tcp-nnet3-decode-faster": "online2_tcp_nnet3_decode_faster",
     "online2-wav-dump-features": "online2_wav_dump_features",
