@@ -245,6 +245,19 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.tail8_tools", {
+    "gmm-basis-fmllr-training": "gmm_basis_fmllr_training",
+    "gmm-est-basis-fmllr": "gmm_est_basis_fmllr",
+    "gmm-init-lvtln": "gmm_init_lvtln",
+    "gmm-train-lvtln-special": "gmm_train_lvtln_special",
+    "gmm-est-lvtln-trans": "gmm_est_lvtln_trans",
+    "gmm-make-regtree": "gmm_make_regtree",
+    "gmm-est-regtree-fmllr-ali": "gmm_est_regtree_fmllr_ali",
+    "fmpe-init": "fmpe_init",
+    "fmpe-est": "fmpe_est",
+    "fmpe-apply-transform": "fmpe_apply_transform",
+})
+
 _register("kaldi_tpu.cli.tail7_tools", {
     "logistic-regression-train": "logistic_regression_train",
     "logistic-regression-eval": "logistic_regression_eval",

@@ -383,7 +383,14 @@ class SequentialTableReader:
                 stream = io.BufferedReader(io.BytesIO(stream.read()))
             try:
                 while True:
+                    # tolerate inter-entry whitespace (text holders
+                    # whose values end short of the newline, e.g. a
+                    # float's single trailing space) before deciding
+                    # whether the archive is exhausted
                     b = io_funcs.peek_byte(stream)
+                    while b and b in b" \t\n\r":
+                        stream.read(1)
+                        b = io_funcs.peek_byte(stream)
                     if not b:
                         return
                     key = io_funcs.read_token(stream, True)
