@@ -55,6 +55,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i32p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
         ]
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.ark_scan_matrices.restype = ctypes.c_int
+        lib.ark_scan_matrices.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int64,
+            i64p, i32p, i32p, i8p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _LIB = lib
         vlog(1, f"loaded native library {so}")
     except Exception as e:  # pragma: no cover - toolchain-dependent
@@ -120,3 +130,59 @@ class NativeViterbi:
             return (out_ali[:ali_len.value].tolist(),
                     out_words[:words_len.value].tolist(), float(cost.value))
         return None
+
+
+def ark_matrix_entries(path: str):
+    """Native bulk scan of a plain binary matrix archive.  Returns
+    [(key, offset, rows, cols, np.dtype)] or None when the native
+    library is unavailable or the file is not a supported plain
+    binary FM/DM ark (caller falls back to the Python reader)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return None
+    max_entries = max(64, min(size // 32 + 8, 50_000_000))
+    keys_cap = max(4096, min(size + 16, 1 << 31))
+    while True:
+        keys_buf = ctypes.create_string_buffer(int(keys_cap))
+        offsets = np.zeros(max_entries, np.int64)
+        rows = np.zeros(max_entries, np.int32)
+        cols = np.zeros(max_entries, np.int32)
+        dtypes = np.zeros(max_entries, np.int8)
+        n = ctypes.c_int64()
+        klen = ctypes.c_int64()
+        rc = lib.ark_scan_matrices(
+            path.encode(), keys_buf, int(keys_cap), offsets, rows,
+            cols, dtypes, int(max_entries), ctypes.byref(n),
+            ctypes.byref(klen))
+        if rc == -3:
+            max_entries *= 4
+            keys_cap *= 4
+            continue
+        if rc != 0:
+            return None
+        keys = keys_buf.raw[:klen.value].split(b"\0")[:-1]
+        out = []
+        for i in range(n.value):
+            dt = np.dtype("<f4") if dtypes[i] == 0 else np.dtype("<f8")
+            out.append((keys[i].decode("utf-8"), int(offsets[i]),
+                        int(rows[i]), int(cols[i]), dt))
+        return out
+
+
+def iter_ark_matrices(path: str):
+    """Yield (key, matrix) pairs via the native scan + one mmap; None
+    if the fast path does not apply."""
+    entries = ark_matrix_entries(path)
+    if entries is None:
+        return None
+    data = np.memmap(path, dtype=np.uint8, mode="r")
+
+    def gen():
+        for key, off, r, c, dt in entries:
+            flat = data[off:off + r * c * dt.itemsize].view(dt)
+            yield key, np.ascontiguousarray(flat.reshape(r, c))
+    return gen()

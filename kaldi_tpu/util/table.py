@@ -451,6 +451,8 @@ class RandomAccessTableReader:
         self._scp: Optional[Dict[str, str]] = None
         self._data: Optional[Dict[str, object]] = None
         self._cache: Dict[str, object] = {}
+        self._lazy: Optional[Dict[str, tuple]] = None
+        self._lazy_map = None
 
     def _ensure_loaded(self):
         if self.kind == "scp":
@@ -464,7 +466,27 @@ class RandomAccessTableReader:
                         key, _, rx = line.partition(" ")
                         self._scp[key] = rx.strip()
         else:
-            if self._data is None:
+            if self._data is None and self._lazy is None:
+                # lazy fast path for plain binary matrix arks: a
+                # native C++ scan builds a key -> (offset, shape)
+                # index and payloads are viewed from one mmap ON
+                # DEMAND — random access to a large ark no longer
+                # materializes the whole archive in RAM (the
+                # reference's RandomAccessTableReader streams from
+                # disk for the same reason)
+                if (isinstance(self.holder, MatrixHolder)
+                        and kaldi_io.classify_rxfilename(
+                            self.rxfilename) == "file"
+                        and not self.rxfilename.endswith(".gz")):
+                    from kaldi_tpu.native import ark_matrix_entries
+                    entries = ark_matrix_entries(self.rxfilename)
+                    if entries is not None:
+                        self._lazy = {k: (off, r, c, dt)
+                                      for k, off, r, c, dt in entries}
+                        self._lazy_map = np.memmap(
+                            self.rxfilename, dtype=np.uint8, mode="r")
+                        return
+            if self._data is None and self._lazy is None:
                 reader = SequentialTableReader(self.holder, f"ark:{self.rxfilename}")
                 self._data = reader.as_dict()
 
@@ -472,6 +494,8 @@ class RandomAccessTableReader:
         self._ensure_loaded()
         if self.kind == "scp":
             return key in self._scp  # type: ignore[operator]
+        if self._lazy is not None:
+            return key in self._lazy
         return key in self._data  # type: ignore[operator]
 
     def has_key(self, key: str) -> bool:
@@ -496,6 +520,12 @@ class RandomAccessTableReader:
                 self._cache.clear()
             self._cache[key] = value
             return value
+        if self._lazy is not None:
+            if key not in self._lazy:
+                raise KeyError(key)
+            off, r, c, dt = self._lazy[key]
+            flat = self._lazy_map[off:off + r * c * dt.itemsize].view(dt)
+            return np.ascontiguousarray(flat.reshape(r, c))
         if key not in self._data:  # type: ignore[operator]
             raise KeyError(key)
         return self._data[key]  # type: ignore[index]
@@ -505,7 +535,11 @@ class RandomAccessTableReader:
 
     def keys(self):
         self._ensure_loaded()
-        return (self._scp if self.kind == "scp" else self._data).keys()  # type: ignore[union-attr]
+        if self.kind == "scp":
+            return self._scp.keys()  # type: ignore[union-attr]
+        if self._lazy is not None:
+            return self._lazy.keys()
+        return self._data.keys()  # type: ignore[union-attr]
 
 
 class RandomAccessTableReaderMapped:

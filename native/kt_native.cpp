@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -20,6 +21,80 @@ constexpr float kInf = 1e30f;
 }
 
 extern "C" {
+
+// Bulk scanner for binary matrix archives (util/kaldi-table's hot
+// read path; the reference's SequentialTableReader is C++ for the
+// same reason).  Walks "<key> \0B FM \x04<rows>\x04<cols><data>"
+// entries, recording key strings and data offsets so Python can view
+// the payloads straight out of one mmap with zero per-entry parsing.
+//
+// dtypes: 0 = FM (f32), 1 = DM (f64).  Returns 0 on success,
+// -1 open failure, -2 malformed/unsupported entry (caller falls back
+// to the Python reader), -3 capacity exceeded.
+int ark_scan_matrices(const char* path,
+                      char* keys_buf, int64_t keys_cap,
+                      int64_t* offsets, int32_t* rows, int32_t* cols,
+                      int8_t* dtypes, int64_t max_entries,
+                      int64_t* num_entries, int64_t* keys_len) {
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  int64_t n = 0, koff = 0;
+  int rc = 0;
+  while (true) {
+    int c = std::fgetc(f);
+    while (c == ' ' || c == '\n' || c == '\t' || c == '\r')
+      c = std::fgetc(f);
+    if (c == EOF) break;
+    if (n >= max_entries) { rc = -3; break; }
+    // key token
+    int64_t kstart = koff;
+    while (c != EOF && c != ' ' && c != '\n' && c != '\t') {
+      if (koff + 2 >= keys_cap) { rc = -3; goto done; }
+      keys_buf[koff++] = static_cast<char>(c);
+      c = std::fgetc(f);
+    }
+    keys_buf[koff++] = '\0';
+    if (c == EOF) { rc = -2; break; }
+    {
+      // binary marker "\0B " then "FM "/"DM "
+      unsigned char hdr[2];
+      if (std::fread(hdr, 1, 2, f) != 2 || hdr[0] != 0 ||
+          hdr[1] != 'B') { rc = -2; break; }
+      char tok[4] = {0, 0, 0, 0};
+      if (std::fread(tok, 1, 3, f) != 3 || tok[2] != ' ') {
+        rc = -2; break;
+      }
+      int8_t dt;
+      int64_t esize;
+      if (tok[0] == 'F' && tok[1] == 'M') { dt = 0; esize = 4; }
+      else if (tok[0] == 'D' && tok[1] == 'M') { dt = 1; esize = 8; }
+      else { rc = -2; break; }
+      unsigned char sz;
+      int32_t r, cdim;
+      if (std::fread(&sz, 1, 1, f) != 1 || sz != 4 ||
+          std::fread(&r, 4, 1, f) != 1) { rc = -2; break; }
+      if (std::fread(&sz, 1, 1, f) != 1 || sz != 4 ||
+          std::fread(&cdim, 4, 1, f) != 1) { rc = -2; break; }
+      if (r < 0 || cdim < 0) { rc = -2; break; }
+      int64_t data_off = std::ftell(f);
+      offsets[n] = data_off;
+      rows[n] = r;
+      cols[n] = cdim;
+      dtypes[n] = dt;
+      (void)kstart;
+      ++n;
+      if (std::fseek(f, static_cast<long>(data_off +
+                     esize * int64_t(r) * cdim), SEEK_SET) != 0) {
+        rc = -2; break;
+      }
+    }
+  }
+done:
+  std::fclose(f);
+  *num_entries = n;
+  *keys_len = koff;
+  return rc;
+}
 
 // Exact/beam Viterbi over a packed graph.
 //   emitting arcs: e_src/e_dst/e_pdf/e_olabel/e_w  [num_e]
