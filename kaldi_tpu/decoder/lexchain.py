@@ -727,9 +727,17 @@ class LexChainDecoder:
                       g_sil, take_end, sil_take)
             return (new_cost, roots_new, sil_new), ys
 
+        # scan unroll trades per-step loop overhead for program size
+        # (KALDI_TPU_SCAN_UNROLL, default 1; the per-frame ops here
+        # are tiny, so step overhead can dominate — measured on-chip)
+        import os as _os
+        unroll = max(1, int(_os.environ.get("KALDI_TPU_SCAN_UNROLL",
+                                            "1")))
+
         def forward(cost0, roots0, sil0, am, active):
             (cost, roots, sil), ys = jax.lax.scan(
-                frame, (cost0, roots0, sil0), (am, active))
+                frame, (cost0, roots0, sil0), (am, active),
+                unroll=unroll)
             return cost, roots, sil, ys
 
         # ---- device follow pass -----------------------------------
@@ -818,7 +826,8 @@ class LexChainDecoder:
                 return prev, cur
 
             first_state, states = jax.lax.scan(
-                step, final_state, (ys, active), reverse=True)
+                step, final_state, (ys, active), reverse=True,
+                unroll=unroll)
             return first_state, states
 
         return jax.jit(forward, donate_argnums=(0,)), jax.jit(follow)
