@@ -11,6 +11,8 @@ GMM stages mirroring run.sh):
   stage 5: decode + score (lattice rescoring sweep)
   stage 6: tri2 = LDA+MLLT training on tri1 alignments + decode
   stage 7: tri3 = SAT (per-speaker fMLLR) + two-pass adapted decode
+  stage 8: chain = flat-start e2e LF-MMI TDNN-F + decode
+           (enabled with --chain-epochs N)
 
 Point it at any directories in the standard layout (wav.scp, text,
 utt2spk; lexicon.txt 'WORD p1 p2 ...'; ARPA-format LM):
@@ -61,6 +63,9 @@ def main(argv=None):
     ap.add_argument("--sample-frequency", type=float, default=8000.0)
     ap.add_argument("--num-leaves", type=int, default=100)
     ap.add_argument("--tot-gauss", type=int, default=200)
+    ap.add_argument("--chain-epochs", type=int, default=0,
+                    help="run stage 8 (flat-start e2e chain) with "
+                    "this many epochs (0 = skip)")
     args = ap.parse_args(argv)
     d = args.dir
     os.makedirs(d, exist_ok=True)
@@ -392,7 +397,60 @@ def main(argv=None):
                 w.write(utt, toks)
         sh("compute-wer", "--mode=present", f"ark:{args.test}/text",
            f"ark:{tri3}/hyp.txt")
-        return stats.wer
+        if args.stage > 7 or args.chain_epochs <= 0:
+            return stats.wer
+
+    if args.stage <= 8:
+        print("=== stage 8: chain (flat-start e2e LF-MMI) ===")
+        chain_d = os.path.join(d, "chain")
+        os.makedirs(chain_d, exist_ok=True)
+        from kaldi_tpu.decoder.graph import (Lang as LangObj,
+                                             make_decoding_graph)
+        from kaldi_tpu.decoder.viterbi import (FasterDecoder,
+                                               FasterDecoderOptions)
+        from kaldi_tpu.recipes.chain import (ChainTrainOptions,
+                                             nnet_log_likes,
+                                             train_chain_e2e)
+        from kaldi_tpu.util.edit_distance import WerStats
+        lexicon = {}
+        with open(args.lexicon) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    lexicon.setdefault(parts[0], []).append(parts[1:])
+        lang_obj = LangObj(lexicon, sil_phone="SIL", sil_prob=0.5)
+        lang_obj.make_topology()
+        feats = dict(SequentialTableReader(
+            "matrix", f"ark:{args.train}/feats.ark"))
+        texts = read_texts(args.train)
+        model, variables, den, chain_tm, chain_tree = train_chain_e2e(
+            lang_obj, feats, texts,
+            opts=ChainTrainOptions(num_epochs=args.chain_epochs,
+                                   learning_rate=2e-3,
+                                   minibatch_size=4))
+        lang_obj.topo = chain_tm.topo
+        hclg = make_decoding_graph(lang_obj, _read_g(d, args),
+                                   chain_tree, chain_tm,
+                                   transition_scale=1.0,
+                                   self_loop_scale=1.0)
+        test_feats = dict(SequentialTableReader(
+            "matrix", f"ark:{args.test}/feats.ark"))
+        scores = nnet_log_likes(model, variables, test_feats)
+        dec = FasterDecoder(hclg, FasterDecoderOptions(beam=24.0))
+        refs = read_texts(args.test)
+        best = None
+        for ac in (0.5, 1.0):
+            stats = WerStats()
+            for utt, ref in refs.items():
+                res = dec.decode(scores[utt], chain_tm.id2pdf_id,
+                                 acoustic_scale=ac)
+                hyp = [] if res is None else \
+                    [lang_obj.word_names[w] for w in res[1]]
+                stats.add(ref, hyp)
+            if best is None or stats.wer < best.wer:
+                best = stats
+        print(f"chain (e2e flat-start): {best.report()}")
+        return best.wer
 
 
 def _read_g(d, args):

@@ -112,3 +112,14 @@ def test_template_recipe_end_to_end(tmp_path):
               "tri2/final.mdl", "tri2/final.mat",
               "tri3/final.mdl"):
         assert os.path.exists(os.path.join(root, "exp", f)), f
+    # stage 8: flat-start e2e chain rides on the prepared lang/G only
+    # (no GMM artifacts needed) — looser bar, it forgoes alignments
+    chain_wer = template_run.main([
+        "--train", os.path.join(root, "train"),
+        "--test", os.path.join(root, "test"),
+        "--lexicon", os.path.join(root, "lexicon.txt"),
+        "--arpa", os.path.join(root, "lm.arpa"),
+        "--dir", os.path.join(root, "exp"),
+        "--stage", "8", "--chain-epochs", "30",
+    ])
+    assert chain_wer is not None and chain_wer <= 15.0
