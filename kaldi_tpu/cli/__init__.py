@@ -263,6 +263,10 @@ _register("kaldi_tpu.cli.tail7_tools", {
     "logistic-regression-eval": "logistic_regression_eval",
     "logistic-regression-copy": "logistic_regression_copy",
     "compute-gop": "compute_gop",
+    "draw-tree": "draw_tree",
+    "extend-wav-with-silence": "extend_wav_with_silence",
+    "nnet3-xvector-get-egs": "nnet3_xvector_get_egs",
+    "sum-lda-accs": "sum_lda_accs",
 })
 
 _register("kaldi_tpu.cli.online_tools2", {

@@ -111,6 +111,156 @@ def logistic_regression_copy(argv: List[str]) -> int:
     return 0
 
 
+def draw_tree(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Write a decision tree in GraphViz dot format (draw-tree.cc; "
+        "pipe into `dot -Tps`).\n"
+        "Usage: draw-tree [options] <phones-symbol-table|-> <tree-in>")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.tree.context_dep import ContextDependency
+    from kaldi_tpu.tree.event_map import (ConstantEventMap,
+                                          SplitEventMap, TableEventMap)
+    names = {}
+    if po.get_arg(1) != "-":
+        with open(po.get_arg(1)) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    names[int(parts[1])] = parts[0]
+    tree = kaldi_io.read_kaldi_object(ContextDependency.read,
+                                      po.get_arg(2))
+    lines = ["digraph tree {", "node [shape=box];"]
+    counter = [0]
+
+    def phone_name(v):
+        return names.get(v, str(v))
+
+    def walk(node) -> int:
+        nid = counter[0]
+        counter[0] += 1
+        if node is None:
+            lines.append(f"n{nid} [label=\"NULL\"];")
+        elif isinstance(node, ConstantEventMap):
+            lines.append(f"n{nid} [label=\"pdf {node.answer}\" "
+                         "shape=ellipse];")
+        elif isinstance(node, SplitEventMap):
+            ys = " ".join(phone_name(v) for v in node.yes_set[:12])
+            more = "..." if len(node.yes_set) > 12 else ""
+            lines.append(
+                f"n{nid} [label=\"key {node.key} in "
+                f"{{{ys}{more}}}?\"];")
+            y = walk(node.yes)
+            n = walk(node.no)
+            lines.append(f"n{nid} -> n{y} [label=\"yes\"];")
+            lines.append(f"n{nid} -> n{n} [label=\"no\"];")
+        elif isinstance(node, TableEventMap):
+            lines.append(f"n{nid} [label=\"table on key "
+                         f"{node.key}\"];")
+            for v, child in enumerate(node.table):
+                if child is None:
+                    continue
+                c = walk(child)
+                lines.append(f"n{nid} -> n{c} "
+                             f"[label=\"{phone_name(v)}\"];")
+        else:
+            lines.append(f"n{nid} [label=\"{type(node).__name__}\"];")
+        return nid
+
+    walk(tree.to_pdf)
+    lines.append("}")
+    print("\n".join(lines))
+    return 0
+
+
+def extend_wav_with_silence(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Append (and prepend) silence to waveforms "
+        "(extend-wav-with-silence.cc).\n"
+        "Usage: extend-wav-with-silence [options] <wav-rspecifier> "
+        "<wav-wspecifier>")
+    extra = po.register_value("extra-silence-length", 1.0,
+                              "Seconds of silence to append")
+    prepend = po.register_value("prepend", False,
+                                "Also prepend the same amount")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.feat.wave import WaveData
+    writer = TableWriter("wave", po.get_arg(2))
+    n = 0
+    for key, wav in SequentialTableReader("wave", po.get_arg(1)):
+        fs = wav.samp_freq
+        pad = np.zeros((wav.data.shape[0], int(extra[0] * fs)),
+                       np.float32)
+        parts = ([pad, wav.data, pad] if prepend[0]
+                 else [wav.data, pad])
+        writer.write(key, WaveData(fs, np.concatenate(parts, axis=1)))
+        n += 1
+    writer.close()
+    log(f"extended {n} waveforms by {extra[0]}s of silence")
+    return 0 if n else 1
+
+
+def nnet3_xvector_get_egs(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Get x-vector training examples: fixed-length feature chunks "
+        "labeled with the utterance's speaker id "
+        "(nnet3-xvector-get-egs.cc).  Targets are one (spk-id, 1.0) "
+        "posterior entry per chunk.\n"
+        "Usage: nnet3-xvector-get-egs [options] <feats-rspecifier> "
+        "<utt2spkid-rspecifier (int)> <egs-wspecifier>")
+    frames_per_chunk = po.register_value("frames-per-chunk", 100,
+                                         "Chunk length in frames")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.nnet3.egs import ExampleHolder, NnetExample
+    spk_reader = RandomAccessTableReader("int", po.get_arg(2))
+    writer = TableWriter(ExampleHolder(), po.get_arg(3))
+    n = err = 0
+    k = frames_per_chunk[0]
+    for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+        if key not in spk_reader:
+            warn(f"no speaker id for {key}")
+            err += 1
+            continue
+        spk = int(spk_reader[key])
+        f = np.asarray(feats)
+        for i, t0 in enumerate(range(0, f.shape[0] - k + 1, k)):
+            writer.write(f"{key}-{i}",
+                         NnetExample(f[t0:t0 + k], [[(spk, 1.0)]]))
+            n += 1
+    writer.close()
+    log(f"generated {n} x-vector chunks ({err} errors)")
+    return 0 if n else 1
+
+
+def sum_lda_accs(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Sum LDA accumulators (sum-lda-accs.cc).\n"
+        "Usage: sum-lda-accs [options] <stats-out> <stats-in1> ...")
+    binary = po.register_value("binary", True, "Write output in binary mode")
+    po.read(argv)
+    if po.num_args() < 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.transform.lda import LdaEstimate
+    total = None
+    for i in range(2, po.num_args() + 1):
+        acc = kaldi_io.read_kaldi_object(LdaEstimate.read, po.get_arg(i))
+        if total is None:
+            total = acc
+        else:
+            total.add(acc)
+    kaldi_io.write_kaldi_object(total.write, po.get_arg(1), binary[0])
+    return 0
+
+
 def compute_gop(argv: List[str]) -> int:
     po = ParseOptions(
         "Compute Goodness of Pronunciation: GOP(phone segment) = "

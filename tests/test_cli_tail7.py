@@ -61,6 +61,73 @@ def test_logistic_regression_train_eval(tmp_path):
     assert mp.log_posteriors(x)[0, 0] > m0.log_posteriors(x)[0, 0]
 
 
+def test_draw_tree_and_misc(tmp_path, capsys):
+    from kaldi_tpu.hmm.topology import HmmTopology
+    from kaldi_tpu.tree import monophone_context_dependency
+    phones = [1, 2, 3]
+    tree = monophone_context_dependency(phones, {p: 3 for p in phones})
+    kaldi_io.write_kaldi_object(tree.write, f"{tmp_path}/tree")
+    (tmp_path / "phones.txt").write_text("a 1\nb 2\nc 3\n")
+    rc = get_tool("draw-tree")([
+        "draw-tree", f"{tmp_path}/phones.txt", f"{tmp_path}/tree"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("digraph tree {") and "pdf" in out
+    assert "a" in out  # phone names used
+
+
+def test_extend_wav_with_silence(tmp_path):
+    from kaldi_tpu.feat.wave import WaveData
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal(8000) * 1000).astype(np.float32)
+    with TableWriter("wave", f"ark:{tmp_path}/w.ark") as wr:
+        wr.write("u1", WaveData(8000.0, w))
+    rc = get_tool("extend-wav-with-silence")([
+        "extend-wav-with-silence", "--extra-silence-length=0.5",
+        f"ark:{tmp_path}/w.ark", f"ark:{tmp_path}/o.ark"])
+    assert rc == 0
+    out = dict(SequentialTableReader("wave", f"ark:{tmp_path}/o.ark"))
+    ext = out["u1"].channel(0)
+    assert len(ext) == 8000 + 4000
+    assert np.abs(ext[-4000:]).max() == 0
+
+
+def test_xvector_get_egs(tmp_path):
+    from kaldi_tpu.nnet3.egs import ExampleHolder
+    rng = np.random.default_rng(0)
+    with TableWriter("matrix", f"ark:{tmp_path}/f.ark") as w:
+        w.write("u1", rng.normal(size=(250, 20)).astype(np.float32))
+    with TableWriter("int", f"ark:{tmp_path}/spk.ark") as w:
+        w.write("u1", 7)
+    rc = get_tool("nnet3-xvector-get-egs")([
+        "nnet3-xvector-get-egs", "--frames-per-chunk=100",
+        f"ark:{tmp_path}/f.ark", f"ark:{tmp_path}/spk.ark",
+        f"ark:{tmp_path}/egs.ark"])
+    assert rc == 0
+    egs = list(SequentialTableReader(ExampleHolder(),
+                                     f"ark:{tmp_path}/egs.ark"))
+    assert len(egs) == 2
+    for _k, eg in egs:
+        assert eg.feats.shape == (100, 20)
+        assert eg.targets == [[(7, 1.0)]]
+
+
+def test_sum_lda_accs(tmp_path):
+    from kaldi_tpu.transform.lda import LdaEstimate
+    rng = np.random.default_rng(0)
+    est = LdaEstimate(2, 3)
+    for i in range(40):
+        est.accumulate(rng.normal(size=(1, 3)) + (i % 2), i % 2)
+    kaldi_io.write_kaldi_object(est.write, f"{tmp_path}/a1.acc")
+    rc = get_tool("sum-lda-accs")([
+        "sum-lda-accs", f"{tmp_path}/sum.acc", f"{tmp_path}/a1.acc",
+        f"{tmp_path}/a1.acc"])
+    assert rc == 0
+    tot = kaldi_io.read_kaldi_object(LdaEstimate.read,
+                                     f"{tmp_path}/sum.acc")
+    np.testing.assert_allclose(tot.zero_acc, 2 * est.zero_acc)
+
+
 @pytest.fixture(scope="module")
 def gop_env(tmp_path_factory):
     from test_mono_e2e import FS, make_corpus
