@@ -291,6 +291,7 @@ _register("kaldi_tpu.cli.tail6_tools", {
     "est-pca": "est_pca",
     "make-h-transducer": "make_h_transducer",
     "add-self-loops": "add_self_loops",
+    "compile-graph": "compile_graph",
 })
 
 _register("kaldi_tpu.cli.rnnlm_tools", {

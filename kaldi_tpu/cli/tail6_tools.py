@@ -394,6 +394,63 @@ def est_mllt(argv: List[str]) -> int:
     return 0
 
 
+def compile_graph(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Build a decoding graph HCLG from file-level inputs in one "
+        "step (compile-graph.cc / utils/mkgraph.sh): "
+        "L_disambig.fst ∘ G.fst -> determinize -> strip disambig "
+        "-> minimize -> context expansion (for triphone trees) -> "
+        "H expansion with reorder self-loops.\n"
+        "Input labels of the lexicon FST that are not phones of the "
+        "model are treated as disambiguation symbols.\n"
+        "Usage: compile-graph [options] <tree-in> <model-in> "
+        "<lexicon-fst-in> <g-fst-in> <hclg-out>")
+    transition_scale = po.register_value(
+        "transition-scale", 1.0, "Scale on transition probabilities")
+    self_loop_scale = po.register_value(
+        "self-loop-scale", 0.1, "Scale on self-loop probabilities")
+    po.read(argv)
+    if po.num_args() != 5:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.cli.fst_tools import _write_fst_out
+    from kaldi_tpu.cli.tail5_tools import _read_tm
+    from kaldi_tpu.fstext.fst import EPS
+    from kaldi_tpu.fstext.openfst_io import read_fst_file
+    from kaldi_tpu.fstext.ops import (arcsort, compose,
+                                      determinize_star,
+                                      minimize_encoded, relabel,
+                                      rm_epsilon)
+    from kaldi_tpu.hmm.hmm_utils import expand_hmm
+    from kaldi_tpu.tree.context_dep import ContextDependency
+    tree = kaldi_io.read_kaldi_object(ContextDependency.read,
+                                      po.get_arg(1))
+    tm = _read_tm(po.get_arg(2))
+    L = read_fst_file(po.get_arg(3))
+    G = read_fst_file(po.get_arg(4))
+    lg = compose(L, arcsort(G, "ilabel"))
+    lg = determinize_star(lg)
+    lg = minimize_encoded(lg)
+    phones = set(tm.get_phones())
+    dmap = {}
+    for arcs in lg.arcs:
+        for a in arcs:
+            if a.ilabel != EPS and a.ilabel not in phones:
+                dmap[a.ilabel] = EPS
+    lg = rm_epsilon(relabel(lg, ilabel_map=dmap))
+    ilabel_info = None
+    if tree.context_width() != 1:
+        from kaldi_tpu.fstext.context import context_expand
+        lg, ilabel_info = context_expand(lg, tree.context_width(),
+                                         tree.central_position())
+    hclg = expand_hmm(lg, tm, tree, transition_scale[0],
+                      self_loop_scale[0], ilabel_info=ilabel_info)
+    _write_fst_out(hclg, po.get_arg(5))
+    log(f"compiled HCLG: {hclg.num_states} states, "
+        f"{hclg.num_arcs()} arcs")
+    return 0
+
+
 def make_h_transducer(argv: List[str]) -> int:
     po = ParseOptions(
         "Make the Ha transducer (transition-ids, self-loops excluded, "

@@ -83,6 +83,42 @@ def test_h_compose_route_matches_integrated(system):
         assert r1[0] == r2[0]
 
 
+def test_compile_graph_cli_matches_integrated(system, tmp_path):
+    """compile-graph (one-binary mkgraph) from L_disambig.fst + G.fst
+    files decodes identically to the integrated make_hclg."""
+    from kaldi_tpu.cli import get_tool
+    from kaldi_tpu.cli.gmm_tools import write_am_gmm
+    from kaldi_tpu.decoder.graph import make_lexicon_fst
+    from kaldi_tpu.decoder.viterbi import FasterDecoder, \
+        FasterDecoderOptions
+    from kaldi_tpu.fstext.openfst_io import read_fst_file, write_fst
+    from kaldi_tpu.util import kaldi_io
+    sys_ = system["sys"]
+    L = make_lexicon_fst(system["lang"], with_disambig=True)
+    with open(f"{tmp_path}/L_disambig.fst", "wb") as f:
+        write_fst(f, L)
+    with open(f"{tmp_path}/G.fst", "wb") as f:
+        write_fst(f, system["g"])
+    write_am_gmm(f"{tmp_path}/final.mdl", sys_.tm, sys_.am)
+    kaldi_io.write_kaldi_object(sys_.tree.write, f"{tmp_path}/tree")
+    rc = get_tool("compile-graph")([
+        "compile-graph", f"{tmp_path}/tree", f"{tmp_path}/final.mdl",
+        f"{tmp_path}/L_disambig.fst", f"{tmp_path}/G.fst",
+        f"{tmp_path}/HCLG.fst"])
+    assert rc == 0
+    hclg2 = read_fst_file(f"{tmp_path}/HCLG.fst")
+    hclg1 = system["hclg"]
+    for utt, feats in system["sf"].items():
+        ll = sys_.am.log_likes_batch(feats)
+        r1 = FasterDecoder(hclg1, FasterDecoderOptions(beam=16.0)) \
+            .decode(ll, sys_.tm.id2pdf_id, acoustic_scale=0.1)
+        r2 = FasterDecoder(hclg2, FasterDecoderOptions(beam=16.0)) \
+            .decode(ll, sys_.tm.id2pdf_id, acoustic_scale=0.1)
+        assert r1 is not None and r2 is not None
+        assert r1[1] == r2[1]
+        assert r1[2] == pytest.approx(r2[2], abs=1e-3)
+
+
 def test_add_self_loops_inconsistent_raises(system):
     from kaldi_tpu.fstext.fst import (Arc, TropicalWeight, VectorFst)
     from kaldi_tpu.hmm.hmm_utils import add_self_loops
