@@ -150,11 +150,15 @@ def main():
           f"({sum(w.nbytes for w in waves) / 1e6:.1f} MB/batch)",
           file=sys.stderr)
 
-    # two ingest waves: the second wave's H2D overlaps the first
-    # wave's compute (transfers overlap compute on this chip; the
-    # equivalence to num_waves=1 is pinned by
-    # tests/test_bench_corpus_e2e.py::test_wave_pipelined_decode...)
-    W = 2
+    # --waves=N splits the batch into N ingest waves whose H2D is all
+    # launched up front (equivalence pinned by tests/
+    # test_bench_corpus_e2e.py).  Measured on this chip: W=2 LOSES
+    # (600x vs 866x) — search at B=64 twice costs more than the
+    # overlapped transfer saves — so the default is 1.
+    W = 1
+    for a in sys.argv:
+        if a.startswith("--waves="):
+            W = int(a.split("=", 1)[1])
     t0 = time.time()
     out = pipe.decode_batch(waves, num_waves=W)    # compile + warm
     print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
@@ -237,5 +241,40 @@ def main():
     }))
 
 
+def _probe_backend(timeout_s: int = 240, retries: int = 3) -> bool:
+    """Backend-health gate: a wedged axon tunnel hangs jax init
+    forever inside C code (observed 2026-08-17: 'UNAVAILABLE: TPU
+    backend setup/compile error' after 30 min).  Probe in a
+    subprocess with a hard timeout, retrying in case the service is
+    mid-recovery, so the driver's bench run fails FAST and HONESTLY
+    instead of eating its whole time budget."""
+    import subprocess
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=timeout_s, capture_output=True, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True
+            print(f"# backend probe attempt {attempt}: rc="
+                  f"{r.returncode} {r.stderr.strip()[-200:]}",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# backend probe attempt {attempt}: timed out "
+                  f"after {timeout_s}s", file=sys.stderr)
+        time.sleep(30)
+    return False
+
+
 if __name__ == "__main__":
+    if "--no-probe" not in sys.argv and not _probe_backend():
+        print(json.dumps({
+            "metric": "full_pipeline_offline_decode_xRT_per_chip",
+            "value": None, "unit": "x realtime", "vs_baseline": None,
+            "wer": None,
+            "error": "TPU backend unavailable (tunnel/backend init "
+                     "wedged; see BASELINE.md round-3 outage note)",
+        }))
+        sys.exit(2)
     main()
