@@ -245,6 +245,15 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.tail9_tools", {
+    "ivector-adapt-plda": "ivector_adapt_plda",
+    "ivector-copy-plda": "ivector_copy_plda",
+    "ivector-compute-dot-products": "ivector_compute_dot_products",
+    "add-deltas-sdc": "add_deltas_sdc",
+    "compute-and-process-kaldi-pitch-feats":
+        "compute_and_process_kaldi_pitch_feats",
+})
+
 _register("kaldi_tpu.cli.tail8_tools", {
     "gmm-basis-fmllr-training": "gmm_basis_fmllr_training",
     "gmm-est-basis-fmllr": "gmm_est_basis_fmllr",

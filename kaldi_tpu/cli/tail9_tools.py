@@ -1,0 +1,197 @@
+"""Round-3 CLI tail batch 7: language/speaker-recognition surface
+(parity: src/ivectorbin ivector-adapt-plda.cc, ivector-copy-plda.cc,
+ivector-compute-dot-products.cc; src/featbin add-deltas-sdc.cc,
+compute-and-process-kaldi-pitch-feats.cc)."""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from kaldi_tpu.base.logging import log, warn
+from kaldi_tpu.util import kaldi_io
+from kaldi_tpu.util.parse_options import ParseOptions
+from kaldi_tpu.util.table import (RandomAccessTableReader,
+                                  SequentialTableReader, TableWriter)
+
+
+def ivector_adapt_plda(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Unsupervised PLDA domain adaptation from unlabeled "
+        "target-domain i-vectors (ivector-adapt-plda.cc).\n"
+        "Usage: ivector-adapt-plda [options] <plda-in> "
+        "<ivector-rspecifier> <plda-out>")
+    binary = po.register_value("binary", True, "Write output in binary mode")
+    within_scale = po.register_value(
+        "within-covar-scale", 0.75,
+        "Excess-variance share added to the within-class covariance")
+    between_scale = po.register_value(
+        "between-covar-scale", 0.25,
+        "Excess-variance share added to the between-class covariance")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.ivector.plda import Plda
+    plda = kaldi_io.read_kaldi_object(Plda.read, po.get_arg(1))
+    ivs = [np.asarray(v, np.float64) for _k, v in
+           SequentialTableReader("vector", po.get_arg(2))]
+    if len(ivs) < 2:
+        warn("need at least 2 adaptation ivectors")
+        return 1
+    adapted = plda.adapt(np.stack(ivs),
+                         within_covar_scale=within_scale[0],
+                         between_covar_scale=between_scale[0])
+    kaldi_io.write_kaldi_object(adapted.write, po.get_arg(3), binary[0])
+    log(f"adapted PLDA with {len(ivs)} ivectors")
+    return 0
+
+
+def ivector_copy_plda(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Copy a PLDA model, optionally smoothing the within-class "
+        "covariance (ivector-copy-plda.cc).\n"
+        "Usage: ivector-copy-plda [options] <plda-in> <plda-out>")
+    binary = po.register_value("binary", True, "Write output in binary mode")
+    smoothing = po.register_value(
+        "smoothing", 0.0, "Smoothing factor: interpolates the "
+        "between-class variances toward their mean "
+        "(SmoothWithinClassCovariance-style regularization)")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.ivector.plda import Plda
+    plda = kaldi_io.read_kaldi_object(Plda.read, po.get_arg(1))
+    if smoothing[0] > 0:
+        s = smoothing[0]
+        plda.psi = (1 - s) * plda.psi + s * plda.psi.mean()
+    kaldi_io.write_kaldi_object(plda.write, po.get_arg(2), binary[0])
+    return 0
+
+
+def ivector_compute_dot_products(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Dot products (cosine scores with --normalize) between "
+        "i-vector pairs from a trials file of '<key1> <key2>' lines "
+        "(ivector-compute-dot-products.cc).\n"
+        "Usage: ivector-compute-dot-products [options] "
+        "<trials-rxfilename> <ivector1-rspecifier> "
+        "<ivector2-rspecifier> <scores-wxfilename>")
+    normalize = po.register_value("normalize", True,
+                                  "Length-normalize before the dot "
+                                  "product (cosine scoring)")
+    po.read(argv)
+    if po.num_args() != 4:
+        po.print_usage()
+        return 1
+    import sys as _sys
+    r1 = RandomAccessTableReader("vector", po.get_arg(2))
+    r2 = RandomAccessTableReader("vector", po.get_arg(3))
+    out = (_sys.stdout if po.get_arg(4) == "-"
+           else open(po.get_arg(4), "w"))
+    n = err = 0
+    with kaldi_io.input_stream(po.get_arg(1)) as f:
+        trials = f.read().decode("utf-8").splitlines()
+    for line in trials:
+        parts = line.split()
+        if len(parts) < 2:
+            continue
+        k1, k2 = parts[0], parts[1]
+        if k1 not in r1 or k2 not in r2:
+            warn(f"missing ivector for trial {k1} {k2}")
+            err += 1
+            continue
+        a = np.asarray(r1[k1], np.float64)
+        b = np.asarray(r2[k2], np.float64)
+        if normalize[0]:
+            a = a / max(np.linalg.norm(a), 1e-20)
+            b = b / max(np.linalg.norm(b), 1e-20)
+        out.write(f"{k1} {k2} {float(a @ b):.6f}\n")
+        n += 1
+    if out is not _sys.stdout:
+        out.close()
+    log(f"scored {n} trials ({err} missing)")
+    return 0 if n else 1
+
+
+def compute_sdc(feats: np.ndarray, n: int, d: int, p: int,
+                k: int) -> np.ndarray:
+    """Shifted delta cepstra (add-deltas-sdc.cc; the N-d-P-k
+    configuration, classically 7-1-3-7): output row t =
+    [c_t[:n], Δ(t), Δ(t+P), ..., Δ(t+(k-1)P)] with
+    Δ(u) = c[u+d] - c[u-d], indices edge-clamped."""
+    x = np.asarray(feats, np.float64)[:, :n]
+    T = x.shape[0]
+    t = np.arange(T)
+
+    def at(idx):
+        return x[np.clip(idx, 0, T - 1)]
+
+    blocks = [x]
+    for i in range(k):
+        u = t + i * p
+        blocks.append(at(u + d) - at(u - d))
+    return np.concatenate(blocks, axis=1).astype(np.float32)
+
+
+def add_deltas_sdc(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Append shifted delta cepstra (the language-id feature; "
+        "add-deltas-sdc.cc N-d-P-k, default 7-1-3-7).\n"
+        "Usage: add-deltas-sdc [options] <feats-rspecifier> "
+        "<feats-wspecifier>")
+    n_cep = po.register_value("num-cepstra", 7,
+                              "N: leading cepstra to use")
+    d_opt = po.register_value("delta-spread", 1, "d: delta spread")
+    p_opt = po.register_value("block-shift", 3, "P: block shift")
+    k_opt = po.register_value("num-blocks", 7, "k: number of blocks")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    writer = TableWriter("matrix", po.get_arg(2))
+    n = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(1)):
+        if feats.shape[1] < n_cep[0]:
+            warn(f"{key}: dim {feats.shape[1]} < N={n_cep[0]}")
+            continue
+        writer.write(key, compute_sdc(feats, n_cep[0], d_opt[0],
+                                      p_opt[0], k_opt[0]))
+        n += 1
+    writer.close()
+    log(f"wrote SDC features for {n} utterances "
+        f"({n_cep[0]}-{d_opt[0]}-{p_opt[0]}-{k_opt[0]})")
+    return 0 if n else 1
+
+
+def compute_and_process_kaldi_pitch_feats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Compute Kaldi pitch and post-process it into the standard "
+        "(POV, normalized-log-pitch, delta) features in one tool "
+        "(compute-and-process-kaldi-pitch-feats.cc).\n"
+        "Usage: compute-and-process-kaldi-pitch-feats [options] "
+        "<wav-rspecifier> <feats-wspecifier>")
+    samp_freq = po.register_value("sample-frequency", 16000.0,
+                                  "Waveform sampling frequency")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.feat.pitch import (PitchExtractionOptions,
+                                      ProcessPitchOptions,
+                                      compute_kaldi_pitch,
+                                      process_pitch)
+    popts = PitchExtractionOptions(samp_freq=samp_freq[0])
+    oopts = ProcessPitchOptions()
+    writer = TableWriter("matrix", po.get_arg(2))
+    n = 0
+    for key, wav in SequentialTableReader("wave", po.get_arg(1)):
+        raw = compute_kaldi_pitch(
+            np.asarray(wav.channel(0), np.float32), popts)
+        writer.write(key, process_pitch(raw, oopts))
+        n += 1
+    writer.close()
+    log(f"computed+processed pitch for {n} utterances")
+    return 0 if n else 1

@@ -57,6 +57,47 @@ class Plda:
                                   + sq_wo / var_without).sum()
         return float(loglike_given - loglike_without)
 
+    def adapt(self, ivectors: np.ndarray,
+              within_covar_scale: float = 0.75,
+              between_covar_scale: float = 0.25) -> "Plda":
+        """Unsupervised domain adaptation (plda.cc
+        PldaUnsupervisedAdaptor::UpdatePlda): in the PLDA-transformed
+        space (within = I, between = diag(psi)) the adaptation data's
+        total covariance should be I + diag(psi); per eigen-direction
+        of the OBSERVED covariance, the excess variance is split
+        between the within and between covariances by the given
+        scales, and the model is re-diagonalized.  Returns a new
+        Plda."""
+        X = np.stack([self.transform @ (np.asarray(v, np.float64)
+                                        - self.mean) for v in ivectors])
+        mu = X.mean(axis=0)
+        S = (X - mu).T @ (X - mu) / max(len(X) - 1, 1)
+        evals, evecs = np.linalg.eigh(S)
+        D = self.dim
+        W = np.eye(D)
+        B = np.diag(self.psi)
+        for lam, v in zip(evals, evecs.T):
+            psi_proj = float(v @ (self.psi * v))
+            excess = max(0.0, float(lam) - (1.0 + psi_proj))
+            if excess <= 0:
+                continue
+            W += within_covar_scale * excess * np.outer(v, v)
+            B += between_covar_scale * excess * np.outer(v, v)
+        # re-diagonalize: find T with T W T' = I and T B T' diagonal
+        wvals, wvecs = np.linalg.eigh(W)
+        w_half_inv = (wvecs / np.sqrt(np.maximum(wvals, 1e-10))) \
+            @ wvecs.T
+        M = w_half_inv @ B @ w_half_inv.T
+        bvals, bvecs = np.linalg.eigh(M)
+        order = np.argsort(-bvals)
+        T = bvecs[:, order].T @ w_half_inv
+        new_transform = T @ self.transform
+        new_psi = np.maximum(bvals[order], 0.0)
+        # the adaptation mean shifts the model mean in the ORIGINAL
+        # space: mean_new = mean + transform^{-1} mu
+        new_mean = self.mean + np.linalg.solve(self.transform, mu)
+        return Plda(new_mean, new_transform, new_psi)
+
     def write(self, stream, binary: bool = True) -> None:
         iof.write_token(stream, binary, "<Plda>")
         iof.write_vector(stream, binary, self.mean)

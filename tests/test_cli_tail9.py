@@ -1,0 +1,118 @@
+"""Round-3 CLI tail batch 7: PLDA adaptation, cosine scoring, SDC
+features, combined pitch tool (parity: ivectorbin/featbin tails)."""
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.base import io_funcs as iof
+from kaldi_tpu.cli import get_tool
+from kaldi_tpu.util import kaldi_io
+from kaldi_tpu.util.table import SequentialTableReader, TableWriter
+
+
+def _train_plda(tmp_path, rng, shift=0.0, scale=1.0):
+    from kaldi_tpu.ivector.plda import train_plda
+    D, S, NP = 4, 12, 20
+    spk_means = rng.normal(scale=2.0, size=(S, D))
+    classes = {}
+    for s in range(S):
+        x = spk_means[s] + 0.5 * rng.normal(size=(NP, D))
+        classes[f"s{s}"] = scale * x + shift
+    return train_plda(classes)
+
+
+def test_plda_adapt_cli(tmp_path):
+    rng = np.random.default_rng(0)
+    plda = _train_plda(tmp_path, rng)
+    kaldi_io.write_kaldi_object(plda.write, f"{tmp_path}/plda")
+    # target domain: shifted + wider-variance i-vectors
+    adapt = rng.normal(size=(200, 4)) * 3.0 + 2.0
+    with TableWriter("vector", f"ark:{tmp_path}/adapt.ark") as w:
+        for i, v in enumerate(adapt):
+            w.write(f"a{i:03d}", v)
+    rc = get_tool("ivector-adapt-plda")([
+        "ivector-adapt-plda", f"{tmp_path}/plda",
+        f"ark:{tmp_path}/adapt.ark", f"{tmp_path}/plda_ad"])
+    assert rc == 0
+    from kaldi_tpu.ivector.plda import Plda
+    ad = kaldi_io.read_kaldi_object(Plda.read, f"{tmp_path}/plda_ad")
+    assert ad.dim == plda.dim
+    # adapted model sees the target data as closer-to-expected:
+    # total variance of transformed adapt data is nearer I + psi
+    def excess(m):
+        X = np.stack([m.transform @ (v - m.mean) for v in adapt])
+        S = np.cov(X.T)
+        lam = np.linalg.eigvalsh(S)
+        expect = 1.0 + m.psi
+        return float(np.abs(np.sort(lam) - np.sort(expect)).sum())
+    assert excess(ad) < excess(plda)
+    # smoothing copy flattens psi spread
+    rc = get_tool("ivector-copy-plda")([
+        "ivector-copy-plda", "--smoothing=0.5", f"{tmp_path}/plda",
+        f"{tmp_path}/plda_sm"])
+    assert rc == 0
+    sm = kaldi_io.read_kaldi_object(Plda.read, f"{tmp_path}/plda_sm")
+    assert sm.psi.std() < plda.psi.std() + 1e-12
+
+
+def test_dot_products(tmp_path, capsys):
+    with TableWriter("vector", f"ark:{tmp_path}/a.ark") as w:
+        w.write("x1", np.asarray([1.0, 0.0]))
+        w.write("x2", np.asarray([0.0, 2.0]))
+    with TableWriter("vector", f"ark:{tmp_path}/b.ark") as w:
+        w.write("y1", np.asarray([3.0, 0.0]))
+    (tmp_path / "trials").write_text("x1 y1\nx2 y1\nx9 y1\n")
+    rc = get_tool("ivector-compute-dot-products")([
+        "ivector-compute-dot-products", f"{tmp_path}/trials",
+        f"ark:{tmp_path}/a.ark", f"ark:{tmp_path}/b.ark", "-"])
+    assert rc == 0
+    lines = [l.split() for l in capsys.readouterr().out.splitlines()
+             if l.strip()]
+    scores = {(a, b): float(s) for a, b, s in lines}
+    assert scores[("x1", "y1")] == pytest.approx(1.0, abs=1e-5)
+    assert scores[("x2", "y1")] == pytest.approx(0.0, abs=1e-5)
+    assert ("x9", "y1") not in scores
+
+
+def test_sdc(tmp_path):
+    from kaldi_tpu.cli.tail9_tools import compute_sdc
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(30, 13)).astype(np.float32)
+    out = compute_sdc(x, 7, 1, 3, 7)
+    assert out.shape == (30, 7 * 8)
+    # static part preserved
+    np.testing.assert_allclose(out[:, :7], x[:, :7], atol=1e-6)
+    # block i at frame t equals c[t+3i+1] - c[t+3i-1] (interior)
+    t, i = 10, 2
+    np.testing.assert_allclose(
+        out[t, 7 * (i + 1):7 * (i + 2)],
+        x[t + 3 * i + 1, :7] - x[t + 3 * i - 1, :7], atol=1e-5)
+    with TableWriter("matrix", f"ark:{tmp_path}/f.ark") as w:
+        w.write("u1", x)
+    rc = get_tool("add-deltas-sdc")([
+        "add-deltas-sdc", f"ark:{tmp_path}/f.ark",
+        f"ark:{tmp_path}/o.ark"])
+    assert rc == 0
+    got = dict(SequentialTableReader("matrix",
+                                     f"ark:{tmp_path}/o.ark"))["u1"]
+    np.testing.assert_allclose(got, out, atol=1e-5)
+
+
+def test_combined_pitch_tool(tmp_path):
+    from kaldi_tpu.feat.wave import WaveData
+    rng = np.random.default_rng(0)
+    fs = 8000.0
+    t = np.arange(int(fs * 1.2)) / fs
+    wav = (3000 * np.sin(2 * np.pi * 150 * t)
+           + 100 * rng.standard_normal(len(t))).astype(np.float32)
+    with TableWriter("wave", f"ark:{tmp_path}/w.ark") as w:
+        w.write("u1", WaveData(fs, wav))
+    rc = get_tool("compute-and-process-kaldi-pitch-feats")([
+        "compute-and-process-kaldi-pitch-feats",
+        f"--sample-frequency={fs}", f"ark:{tmp_path}/w.ark",
+        f"ark:{tmp_path}/p.ark"])
+    assert rc == 0
+    out = dict(SequentialTableReader("matrix",
+                                     f"ark:{tmp_path}/p.ark"))["u1"]
+    assert out.shape[0] > 50 and out.shape[1] == 3
+    assert np.isfinite(out).all()
