@@ -449,6 +449,12 @@ class LexChainDecoder:
             costw_tab[w_i, :d] = cost[s0:s0 + d]
         self._srcw_tab = jnp.asarray(srcw_tab.astype(np.int32))
         self._costw_tab = jnp.asarray(costw_tab)
+        # the exact forward uses this dense table instead of the
+        # bucket loop when the padding blowup is modest: ONE gather +
+        # one reduction per frame instead of ~#classes of each (per-op
+        # fixed cost dominates at small V; see BASELINE.md) — at large
+        # V with skewed in-degree the bucketed layout stays
+        self._use_dense_corr = V * maxdeg <= 8 * max(len(dst), 1)
         # reverse buckets (arcs grouped by SOURCE context word) for the
         # lattice backward pass; every context appears exactly once
         # (out-degree 0 -> a BIG dummy in the class-1 bucket)
@@ -631,22 +637,33 @@ class LexChainDecoder:
             garg = jnp.argmin(bo_cand, axis=0).astype(jnp.int32)
             base = gval[None, :] + c["uni"]            # (V,B)
             if prune is None:
-                # --- explicit-bigram corrections (bucketed CSR) -----
+                # --- explicit-bigram corrections ---------------------
                 # source-word value table extended with the <s> row
                 rword_ext = jnp.concatenate([rword_v, rmin[P][None, :]],
                                             0)
                 rarg_ext = jnp.concatenate(
                     [rword_a, jnp.full((1, B), P, jnp.int32)], 0)
-                parts_v, parts_sw = [], []
-                for (src_tab, cost_tab) in buckets:
-                    nw = src_tab.shape[0]
+                if self._use_dense_corr:
+                    # one padded (V, maxdeg, B) gather + reduction
+                    # (BIG padding loses every min; same candidates
+                    # as the buckets, so values agree bitwise)
+                    src_tab, cost_tab = self._srcw_tab, self._costw_tab
                     cand = rword_ext[src_tab] + cost_tab[..., None]
-                    parts_v.append(jnp.min(cand, axis=1))    # (nw,B)
-                    win = jnp.argmin(cand, axis=1)           # (nw,B)
-                    parts_sw.append(
-                        src_tab[jnp.arange(nw)[:, None], win])
-                corr = jnp.concatenate(parts_v, 0)[inv_perm]  # (V,B)
-                sw_win = jnp.concatenate(parts_sw, 0)[inv_perm]
+                    corr = jnp.min(cand, axis=1)             # (V,B)
+                    win = jnp.argmin(cand, axis=1)
+                    sw_win = src_tab[
+                        jnp.arange(src_tab.shape[0])[:, None], win]
+                else:
+                    parts_v, parts_sw = [], []
+                    for (src_tab, cost_tab) in buckets:
+                        nw = src_tab.shape[0]
+                        cand = rword_ext[src_tab] + cost_tab[..., None]
+                        parts_v.append(jnp.min(cand, axis=1))  # (nw,B)
+                        win = jnp.argmin(cand, axis=1)         # (nw,B)
+                        parts_sw.append(
+                            src_tab[jnp.arange(nw)[:, None], win])
+                    corr = jnp.concatenate(parts_v, 0)[inv_perm]
+                    sw_win = jnp.concatenate(parts_sw, 0)[inv_perm]
                 corr_a = rarg_ext[sw_win, jnp.arange(B)[None, :]]
                 take_corr = corr < base
                 entry = jnp.where(take_corr, corr, base)   # (V,B)

@@ -237,3 +237,24 @@ class TestRealModelTables:
             assert abs(cost_d - r_cost) < 1e-3 * max(1, abs(r_cost))
             assert words_d == r_words
             assert tids_d == r_ali
+
+
+def test_dense_and_bucket_corrections_identical():
+    """The exact forward's explicit-bigram corrections have two
+    layouts (one padded dense gather vs the bucketed-CSR loop); both
+    must produce bitwise-equal decodes."""
+    rng = np.random.default_rng(11)
+    V = 30
+    lm = random_lm(V, rng, n_expl=500)
+    prons, pron_word, pron_cost = random_lexicon(V, rng, num_phones=4)
+    g = LexChainGraph.build(prons, lm, pron_word=pron_word,
+                            pron_cost=pron_cost)
+    dec1 = LexChainDecoder(g)
+    dec2 = LexChainDecoder(g)
+    dec2._use_dense_corr = not dec1._use_dense_corr
+    ll = rng.normal(size=(4, 25, g.num_pdfs)).astype(np.float32) * 2
+    out1 = dec1.decode_batch(ll, 1.0)
+    out2 = dec2.decode_batch(ll, 1.0)
+    for a, b in zip(out1, out2):
+        assert a[0] == b[0] and a[1] == b[1]
+        assert abs(a[2] - b[2]) < 1e-4
