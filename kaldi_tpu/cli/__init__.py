@@ -252,6 +252,8 @@ _register("kaldi_tpu.cli.tail9_tools", {
     "add-deltas-sdc": "add_deltas_sdc",
     "compute-and-process-kaldi-pitch-feats":
         "compute_and_process_kaldi_pitch_feats",
+    "wav-perturb-speed": "wav_perturb_speed",
+    "wav-perturb-volume": "wav_perturb_volume",
 })
 
 _register("kaldi_tpu.cli.tail8_tools", {

@@ -166,6 +166,78 @@ def add_deltas_sdc(argv: List[str]) -> int:
     return 0 if n else 1
 
 
+def wav_perturb_speed(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Speed-perturb waveforms by a factor (the 3-way 0.9/1.0/1.1 "
+        "augmentation of utils/perturb_data_dir_speed.sh, done by "
+        "resampling like sox speed: the output keeps the input "
+        "sample rate but is 1/factor as long, shifting pitch and "
+        "tempo together).\n"
+        "Usage: wav-perturb-speed [options] <factor> <wav-rspecifier> "
+        "<wav-wspecifier>")
+    prefix = po.register_value(
+        "utt-prefix", "", "Prefix for output utterance ids "
+        "(e.g. 'sp0.9-'; empty keeps the key)")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.feat.resample import LinearResample
+    from kaldi_tpu.feat.wave import WaveData
+    factor = float(po.get_arg(1))
+    if factor <= 0:
+        print("wav-perturb-speed: factor must be positive", flush=True)
+        return 1
+    writer = TableWriter("wave", po.get_arg(3))
+    resamplers = {}
+    n = 0
+    for key, wav in SequentialTableReader("wave", po.get_arg(2)):
+        fs = wav.samp_freq
+        # sox speed F == play the samples at rate fs*F, i.e. resample
+        # from fs*F to fs (integer rates for the gcd-phase resampler)
+        rin = int(round(fs * factor))
+        if rin not in resamplers:
+            resamplers[rin] = LinearResample(rin, int(fs))
+        out = np.stack([resamplers[rin].resample(ch)
+                        for ch in wav.data])
+        writer.write(prefix[0] + key, WaveData(fs, out))
+        n += 1
+    writer.close()
+    log(f"speed-perturbed {n} waveforms by {factor}")
+    return 0 if n else 1
+
+
+def wav_perturb_volume(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Scale waveform amplitudes (utils/perturb_data_dir_volume.sh; "
+        "a fixed --factor or a random factor per utterance in "
+        "[--low, --high]).\n"
+        "Usage: wav-perturb-volume [options] <wav-rspecifier> "
+        "<wav-wspecifier>")
+    factor = po.register_value("factor", 0.0,
+                               "Fixed scale (0 = random per utt)")
+    low = po.register_value("low", 0.125, "Random range low")
+    high = po.register_value("high", 2.0, "Random range high")
+    seed = po.register_value("srand", 0, "Random seed")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.feat.wave import WaveData
+    rng = np.random.default_rng(seed[0])
+    writer = TableWriter("wave", po.get_arg(2))
+    n = 0
+    for key, wav in SequentialTableReader("wave", po.get_arg(1)):
+        f = factor[0] or float(rng.uniform(low[0], high[0]))
+        out = np.clip(wav.data * f, -32768.0, 32767.0)
+        writer.write(key, WaveData(wav.samp_freq,
+                                   out.astype(np.float32)))
+        n += 1
+    writer.close()
+    log(f"volume-perturbed {n} waveforms")
+    return 0 if n else 1
+
+
 def compute_and_process_kaldi_pitch_feats(argv: List[str]) -> int:
     po = ParseOptions(
         "Compute Kaldi pitch and post-process it into the standard "

@@ -98,6 +98,38 @@ def test_sdc(tmp_path):
     np.testing.assert_allclose(got, out, atol=1e-5)
 
 
+def test_wav_perturb_speed_and_volume(tmp_path):
+    from kaldi_tpu.feat.wave import WaveData
+    fs = 8000.0
+    t = np.arange(int(fs))
+    wav = (2000 * np.sin(2 * np.pi * 200 * t / fs)).astype(np.float32)
+    with TableWriter("wave", f"ark:{tmp_path}/w.ark") as w:
+        w.write("u1", WaveData(fs, wav))
+    rc = get_tool("wav-perturb-speed")([
+        "wav-perturb-speed", "--utt-prefix=sp1.1-", "1.1",
+        f"ark:{tmp_path}/w.ark", f"ark:{tmp_path}/sp.ark"])
+    assert rc == 0
+    out = dict(SequentialTableReader("wave", f"ark:{tmp_path}/sp.ark"))
+    key = "sp1.1-u1"
+    assert key in out
+    y = out[key].channel(0)
+    # speed 1.1 -> ~1/1.1 as long, sample rate unchanged
+    assert abs(len(y) - len(wav) / 1.1) < 10
+    assert out[key].samp_freq == fs
+    # the 200 Hz tone becomes ~220 Hz: count zero crossings
+    zc = int(((y[:-1] < 0) & (y[1:] >= 0)).sum())
+    dur = len(y) / fs
+    assert abs(zc / dur - 220) < 8, zc / dur
+    rc = get_tool("wav-perturb-volume")([
+        "wav-perturb-volume", "--factor=0.5", f"ark:{tmp_path}/w.ark",
+        f"ark:{tmp_path}/v.ark"])
+    assert rc == 0
+    v = dict(SequentialTableReader("wave",
+                                   f"ark:{tmp_path}/v.ark"))["u1"]
+    # ark wave entries round-trip as PCM16: half-LSB tolerance
+    np.testing.assert_allclose(v.channel(0), 0.5 * wav, atol=0.51)
+
+
 def test_combined_pitch_tool(tmp_path):
     from kaldi_tpu.feat.wave import WaveData
     rng = np.random.default_rng(0)
