@@ -254,6 +254,7 @@ _register("kaldi_tpu.cli.tail9_tools", {
         "compute_and_process_kaldi_pitch_feats",
     "wav-perturb-speed": "wav_perturb_speed",
     "wav-perturb-volume": "wav_perturb_volume",
+    "nnet3-discriminative-train": "nnet3_discriminative_train",
 })
 
 _register("kaldi_tpu.cli.tail8_tools", {

@@ -166,6 +166,81 @@ def add_deltas_sdc(argv: List[str]) -> int:
     return 0 if n else 1
 
 
+def nnet3_discriminative_train(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Sequence-discriminative (MMI/MPE/sMBR) fine-tuning of an "
+        "xconfig checkpoint from alignments + denominator lattices "
+        "(nnet3-discriminative-train.cc; lattice acoustics are "
+        "recomputed from the live model every pass).\n"
+        "Usage: nnet3-discriminative-train [options] <model-dir-in> "
+        "<transition-model-in> <feats-rspecifier> <ali-rspecifier> "
+        "<den-lat-rspecifier> <model-dir-out>")
+    criterion = po.register_value("criterion", "smbr",
+                                  "mmi | mpfe | smbr")
+    num_epochs = po.register_value("num-epochs", 2, "Training epochs")
+    learning_rate = po.register_value("learning-rate", 1e-4,
+                                      "Adam learning rate")
+    acoustic_scale = po.register_value(
+        "acoustic-scale", 0.1, "Scaling factor for acoustic likelihoods")
+    po.read(argv)
+    if po.num_args() != 6:
+        po.print_usage()
+        return 1
+    import json
+    import os
+    import jax
+    import jax.numpy as jnp
+    from kaldi_tpu.cli.tail5_tools import _read_tm
+    from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+    from kaldi_tpu.nnet3.discriminative_train import (
+        DiscTrainOptions, train_discriminative)
+    from kaldi_tpu.nnet3.xconfig import build_xconfig_model, \
+        parse_xconfig
+    from kaldi_tpu.parallel.checkpoint import (restore_checkpoint,
+                                               save_checkpoint)
+    base = os.path.abspath(po.get_arg(1))
+    meta = json.load(open(os.path.join(base, "step_0.meta.json")))
+    text = meta["xconfig"]
+    model = build_xconfig_model(text, train=False)
+    layers = parse_xconfig(text)
+    dims = {l.name: l.get_int("dim") for l in layers
+            if l.layer_type == "input"}
+    inputs0 = {name: jnp.zeros((1, 21, d)) for name, d in dims.items()}
+    template = model.init(jax.random.PRNGKey(0), inputs0)
+    variables, _, _ = restore_checkpoint(base, template)
+    tm = _read_tm(po.get_arg(2))
+
+    def apply_fn(p, f):
+        vs = dict(variables)
+        vs["params"] = p
+        return model.apply(vs, {"input": f})["output"]
+
+    feats = {k: np.asarray(m) for k, m in
+             SequentialTableReader("matrix", po.get_arg(3))}
+    alis = {k: list(a) for k, a in
+            SequentialTableReader("int-vector", po.get_arg(4))}
+    lats = {k: l for k, l in
+            SequentialTableReader(LatticeHolder(), po.get_arg(5))}
+    keys = sorted(set(feats) & set(alis) & set(lats))
+    if not keys:
+        warn("no utterances with feats+ali+lattice")
+        return 1
+    params, objfs = train_discriminative(
+        apply_fn, variables["params"], tm,
+        {k: feats[k] for k in keys}, {k: alis[k] for k in keys},
+        {k: lats[k] for k in keys}, tm.num_pdfs,
+        DiscTrainOptions(num_epochs=num_epochs[0],
+                         learning_rate=learning_rate[0],
+                         acoustic_scale=acoustic_scale[0],
+                         criterion=criterion[0]))
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    save_checkpoint(po.get_arg(6), new_vars, 0, extra=meta)
+    log(f"discriminative training ({criterion[0]}): objf "
+        f"{objfs[0]:.4f} -> {objfs[-1]:.4f} over {len(keys)} utts")
+    return 0
+
+
 def wav_perturb_speed(argv: List[str]) -> int:
     po = ParseOptions(
         "Speed-perturb waveforms by a factor (the 3-way 0.9/1.0/1.1 "

@@ -130,6 +130,62 @@ def test_wav_perturb_speed_and_volume(tmp_path):
     np.testing.assert_allclose(v.channel(0), 0.5 * wav, atol=0.51)
 
 
+def test_nnet3_discriminative_train_cli(tmp_path):
+    """CLI fine-tuning loop: init an xconfig model, write feats/ali/
+    den-lats, train with sMBR, verify the saved model's aligned-path
+    scores moved up."""
+    import os
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from test_discriminative import make_den_lattice
+    from test_hmm_gmm import mono_system
+    from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+    topo, tree, tm = mono_system()
+    # write the transition model as a bare model file
+    kaldi_io.write_kaldi_object(tm.write, f"{tmp_path}/trans.mdl")
+    D = 5
+    (tmp_path / "net.xconfig").write_text(
+        f"input name=input dim={D}\n"
+        f"output-layer name=output dim={tm.num_pdfs} "
+        "include-log-softmax=false\n")
+    rc = get_tool("nnet3-init")([
+        "nnet3-init", f"{tmp_path}/net.xconfig", f"{tmp_path}/mdl0"])
+    assert rc == 0
+    rng = np.random.default_rng(0)
+    T = 8
+    sl1, sl2 = tm.self_loop_of(1), tm.self_loop_of(6)
+    with TableWriter("matrix", f"ark:{tmp_path}/feats.ark") as w:
+        w.write("u1", rng.normal(size=(T, D)).astype(np.float32))
+    with TableWriter("int-vector", f"ark:{tmp_path}/ali.ark") as w:
+        w.write("u1", np.asarray([sl1] * T, np.int32))
+    with TableWriter(LatticeHolder(), f"ark:{tmp_path}/lat.ark") as w:
+        w.write("u1", make_den_lattice(tm, [sl2] * T, [sl1] * T,
+                                       cost_b=0.3))
+    rc = get_tool("nnet3-discriminative-train")([
+        "nnet3-discriminative-train", "--criterion=smbr",
+        "--num-epochs=8", "--learning-rate=0.05",
+        "--acoustic-scale=1.0",
+        f"{tmp_path}/mdl0", f"{tmp_path}/trans.mdl",
+        f"ark:{tmp_path}/feats.ark", f"ark:{tmp_path}/ali.ark",
+        f"ark:{tmp_path}/lat.ark", f"{tmp_path}/mdl1"])
+    assert rc == 0
+    # the fine-tuned model must now favor the ALIGNED pdf per frame
+    rc = get_tool("nnet3-compute")([
+        "nnet3-compute", f"{tmp_path}/mdl1",
+        f"ark:{tmp_path}/feats.ark", f"ark:{tmp_path}/out.ark"])
+    assert rc == 0
+    out = dict(SequentialTableReader("matrix",
+                                     f"ark:{tmp_path}/out.ark"))["u1"]
+    pdf_good = tm.transition_id_to_pdf(sl1)
+    pdf_bad = tm.transition_id_to_pdf(sl2)
+    # sMBR raises the aligned PATH's total score relative to the
+    # competitor (path-level margin, not per-frame dominance); the
+    # den lattice handicaps the correct path by 0.3, so the model
+    # must have opened a clear gap
+    margin = float(out[:, pdf_good].sum() - out[:, pdf_bad].sum())
+    assert margin > 0.3, margin
+
+
 def test_combined_pitch_tool(tmp_path):
     from kaldi_tpu.feat.wave import WaveData
     rng = np.random.default_rng(0)
