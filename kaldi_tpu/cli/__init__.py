@@ -255,6 +255,7 @@ _register("kaldi_tpu.cli.tail9_tools", {
     "wav-perturb-speed": "wav_perturb_speed",
     "wav-perturb-volume": "wav_perturb_volume",
     "nnet3-discriminative-train": "nnet3_discriminative_train",
+    "ivector-extract-online": "ivector_extract_online",
 })
 
 _register("kaldi_tpu.cli.tail8_tools", {

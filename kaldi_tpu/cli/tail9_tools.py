@@ -166,6 +166,45 @@ def add_deltas_sdc(argv: List[str]) -> int:
     return 0 if n else 1
 
 
+def ivector_extract_online(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Extract i-vectors ONLINE: one row per --ivector-period "
+        "frames, each the MAP estimate from all frames seen so far "
+        "(ivector-extract-online.cc; the value a streaming decoder "
+        "would have had at that point).\n"
+        "Usage: ivector-extract-online [options] <extractor-in> "
+        "<feats-rspecifier> <ivector-matrix-wspecifier>")
+    period = po.register_value("ivector-period", 10,
+                               "Frames between outputs")
+    max_count = po.register_value(
+        "max-count", 0.0, "Soft cap on the stats count (0 = none)")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.ivector.extractor import (IvectorExtractor,
+                                             OnlineIvectorEstimationStats)
+    ex = kaldi_io.read_kaldi_object(IvectorExtractor.read,
+                                    po.get_arg(1))
+    writer = TableWriter("matrix", po.get_arg(3))
+    n = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(2)):
+        feats = np.asarray(feats)
+        stats = OnlineIvectorEstimationStats(ex,
+                                             max_count=max_count[0])
+        rows = []
+        for t0 in range(0, feats.shape[0], period[0]):
+            stats.acc_frames(feats[t0:t0 + period[0]])
+            rows.append(stats.ivector())
+        if not rows:
+            continue
+        writer.write(key, np.stack(rows).astype(np.float32))
+        n += 1
+    writer.close()
+    log(f"online i-vectors for {n} utterances (period {period[0]})")
+    return 0 if n else 1
+
+
 def nnet3_discriminative_train(argv: List[str]) -> int:
     po = ParseOptions(
         "Sequence-discriminative (MMI/MPE/sMBR) fine-tuning of an "

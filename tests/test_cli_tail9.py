@@ -130,6 +130,38 @@ def test_wav_perturb_speed_and_volume(tmp_path):
     np.testing.assert_allclose(v.channel(0), 0.5 * wav, atol=0.51)
 
 
+def test_ivector_extract_online(tmp_path):
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    from kaldi_tpu.ivector.extractor import IvectorExtractor
+    rng = np.random.default_rng(0)
+    D, G = 4, 3
+    ubm = DiagGmm(G, D)
+    means = rng.normal(scale=2.0, size=(G, D))
+    ubm.set_from_means_and_vars(np.ones(G) / G, means, np.ones((G, D)))
+    ex = IvectorExtractor(ubm, 3)
+    kaldi_io.write_kaldi_object(ex.write, f"{tmp_path}/ie")
+    x = (means[rng.integers(0, G, 50)] + 1.0
+         + 0.3 * rng.normal(size=(50, D))).astype(np.float32)
+    with TableWriter("matrix", f"ark:{tmp_path}/f.ark") as w:
+        w.write("u1", x)
+    rc = get_tool("ivector-extract-online")([
+        "ivector-extract-online", "--ivector-period=10",
+        f"{tmp_path}/ie", f"ark:{tmp_path}/f.ark",
+        f"ark:{tmp_path}/iv.ark"])
+    assert rc == 0
+    out = dict(SequentialTableReader("matrix",
+                                     f"ark:{tmp_path}/iv.ark"))["u1"]
+    assert out.shape == (5, 3)
+    # the final online row equals the full-utterance MAP estimate
+    full = ex.extract(x)
+    np.testing.assert_allclose(out[-1], full, atol=1e-3)
+    # early rows stay closer to the prior (offset, 0, 0) than late
+    prior = np.asarray([ex.prior_offset, 0.0, 0.0])
+    d0 = np.linalg.norm(out[0] - prior)
+    d4 = np.linalg.norm(out[-1] - prior)
+    assert d0 < d4 + 1e-6 or d0 < 1.5 * d4 + 1.0
+
+
 def test_nnet3_discriminative_train_cli(tmp_path):
     """CLI fine-tuning loop: init an xconfig model, write feats/ali/
     den-lats, train with sMBR, verify the saved model's aligned-path
