@@ -854,14 +854,19 @@ class LexChainDecoder:
                      lengths: Optional[Sequence[int]] = None,
                      prune_k: Optional[int] = None,
                      prune_beam: float = float(BIG),
-                     exact_topk: bool = False
+                     exact_topk: bool = False,
+                     stats: Optional[Dict[str, float]] = None
                      ) -> List[Optional[Tuple[List[int], List[int],
                                               float]]]:
         """prune_k: expand only each lane's top-K in-beam LM contexts'
         explicit arcs per frame (beam-pruned search; None = exact).
         prune_beam: contexts worse than best+beam are dropped before
         the top-K. exact_topk uses lax.top_k instead of approx_min_k
-        (exact selection; approx trades ~5% recall for speed)."""
+        (exact selection; approx trades ~5% recall for speed).
+        stats (optional dict): per-stage wall seconds fwd_s / fol_s /
+        traceback_s — each stage ends with a small forced D2H sync, so
+        passing stats changes pipelining; use only to profile."""
+        import time as _time
         import jax.numpy as jnp
         g = self.g
         N, P, V = g.N, g.P, g.V
@@ -883,7 +888,12 @@ class LexChainDecoder:
         roots0 = jnp.full((P + 1, B), INF, jnp.float32)
         roots0 = roots0.at[P].set(0.0)
         sil0 = jnp.full((P + 1, B), INF, jnp.float32)
+        _t0 = _time.time()
         cost, roots, sil, ys = fwd(cost0, roots0, sil0, am, active)
+        if stats is not None:
+            np.asarray(roots[0, 0])         # force D2H sync
+            stats["fwd_s"] = _time.time() - _t0
+            _t0 = _time.time()
 
         eos = self._c["eos"]
         fin_root = roots + eos                 # (P+1,B)
@@ -900,7 +910,13 @@ class LexChainDecoder:
         states = np.asarray(states)
         first_state = np.asarray(first_state)
         best_cost = np.asarray(best_cost)
-        return self._traceback(states, first_state, best_cost, lengths)
+        if stats is not None:
+            stats["fol_s"] = _time.time() - _t0
+            _t0 = _time.time()
+        out = self._traceback(states, first_state, best_cost, lengths)
+        if stats is not None:
+            stats["traceback_s"] = _time.time() - _t0
+        return out
 
     def _traceback(self, states, first_state, best_cost, lengths):
         """Vectorized over (frames, lanes): the per-pair case split of
