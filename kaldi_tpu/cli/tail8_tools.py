@@ -7,7 +7,7 @@ fmpe-apply-transform.cc in src/gmmbin)."""
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 

@@ -11,7 +11,7 @@ posteriors are summed at evaluation."""
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import BinaryIO, List, Optional, Tuple
+from typing import BinaryIO, Optional
 
 import numpy as np
 

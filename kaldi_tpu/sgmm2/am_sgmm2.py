@@ -29,7 +29,7 @@ from typing import BinaryIO, List, Optional, Sequence, Tuple
 import numpy as np
 
 from kaldi_tpu.base import io_funcs as iof
-from kaldi_tpu.base.logging import log, warn
+from kaldi_tpu.base.logging import log
 from kaldi_tpu.gmm.full_gmm import FullGmm
 
 M_LOG_2PI = 1.8378770664093454835606594728112
