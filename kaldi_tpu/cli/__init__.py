@@ -245,6 +245,18 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.tail10_tools", {
+    "gmm-global-sum-accs": "gmm_global_sum_accs",
+    "gmm-global-copy": "gmm_global_copy",
+    "gmm-global-get-frame-likes": "gmm_global_get_frame_likes",
+    "gmm-global-est-fmllr": "gmm_global_est_fmllr",
+    "fgmm-global-sum-accs": "fgmm_global_sum_accs",
+    "fgmm-global-to-gmm": "fgmm_global_to_gmm",
+    "copy-gselect": "copy_gselect",
+    "gmm-acc-stats2": "gmm_acc_stats2",
+    "extend-transform-dim": "extend_transform_dim",
+})
+
 _register("kaldi_tpu.cli.tail9_tools", {
     "ivector-adapt-plda": "ivector_adapt_plda",
     "ivector-copy-plda": "ivector_copy_plda",
