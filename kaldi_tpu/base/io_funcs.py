@@ -416,6 +416,11 @@ def read_matrix(stream: BinaryIO, binary: bool) -> np.ndarray:
             if cur:
                 rows.append(cur)
             break
+        if tok.endswith("]"):             # "4]" — no space before close
+            cur.append(float(tok[:-1]))
+            if cur:
+                rows.append(cur)
+            break
         cur.append(float(tok))
     if not rows:
         return np.zeros((0, 0), dtype=np.float32)
