@@ -179,6 +179,49 @@ def test_convert_ali_identity(mono_env, tmp_path):
                 sys_.tm.is_self_loop(int(b))
 
 
+def test_convert_ali_mono_to_triphone(mono_env, tmp_path):
+    """The real convert-ali use: mono alignments re-expressed under a
+    TRIPHONE tree (same topology, different pdfs).  Phone sequence,
+    durations, and self-loop structure must be preserved frame by
+    frame, and the new pdfs must come from the new tree's context
+    lookups."""
+    from kaldi_tpu.cli.gmm_tools import write_am_gmm
+    from kaldi_tpu.recipes.deltas import TrainDeltasOptions, \
+        train_deltas
+    d = mono_env["d"]
+    sys_ = mono_env["sys"]
+    import os
+    import sys as _s
+    _s.path.insert(0, os.path.dirname(__file__))
+    from test_mono_e2e import make_corpus
+    train_txt, _tw, _, _ = make_corpus(num_train=6, num_test=1)
+    tri = train_deltas(sys_.lang, mono_env["tf"], train_txt, sys_,
+                       mono_env["ali"],
+                       TrainDeltasOptions(num_iters=2, totgauss=24,
+                                          num_leaves=20,
+                                          realign_iters=(1,)))
+    write_am_gmm(f"{tmp_path}/tri.mdl", tri.tm, tri.am)
+    kaldi_io.write_kaldi_object(tri.tree.write, f"{tmp_path}/tri.tree")
+    rc = get_tool("convert-ali")([
+        "convert-ali", f"{d}/final.mdl", f"{tmp_path}/tri.mdl",
+        f"{tmp_path}/tri.tree", f"ark:{d}/ali.ark",
+        f"ark:{tmp_path}/conv.ark"])
+    assert rc == 0
+    conv = dict(SequentialTableReader("int-vector",
+                                      f"ark:{tmp_path}/conv.ark"))
+    assert len(conv) == len(mono_env["ali"])
+    for u, old in mono_env["ali"].items():
+        new = conv[u]
+        assert len(new) == len(old)
+        for a, b in zip(old, new):
+            assert sys_.tm.transition_id_to_phone(int(a)) == \
+                tri.tm.transition_id_to_phone(int(b))
+            assert sys_.tm.is_self_loop(int(a)) == \
+                tri.tm.is_self_loop(int(b))
+            assert sys_.tm.transition_id_to_hmm_state(int(a)) == \
+                tri.tm.transition_id_to_hmm_state(int(b))
+            assert 0 <= tri.tm.transition_id_to_pdf(int(b)) \
+                < tri.tm.num_pdfs
 def test_mllt_cli_ladder(mono_env, tmp_path):
     d = mono_env["d"]
     # posteriors from alignments
