@@ -245,6 +245,20 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.tail11_tools", {
+    "gmm-est-map": "gmm_est_map",
+    "gmm-acc-stats": "gmm_acc_stats",
+    "gmm-decode-faster": "gmm_decode_faster",
+    "gmm-align": "gmm_align",
+    "gmm-transform-means": "gmm_transform_means",
+    "gmm-transform-means-global": "gmm_transform_means_global",
+    "fgmm-global-get-frame-likes": "fgmm_global_get_frame_likes",
+    "train-transitions": "train_transitions",
+    "nnet3-am-info": "nnet3_am_info",
+    "paste-post": "paste_post",
+    "lattice-expand-ngram": "lattice_expand_ngram",
+})
+
 _register("kaldi_tpu.cli.tail10_tools", {
     "gmm-global-sum-accs": "gmm_global_sum_accs",
     "gmm-global-copy": "gmm_global_copy",
