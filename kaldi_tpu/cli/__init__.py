@@ -403,6 +403,9 @@ _register("kaldi_tpu.cli.sgmm2_tools", {
     "sgmm2-latgen-faster": "sgmm2_latgen_faster",
     "sgmm2-info": "sgmm2_info",
     "sgmm2-copy": "sgmm2_copy",
+    "sgmm2-gselect": "sgmm2_gselect",
+    "sgmm2-align-compiled": "sgmm2_align_compiled",
+    "sgmm2-rescore-lattice": "sgmm2_rescore_lattice",
 })
 
 

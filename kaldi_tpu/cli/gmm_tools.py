@@ -113,7 +113,11 @@ def compile_train_graphs(argv: List[str]) -> int:
         po.print_usage()
         return 1
     tree = kaldi_io.read_kaldi_object(ContextDependency.read, po.get_arg(1))
-    tm, _ = read_am_gmm(po.get_arg(2))
+    # only the TransitionModel is needed, so ANY .mdl (GMM, SGMM2,
+    # nnet3) works — the reference reads just the TM here too
+    with kaldi_io.input_stream(po.get_arg(2)) as f:
+        binary = iof.init_input_stream(f)
+        tm = TransitionModel.read(f, binary)
     from kaldi_tpu.fstext.openfst_io import read_fst_file
     lex = read_fst_file(po.get_arg(3))
     from kaldi_tpu.decoder.graph import compile_graph_from_lexicon_fst

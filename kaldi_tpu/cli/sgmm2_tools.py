@@ -317,6 +317,134 @@ def sgmm2_latgen_faster(argv: List[str]) -> int:
     return 0 if n else 1
 
 
+def sgmm2_gselect(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Precompute per-frame top-N Gaussian indices for an SGMM2 "
+        "(sgmm2-gselect.cc; indices over the shared full-covariance "
+        "background Gaussians).\n"
+        "Usage: sgmm2-gselect [options] <model-in> <feats-rspecifier> "
+        "<gselect-wspecifier>")
+    n_sel = po.register_value("full-gmm-nbest", 15,
+                              "Number of Gaussians to select")
+    po.read(argv)
+    if po.num_args() != 3:
+        po.print_usage()
+        return 1
+    tm, am = read_am_sgmm2(po.get_arg(1))
+    writer = TableWriter("int-vector-vector", po.get_arg(3))
+    n = 0
+    # per-Gaussian loglikes via the substate-marginalized component
+    # scores at the UBM point (v = e1 substates make this the shared
+    # background); sufficient for pruning parity
+    for key, feats in SequentialTableReader("matrix", po.get_arg(2)):
+        comp = am.component_log_likes(np.asarray(feats, np.float64))
+        ll = comp.max(axis=1)                      # (T, I)
+        k = min(n_sel[0], ll.shape[1])
+        idx = np.argpartition(-ll, k - 1, axis=1)[:, :k]
+        row = np.take_along_axis(ll, idx, axis=1)
+        order = np.argsort(-row, axis=1, kind="stable")
+        idx = np.take_along_axis(idx, order, axis=1)
+        writer.write(key, [r.tolist() for r in idx])
+        n += 1
+    writer.close()
+    log(f"wrote gselect for {n} utterances")
+    return 0 if n else 1
+
+
+def sgmm2_align_compiled(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Align features to compiled training graphs with an SGMM2 "
+        "model (sgmm2-align-compiled.cc).\n"
+        "Usage: sgmm2-align-compiled [options] <model-in> "
+        "<graphs-rspecifier> <feature-rspecifier> "
+        "<alignments-wspecifier>")
+    from kaldi_tpu.decoder.viterbi import FasterDecoder, \
+        FasterDecoderOptions
+    from kaldi_tpu.fstext.fst import VectorFst
+    beam = po.register_value("beam", 10.0, "Decoding beam")
+    retry_beam = po.register_value("retry-beam", 40.0,
+                                   "Beam for the second attempt")
+    acoustic_scale = po.register_value(
+        "acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    spk_vecs_rs = po.register_value(
+        "spk-vecs", "", "rspecifier for speaker vectors")
+    utt2spk_rs = po.register_value(
+        "utt2spk", "", "rspecifier for utterance-to-speaker map")
+    po.read(argv)
+    if po.num_args() != 4:
+        po.print_usage()
+        return 1
+    tm, am = read_am_sgmm2(po.get_arg(1))
+    graphs = RandomAccessTableReader(VectorFst, po.get_arg(2))
+    vecs = _read_spk_vecs(spk_vecs_rs[0])
+    utt2spk = (RandomAccessTableReader("token-vector", utt2spk_rs[0])
+               if utt2spk_rs[0] else None)
+    writer = TableWriter("int-vector", po.get_arg(4))
+    n = err = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(3)):
+        if key not in graphs:
+            warn(f"no graph for {key}")
+            err += 1
+            continue
+        ll = am.log_likes(np.asarray(feats),
+                          _utt_spk_vec(vecs, utt2spk, key))
+        res = FasterDecoder(graphs[key], FasterDecoderOptions(
+            beam=beam[0])).decode(ll, tm.id2pdf_id, acoustic_scale[0])
+        if res is None and retry_beam[0] > beam[0]:
+            res = FasterDecoder(graphs[key], FasterDecoderOptions(
+                beam=retry_beam[0])).decode(ll, tm.id2pdf_id,
+                                            acoustic_scale[0])
+        if res is None:
+            warn(f"alignment failed for {key}")
+            err += 1
+            continue
+        writer.write(key, res[0])
+        n += 1
+    writer.close()
+    log(f"aligned {n} utterances ({err} failed)")
+    return 0 if n else 1
+
+
+def sgmm2_rescore_lattice(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Replace lattice acoustic scores with an SGMM2 model's "
+        "(sgmm2-rescore-lattice.cc; speaker vectors supported).\n"
+        "Usage: sgmm2-rescore-lattice [options] <model-in> "
+        "<lattice-rspecifier> <feats-rspecifier> "
+        "<lattice-wspecifier>")
+    spk_vecs_rs = po.register_value(
+        "spk-vecs", "", "rspecifier for speaker vectors")
+    utt2spk_rs = po.register_value(
+        "utt2spk", "", "rspecifier for utterance-to-speaker map")
+    po.read(argv)
+    if po.num_args() != 4:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+    from kaldi_tpu.nnet3.discriminative_train import \
+        rescore_lattice_acoustics
+    tm, am = read_am_sgmm2(po.get_arg(1))
+    feats_reader = RandomAccessTableReader("matrix", po.get_arg(3))
+    vecs = _read_spk_vecs(spk_vecs_rs[0])
+    utt2spk = (RandomAccessTableReader("token-vector", utt2spk_rs[0])
+               if utt2spk_rs[0] else None)
+    writer = TableWriter(LatticeHolder(), po.get_arg(4))
+    n = err = 0
+    for key, lat in SequentialTableReader(LatticeHolder(),
+                                          po.get_arg(2)):
+        if key not in feats_reader:
+            warn(f"no feats for {key}")
+            err += 1
+            continue
+        ll = am.log_likes(np.asarray(feats_reader[key]),
+                          _utt_spk_vec(vecs, utt2spk, key))
+        writer.write(key, rescore_lattice_acoustics(lat, tm, ll))
+        n += 1
+    writer.close()
+    log(f"rescored {n} lattices ({err} errors)")
+    return 0 if n else 1
+
+
 def sgmm2_info(argv: List[str]) -> int:
     po = ParseOptions(
         "Print information about an SGMM2 model.\n"

@@ -76,6 +76,13 @@ def sgmm2_env(tmp_path_factory):
     hclg = make_hclg(sys_, unigram_g(lang))
     with open(f"{d}/HCLG.fst", "wb") as f:
         write_fst(f, hclg)
+    from kaldi_tpu.decoder.graph import make_lexicon_fst
+    with open(f"{d}/L.fst", "wb") as f:
+        write_fst(f, make_lexicon_fst(lang, with_disambig=True))
+    with TableWriter("int-vector", f"ark:{d}/trans.ark") as w:
+        for u in utts:
+            w.write(u, np.asarray([lang.words[w_] for w_ in
+                                   train_txt[u]], np.int32))
     return dict(d=str(d), test_txt=test_txt, lang=lang)
 
 
@@ -136,8 +143,76 @@ def test_sgmm2_cli_ladder(sgmm2_env):
     assert tot > 0 and errs <= 1, (errs, tot)
 
 
+def _ensure_final_model(d):
+    """Build final.mdl + lat.ark when this test runs standalone
+    (the ladder test produces them in full-module runs)."""
+    import os
+    if os.path.exists(f"{d}/final.mdl"):
+        return
+    rc = get_tool("sgmm2-init")([
+        "sgmm2-init", "--spk-space-dim=2", f"{d}/topo", f"{d}/tree",
+        f"{d}/ubm", f"{d}/final.mdl"])
+    assert rc == 0
+    for it in range(2):
+        assert get_tool("sgmm2-acc-stats-ali")([
+            "sgmm2-acc-stats-ali", f"{d}/final.mdl",
+            f"ark:{d}/feats.ark", f"ark:{d}/ali.ark",
+            f"{d}/tmp.acc"]) == 0
+        assert get_tool("sgmm2-est")([
+            "sgmm2-est", f"{d}/final.mdl", f"{d}/tmp.acc",
+            f"{d}/final.mdl"]) == 0
+    assert get_tool("sgmm2-latgen-faster")([
+        "sgmm2-latgen-faster", "--acoustic-scale=0.1", "--beam=16",
+        f"{d}/final.mdl", f"{d}/HCLG.fst",
+        f"ark:{d}/test_feats.ark", f"ark:{d}/lat.ark"]) == 0
+
+
+def test_sgmm2_decode_surface(sgmm2_env, tmp_path):
+    """gselect, align-compiled, rescore-lattice over the trained
+    ladder's model."""
+    d = sgmm2_env["d"]
+    _ensure_final_model(d)
+    rc = get_tool("sgmm2-gselect")([
+        "sgmm2-gselect", "--full-gmm-nbest=3", f"{d}/final.mdl",
+        f"ark:{d}/feats.ark", f"ark:{tmp_path}/gsel.ark"])
+    assert rc == 0
+    gsel = dict(SequentialTableReader("int-vector-vector",
+                                      f"ark:{tmp_path}/gsel.ark"))
+    assert all(len(r) == 3 for v in gsel.values() for r in v)
+    # align against the training graphs compiled from the same system
+    import os
+    import sys as _s
+    _s.path.insert(0, os.path.dirname(__file__))
+    rc = get_tool("compile-train-graphs")([
+        "compile-train-graphs", f"{d}/tree", f"{d}/final.mdl",
+        f"{d}/L.fst", f"ark:{d}/trans.ark", f"ark:{tmp_path}/g.ark"])
+    assert rc == 0
+    rc = get_tool("sgmm2-align-compiled")([
+        "sgmm2-align-compiled", "--acoustic-scale=0.1",
+        f"{d}/final.mdl", f"ark:{tmp_path}/g.ark",
+        f"ark:{d}/feats.ark", f"ark:{tmp_path}/ali.ark"])
+    assert rc == 0
+    ali = dict(SequentialTableReader("int-vector",
+                                     f"ark:{tmp_path}/ali.ark"))
+    assert len(ali) > 0
+    # rescore the ladder's decode lattices with the final model
+    rc = get_tool("sgmm2-rescore-lattice")([
+        "sgmm2-rescore-lattice", f"{d}/final.mdl", f"ark:{d}/lat.ark",
+        f"ark:{d}/test_feats.ark", f"ark:{tmp_path}/rlat.ark"])
+    assert rc == 0
+    from kaldi_tpu.lat.functions import lattice_best_path
+    from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+    lats = dict(SequentialTableReader(LatticeHolder(),
+                                      f"ark:{tmp_path}/rlat.ark"))
+    assert lats
+    for lat in lats.values():
+        _a, _w, cost = lattice_best_path(lat)
+        assert np.isfinite(cost)
+
+
 def test_sgmm2_info_and_copy(sgmm2_env, capsys):
     d = sgmm2_env["d"]
+    _ensure_final_model(d)
     rc = get_tool("sgmm2-copy")([
         "sgmm2-copy", "--binary=false", f"{d}/final.mdl",
         f"{d}/final_txt.mdl"])
