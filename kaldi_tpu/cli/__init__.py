@@ -245,6 +245,17 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.tail12_tools", {
+    "align-equal": "align_equal",
+    "compile-train-graphs-fsts": "compile_train_graphs_fsts",
+    "gmm-init-model-flat": "gmm_init_model_flat",
+    "gmm-global-gselect-to-post": "gmm_global_gselect_to_post",
+    "fgmm-global-gselect-to-post": "fgmm_global_gselect_to_post",
+    "fgmm-global-acc-stats-post": "fgmm_global_acc_stats_post",
+    "ivector-extractor-copy": "ivector_extractor_copy",
+    "ivector-randomize": "ivector_randomize",
+})
+
 _register("kaldi_tpu.cli.tail11_tools", {
     "gmm-est-map": "gmm_est_map",
     "gmm-acc-stats": "gmm_acc_stats",

@@ -228,9 +228,12 @@ def compile_graph_from_lexicon_fst(lex_fst: VectorFst,
                                    ) -> VectorFst:
     """compile-train-graphs body: prebuilt L(_disambig) + integer
     transcript -> HCLG-style training graph. Input labels of L that are
-    not known phones are treated as disambiguation symbols."""
+    not known phones are treated as disambiguation symbols.
+    word_ids may instead be a word-level FST (the
+    compile-train-graphs-fsts variant for uncertain transcripts)."""
     phones = set(tm.get_phones())
-    g = make_linear_word_acceptor(word_ids)
+    g = (word_ids if isinstance(word_ids, VectorFst)
+         else make_linear_word_acceptor(word_ids))
     lg = compose(lex_fst, arcsort(g, "ilabel"))
     lg = determinize_star(lg)
     dmap = {}
