@@ -245,6 +245,14 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.tail13_tools", {
+    "nnet3-am-init": "nnet3_am_init",
+    "nnet3-am-adjust-priors": "nnet3_am_adjust_priors",
+    "nnet3-show-progress": "nnet3_show_progress",
+    "nnet3-chain-compute-post": "nnet3_chain_compute_post",
+    "rnnlm-get-word-embedding": "rnnlm_get_word_embedding",
+})
+
 _register("kaldi_tpu.cli.tail12_tools", {
     "align-equal": "align_equal",
     "compile-train-graphs-fsts": "compile_train_graphs_fsts",
