@@ -416,6 +416,7 @@ _register("kaldi_tpu.cli.tail5_tools", {
 _register("kaldi_tpu.cli.sgmm2_tools", {
     "sgmm2-init": "sgmm2_init",
     "sgmm2-acc-stats-ali": "sgmm2_acc_stats_ali",
+    "sgmm2-acc-stats": "sgmm2_acc_stats",
     "sgmm2-sum-accs": "sgmm2_sum_accs",
     "sgmm2-est": "sgmm2_est",
     "sgmm2-est-spkvecs": "sgmm2_est_spkvecs",

@@ -137,6 +137,56 @@ def sgmm2_acc_stats_ali(argv: List[str]) -> int:
     return 0 if n else 1
 
 
+def sgmm2_acc_stats(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Accumulate stats for SGMM2 training from (transition-id) "
+        "POSTERIORS (sgmm2-acc-stats.cc; soft counts).\n"
+        "Usage: sgmm2-acc-stats [options] <model-in> "
+        "<feature-rspecifier> <posteriors-rspecifier> <stats-out>")
+    binary = po.register_value("binary", True, "Write output in binary mode")
+    spk_vecs_rs = po.register_value(
+        "spk-vecs", "", "rspecifier for speaker vectors")
+    utt2spk_rs = po.register_value(
+        "utt2spk", "", "rspecifier for utterance-to-speaker map")
+    po.read(argv)
+    if po.num_args() != 4:
+        po.print_usage()
+        return 1
+    tm, am = read_am_sgmm2(po.get_arg(1))
+    post_reader = RandomAccessTableReader("posterior", po.get_arg(3))
+    vecs = _read_spk_vecs(spk_vecs_rs[0])
+    utt2spk = (RandomAccessTableReader("token-vector", utt2spk_rs[0])
+               if utt2spk_rs[0] else None)
+    accs = MleAmSgmm2Accs(am)
+    n = err = 0
+    for key, feats in SequentialTableReader("matrix", po.get_arg(2)):
+        if key not in post_reader:
+            warn(f"no posteriors for {key}")
+            err += 1
+            continue
+        post = post_reader[key]
+        feats = np.asarray(feats)
+        sv = _utt_spk_vec(vecs, utt2spk, key)
+        # expand posterior entries to (frame, pdf, weight) rows; a frame
+        # with mass on several pdfs becomes several soft-weighted rows
+        rows, pdfs, wts = [], [], []
+        for t, frame in enumerate(post):
+            if t >= feats.shape[0]:
+                break
+            for tid, w in frame:
+                if w == 0.0:
+                    continue
+                rows.append(t)
+                pdfs.append(tm.transition_id_to_pdf(int(tid)))
+                wts.append(float(w))
+        if rows:
+            accs.accumulate(am, feats[rows], pdfs, sv, weights=wts)
+        n += 1
+    kaldi_io.write_kaldi_object(accs.write, po.get_arg(4), binary[0])
+    log(f"accumulated stats from {n} utterances ({err} errors)")
+    return 0 if n else 1
+
+
 def sgmm2_sum_accs(argv: List[str]) -> int:
     po = ParseOptions(
         "Sum SGMM2 stats.\n"

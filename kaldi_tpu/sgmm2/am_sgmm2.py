@@ -343,8 +343,14 @@ class MleAmSgmm2Accs:
 
     def accumulate(self, model: AmSgmm2, feats: np.ndarray,
                    states: Sequence[int],
-                   spk_vec: Optional[np.ndarray] = None) -> float:
-        """Viterbi-style supervision: frame t belongs to state[t]."""
+                   spk_vec: Optional[np.ndarray] = None,
+                   weights: Optional[Sequence[float]] = None) -> float:
+        """Viterbi-style supervision: frame t belongs to state[t].
+
+        With `weights`, frame t counts with soft weight weights[t]
+        (sgmm2-acc-stats.cc posterior path: a frame carrying posterior
+        mass over several pdfs is passed as repeated rows, one per
+        (pdf, weight) entry)."""
         state_of, logc, means, _, _ = model._pack()
         x = np.asarray(feats, np.float64)
         comp = model.component_log_likes(x, spk_vec)     # (T, JM, I)
@@ -356,6 +362,11 @@ class MleAmSgmm2Accs:
         flat = masked.reshape(x.shape[0], -1)
         tot = _logsumexp(flat, axis=1)                   # (T,)
         post = np.exp(masked - tot[:, None, None])       # (T, JM, I)
+        if weights is not None:
+            w = np.asarray(weights, np.float64)
+            post = post * w[:, None, None]
+        else:
+            w = np.ones(len(states))
         self.gamma += post.sum(axis=0)
         gi = post.sum(axis=1)                            # (T, I)
         g = gi.sum(axis=0)                               # (I,)
@@ -391,9 +402,10 @@ class MleAmSgmm2Accs:
         else:
             self.y += np.einsum("tmi,td->mid", post, x, optimize=True)
             self.S += A
-        self.total_like += float(tot.sum())
-        self.total_frames += len(states)
-        return float(tot.sum())
+        like = float(np.dot(w, tot))
+        self.total_like += like
+        self.total_frames += float(w.sum())
+        return like
 
 
 class MleSgmm2SpeakerAccs:

@@ -210,6 +210,42 @@ def test_sgmm2_decode_surface(sgmm2_env, tmp_path):
         assert np.isfinite(cost)
 
 
+def test_sgmm2_acc_stats_posteriors(sgmm2_env, tmp_path):
+    """sgmm2-acc-stats on unit-weight posteriors (ali-to-post) must
+    match sgmm2-acc-stats-ali exactly; scaled posteriors scale the
+    occupancies (soft-count path, sgmm2-acc-stats.cc)."""
+    d = sgmm2_env["d"]
+    _ensure_final_model(d)
+    assert get_tool("ali-to-post")([
+        "ali-to-post", f"ark:{d}/ali.ark", f"ark:{tmp_path}/post.ark"
+    ]) == 0
+    assert get_tool("sgmm2-acc-stats")([
+        "sgmm2-acc-stats", f"{d}/final.mdl", f"ark:{d}/feats.ark",
+        f"ark:{tmp_path}/post.ark", f"{tmp_path}/post.acc"]) == 0
+    assert get_tool("sgmm2-acc-stats-ali")([
+        "sgmm2-acc-stats-ali", f"{d}/final.mdl", f"ark:{d}/feats.ark",
+        f"ark:{d}/ali.ark", f"{tmp_path}/ali.acc"]) == 0
+    from kaldi_tpu.sgmm2.am_sgmm2 import MleAmSgmm2Accs
+    a = kaldi_io.read_kaldi_object(MleAmSgmm2Accs.read,
+                                   f"{tmp_path}/post.acc")
+    b = kaldi_io.read_kaldi_object(MleAmSgmm2Accs.read,
+                                   f"{tmp_path}/ali.acc")
+    np.testing.assert_allclose(a.gamma, b.gamma, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(a.y, b.y, rtol=1e-6, atol=1e-6)
+    assert abs(a.total_frames - b.total_frames) < 1e-6
+    # half-weight posteriors -> half the occupancy mass
+    assert get_tool("scale-post")([
+        "scale-post", f"ark:{tmp_path}/post.ark", "0.5",
+        f"ark:{tmp_path}/half.ark"]) == 0
+    assert get_tool("sgmm2-acc-stats")([
+        "sgmm2-acc-stats", f"{d}/final.mdl", f"ark:{d}/feats.ark",
+        f"ark:{tmp_path}/half.ark", f"{tmp_path}/half.acc"]) == 0
+    h = kaldi_io.read_kaldi_object(MleAmSgmm2Accs.read,
+                                   f"{tmp_path}/half.acc")
+    np.testing.assert_allclose(h.gamma, 0.5 * b.gamma,
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_sgmm2_info_and_copy(sgmm2_env, capsys):
     d = sgmm2_env["d"]
     _ensure_final_model(d)
