@@ -245,6 +245,18 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.tail14_tools", {
+    "append-post-to-feats": "append_post_to_feats",
+    "apply-cmvn-online": "apply_cmvn_online",
+    "matrix-max": "matrix_max",
+    "post-to-smat": "post_to_smat",
+    "process-pitch-feats": "process_pitch_feats",
+    "compute-cmvn-stats-two-channel": "compute_cmvn_stats_two_channel",
+    "copy-feats-to-sphinx": "copy_feats_to_sphinx",
+    "decode-faster": "decode_faster",
+    "align-mapped": "align_mapped",
+})
+
 _register("kaldi_tpu.cli.tail13_tools", {
     "nnet3-am-init": "nnet3_am_init",
     "nnet3-am-adjust-priors": "nnet3_am_adjust_priors",

@@ -352,6 +352,9 @@ def _make_holder(holder) -> Holder:
         if holder == "fst":
             from kaldi_tpu.fstext.openfst_io import FstHolder
             return FstHolder()
+        if holder == "sparse-matrix":
+            from kaldi_tpu.matrix.sparse import SparseMatrixHolder
+            return SparseMatrixHolder()
         return _HOLDERS[holder]()
     if isinstance(holder, type) and issubclass(holder, Holder):
         return holder()
