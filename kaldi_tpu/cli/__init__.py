@@ -245,6 +245,19 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.parbin_tools", {
+    "gmm-latgen-faster-parallel": "gmm_latgen_faster_parallel",
+    "latgen-faster-mapped-parallel": "latgen_faster_mapped_parallel",
+    "sgmm2-latgen-faster-parallel": "sgmm2_latgen_faster_parallel",
+    "nnet3-latgen-faster-parallel": "nnet3_latgen_faster_parallel",
+    "lattice-determinize-pruned-parallel":
+        "lattice_determinize_pruned_parallel",
+    "lattice-determinize-phone-pruned":
+        "lattice_determinize_phone_pruned",
+    "lattice-determinize-phone-pruned-parallel":
+        "lattice_determinize_phone_pruned_parallel",
+})
+
 _register("kaldi_tpu.cli.tail14_tools", {
     "append-post-to-feats": "append_post_to_feats",
     "apply-cmvn-online": "apply_cmvn_online",

@@ -210,6 +210,27 @@ def test_sgmm2_decode_surface(sgmm2_env, tmp_path):
         assert np.isfinite(cost)
 
 
+def test_sgmm2_latgen_parallel(sgmm2_env, tmp_path):
+    """sgmm2-latgen-faster-parallel matches the serial tool's words."""
+    d = sgmm2_env["d"]
+    _ensure_final_model(d)
+    args = ["--acoustic-scale=0.1", "--beam=16", f"{d}/final.mdl",
+            f"{d}/HCLG.fst", f"ark:{d}/test_feats.ark"]
+    assert get_tool("sgmm2-latgen-faster")(
+        ["sgmm2-latgen-faster"] + args +
+        [f"ark:{tmp_path}/ser.lat", f"ark:{tmp_path}/ser.words"]) == 0
+    assert get_tool("sgmm2-latgen-faster-parallel")(
+        ["sgmm2-latgen-faster-parallel", "--num-threads=2"] + args +
+        [f"ark:{tmp_path}/par.lat", f"ark:{tmp_path}/par.words"]) == 0
+    sw = dict(SequentialTableReader("int-vector",
+                                    f"ark:{tmp_path}/ser.words"))
+    pw = dict(SequentialTableReader("int-vector",
+                                    f"ark:{tmp_path}/par.words"))
+    assert list(sw) == list(pw)
+    for k in sw:
+        np.testing.assert_array_equal(sw[k], pw[k])
+
+
 def test_sgmm2_acc_stats_posteriors(sgmm2_env, tmp_path):
     """sgmm2-acc-stats on unit-weight posteriors (ali-to-post) must
     match sgmm2-acc-stats-ali exactly; scaled posteriors scale the
