@@ -245,6 +245,15 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.transform2_tools", {
+    "gmm-post-to-gpost": "gmm_post_to_gpost",
+    "gmm-est-fmllr-gpost": "gmm_est_fmllr_gpost",
+    "gmm-est-fmllr-global": "gmm_est_fmllr_global",
+    "gmm-basis-fmllr-accs": "gmm_basis_fmllr_accs",
+    "gmm-basis-fmllr-accs-gpost": "gmm_basis_fmllr_accs_gpost",
+    "gmm-est-basis-fmllr-gpost": "gmm_est_basis_fmllr_gpost",
+})
+
 _register("kaldi_tpu.cli.parbin_tools", {
     "gmm-latgen-faster-parallel": "gmm_latgen_faster_parallel",
     "latgen-faster-mapped-parallel": "latgen_faster_mapped_parallel",

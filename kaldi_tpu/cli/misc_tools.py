@@ -132,7 +132,7 @@ def gmm_est_fmllr(argv: List[str]) -> int:
     from kaldi_tpu.cli.gmm_tools import read_am_gmm
     from kaldi_tpu.transform.fmllr import FmllrDiagGmmAccs
     tm, am = read_am_gmm(po.get_arg(1))
-    ali_reader = RandomAccessTableReader("int-vector", po.get_arg(3))
+    post_reader = RandomAccessTableReader("posterior", po.get_arg(3))
     writer = TableWriter("matrix", po.get_arg(4))
     n = 0
     if spk2utt[0]:
@@ -140,13 +140,13 @@ def gmm_est_fmllr(argv: List[str]) -> int:
         for spk, utts in SequentialTableReader("token-vector", spk2utt[0]):
             accs = None
             for utt in utts:
-                if utt not in feat_reader or utt not in ali_reader:
+                if utt not in feat_reader or utt not in post_reader:
                     continue
-                feats = feat_reader[utt]
+                feats = np.asarray(feat_reader[utt], np.float64)
                 if accs is None:
                     accs = FmllrDiagGmmAccs(feats.shape[1])
-                accs.accumulate_from_alignment(am, tm, feats,
-                                               ali_reader[utt])
+                accs.accumulate_from_posterior(am, tm, feats,
+                                               post_reader[utt])
             if accs is None:
                 continue
             W, impr = accs.update()
@@ -154,10 +154,12 @@ def gmm_est_fmllr(argv: List[str]) -> int:
             n += 1
     else:
         for utt, feats in SequentialTableReader("matrix", po.get_arg(2)):
-            if utt not in ali_reader:
+            if utt not in post_reader:
                 continue
             accs = FmllrDiagGmmAccs(feats.shape[1])
-            accs.accumulate_from_alignment(am, tm, feats, ali_reader[utt])
+            accs.accumulate_from_posterior(am, tm,
+                                           np.asarray(feats, np.float64),
+                                           post_reader[utt])
             W, impr = accs.update()
             writer.write(utt, W)
             n += 1

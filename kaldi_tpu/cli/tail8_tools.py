@@ -138,7 +138,10 @@ def gmm_basis_fmllr_training(argv: List[str]) -> int:
         "Estimate the fMLLR basis from training speakers' gradient "
         "scatter (gmm-basis-fmllr-training.cc, Povey & Yao 2012).\n"
         "Usage: gmm-basis-fmllr-training [options] <model-in> "
-        "<feats-rspecifier> <ali-rspecifier> <basis-out>")
+        "<feats-rspecifier> <ali-rspecifier> <basis-out>\n"
+        "   or: gmm-basis-fmllr-training [options] <model-in> "
+        "<basis-out> <accs-in1> [<accs-in2> ...]  (reference form: "
+        "read gradient-scatter accs from gmm-basis-fmllr-accs)")
     binary = po.register_value("binary", True, "Write output in binary mode")
     spk2utt = po.register_value("spk2utt", "",
                                 "Speaker-to-utterance map rspecifier")
@@ -146,13 +149,35 @@ def gmm_basis_fmllr_training(argv: List[str]) -> int:
         "basis-size", 0, "Number of basis matrices to keep "
         "(0 = D*(D+1))")
     po.read(argv)
-    if po.num_args() != 4:
+    if po.num_args() < 3:
         po.print_usage()
         return 1
     from kaldi_tpu.cli.gmm_tools import read_am_gmm
     from kaldi_tpu.transform.basis_fmllr import (BasisFmllrAccus,
                                                  BasisFmllrEstimate)
     from kaldi_tpu.transform.fmllr import FmllrDiagGmmAccs
+    if not any(po.get_arg(2).startswith(p) for p in ("ark", "scp")):
+        # reference form: args are accs files
+        tm, am = read_am_gmm(po.get_arg(1))
+        accus = None
+        for i in range(3, po.num_args() + 1):
+            a = kaldi_io.read_kaldi_object(BasisFmllrAccus.read,
+                                           po.get_arg(i))
+            if accus is None:
+                accus = a
+            else:
+                accus.add(a)
+        est = BasisFmllrEstimate(am.dim)
+        est.estimate_fmllr_basis(accus, basis_size[0] or None)
+        kaldi_io.write_kaldi_object(
+            lambda s, b: _write_basis(s, b, est), po.get_arg(2),
+            binary[0])
+        log(f"estimated fMLLR basis from {po.num_args() - 2} accs "
+            f"(beta {accus.beta:.1f})")
+        return 0
+    if po.num_args() != 4:
+        po.print_usage()
+        return 1
     tm, am = read_am_gmm(po.get_arg(1))
     feats_reader = RandomAccessTableReader("matrix", po.get_arg(2))
     ali_reader = RandomAccessTableReader("int-vector", po.get_arg(3))

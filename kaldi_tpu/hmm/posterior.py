@@ -66,6 +66,43 @@ class PosteriorHolder(Holder):
         write_posterior(stream, binary, value)
 
 
+# GaussPost: per frame, (pdf-id, per-Gaussian posterior vector) pairs
+# (posterior.h:98 GaussPostHolder; gmm-post-to-gpost writes pdf-ids).
+GaussPost = List[List[Tuple[int, "np.ndarray"]]]
+
+
+def write_gauss_post(stream: BinaryIO, binary: bool,
+                     gpost: GaussPost) -> None:
+    iof.write_int32(stream, binary, len(gpost))
+    for frame in gpost:
+        iof.write_int32(stream, binary, len(frame))
+        for idx, vec in frame:
+            iof.write_int32(stream, binary, idx)
+            iof.write_vector(stream, binary, vec)
+    if not binary:
+        stream.write(b"\n")
+
+
+def read_gauss_post(stream: BinaryIO, binary: bool) -> GaussPost:
+    n = iof.read_int32(stream, binary)
+    gpost: GaussPost = []
+    for _ in range(n):
+        m = iof.read_int32(stream, binary)
+        gpost.append([(iof.read_int32(stream, binary),
+                       iof.read_vector(stream, binary))
+                      for _ in range(m)])
+    return gpost
+
+
+class GaussPostHolder(Holder):
+    def read(self, stream):
+        binary = iof.init_input_stream(stream)
+        return read_gauss_post(stream, binary)
+
+    def write(self, stream, binary, value):
+        write_gauss_post(stream, binary, value)
+
+
 def posterior_to_pdf(post: Posterior, tm) -> Posterior:
     """post-to-pdf: convert transition-id posteriors to pdf posteriors,
     merging weights."""

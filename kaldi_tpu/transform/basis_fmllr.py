@@ -38,6 +38,38 @@ class BasisFmllrAccus:
         self.grad_scatter += np.outer(v, v)
         self.beta += accs.beta
 
+    def add(self, other: "BasisFmllrAccus") -> None:
+        """Sum accumulators (parallel jobs feed
+        gmm-basis-fmllr-training)."""
+        self.grad_scatter += other.grad_scatter
+        self.beta += other.beta
+
+    def write(self, stream, binary: bool = True) -> None:
+        from kaldi_tpu.base import io_funcs as iof
+        iof.write_token(stream, binary, "<BasisFmllrAccus>")
+        iof.write_token(stream, binary, "<Beta>")
+        iof.write_float(stream, binary, self.beta)
+        iof.write_token(stream, binary, "<Dim>")
+        iof.write_int32(stream, binary, self.dim)
+        iof.write_token(stream, binary, "<GradScatter>")
+        iof.write_matrix(stream, binary, self.grad_scatter)
+        iof.write_token(stream, binary, "</BasisFmllrAccus>")
+
+    @classmethod
+    def read(cls, stream, binary: bool = True) -> "BasisFmllrAccus":
+        from kaldi_tpu.base import io_funcs as iof
+        iof.expect_token(stream, binary, "<BasisFmllrAccus>")
+        iof.expect_token(stream, binary, "<Beta>")
+        beta = iof.read_float(stream, binary)
+        iof.expect_token(stream, binary, "<Dim>")
+        out = cls(iof.read_int32(stream, binary))
+        out.beta = beta
+        iof.expect_token(stream, binary, "<GradScatter>")
+        out.grad_scatter = np.asarray(iof.read_matrix(stream, binary),
+                                      np.float64)
+        iof.expect_token(stream, binary, "</BasisFmllrAccus>")
+        return out
+
 
 def _auxf(W: np.ndarray, accs: FmllrDiagGmmAccs) -> float:
     D = accs.dim

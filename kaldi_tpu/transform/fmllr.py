@@ -64,6 +64,48 @@ class FmllrDiagGmmAccs:
             post = g.component_posteriors(sub.astype(np.float32))
             self.accumulate_from_posteriors(g, sub, post)
 
+    def accumulate_from_posterior(self, am, tm, data: np.ndarray,
+                                  post) -> None:
+        """Soft-count accumulation from transition-id posteriors
+        (fmllr-diag-gmm.cc AccumulateFromPosteriors path of
+        gmm-est-fmllr.cc): each (tid, w) entry contributes the pdf's
+        Gaussian posteriors scaled by w."""
+        by_pdf: dict = {}
+        for t, frame in enumerate(post):
+            if t >= data.shape[0]:
+                break
+            for tid, w in frame:
+                if w == 0.0:
+                    continue
+                pdf = tm.transition_id_to_pdf(int(tid))
+                rows, wts = by_pdf.setdefault(pdf, ([], []))
+                rows.append(t)
+                wts.append(float(w))
+        for pdf, (rows, wts) in by_pdf.items():
+            g = am.get_pdf(int(pdf))
+            sub = data[rows]
+            gp = g.component_posteriors(sub.astype(np.float32))
+            self.accumulate_from_posteriors(
+                g, sub, gp * np.asarray(wts)[:, None])
+
+    def accumulate_from_gauss_post(self, am, data: np.ndarray,
+                                   gpost) -> None:
+        """Accumulation from Gaussian-level posteriors
+        (gmm-est-fmllr-gpost.cc): entries carry (pdf-id,
+        per-Gaussian weight vector)."""
+        by_pdf: dict = {}
+        for t, frame in enumerate(gpost):
+            if t >= data.shape[0]:
+                break
+            for pdf, vec in frame:
+                rows, vecs = by_pdf.setdefault(int(pdf), ([], []))
+                rows.append(t)
+                vecs.append(np.asarray(vec, np.float64))
+        for pdf, (rows, vecs) in by_pdf.items():
+            g = am.get_pdf(int(pdf))
+            self.accumulate_from_posteriors(g, data[rows],
+                                            np.stack(vecs))
+
     def update(self, num_iters: int = 20, min_count: float = 500.0
                ) -> Tuple[np.ndarray, float]:
         """Row-wise iterative update; returns (W (D, D+1), objf impr/frame)."""

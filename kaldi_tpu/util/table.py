@@ -346,6 +346,9 @@ def _make_holder(holder) -> Holder:
         if holder == "posterior":  # lazy: avoids an import cycle
             from kaldi_tpu.hmm.posterior import PosteriorHolder
             return PosteriorHolder()
+        if holder == "gauss-post":
+            from kaldi_tpu.hmm.posterior import GaussPostHolder
+            return GaussPostHolder()
         if holder == "lattice":
             from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
             return LatticeHolder()
