@@ -245,6 +245,14 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.regtree2_tools", {
+    "gmm-est-regtree-fmllr": "gmm_est_regtree_fmllr",
+    "gmm-est-regtree-mllr": "gmm_est_regtree_mllr",
+    "gmm-decode-faster-regtree-fmllr": "gmm_decode_faster_regtree_fmllr",
+    "gmm-decode-faster-regtree-mllr": "gmm_decode_faster_regtree_mllr",
+    "gmm-latgen-faster-regtree-fmllr": "gmm_latgen_faster_regtree_fmllr",
+})
+
 _register("kaldi_tpu.cli.transform2_tools", {
     "gmm-post-to-gpost": "gmm_post_to_gpost",
     "gmm-est-fmllr-gpost": "gmm_est_fmllr_gpost",

@@ -113,15 +113,42 @@ class RegtreeFmllrAccs:
             g = am.get_pdf(int(pdf))
             sub = feats[pdfs == pdf]
             post = g.component_posteriors(sub.astype(np.float32))
-            # split the per-component posteriors by base class
-            by_class: Dict[int, List[int]] = {}
-            for j in range(g.num_gauss):
-                by_class.setdefault(
-                    self.tree.gauss2bclass[(int(pdf), j)], []).append(j)
-            for b, comps in by_class.items():
-                p = np.zeros_like(post)
-                p[:, comps] = post[:, comps]
-                self.accs[b].accumulate_from_posteriors(g, sub, p)
+            self._accumulate_pdf(int(pdf), g, sub, post)
+
+    def accumulate_from_posterior(self, am, tm, feats: np.ndarray,
+                                  post) -> None:
+        """Soft-count accumulation from transition-id posteriors
+        (gmm-est-regtree-fmllr.cc)."""
+        feats = np.asarray(feats, np.float64)
+        by_pdf: Dict[int, Tuple[list, list]] = {}
+        for t, frame in enumerate(post):
+            if t >= feats.shape[0]:
+                break
+            for tid, w in frame:
+                if w == 0.0:
+                    continue
+                pdf = tm.transition_id_to_pdf(int(tid))
+                rows, wts = by_pdf.setdefault(pdf, ([], []))
+                rows.append(t)
+                wts.append(float(w))
+        for pdf, (rows, wts) in by_pdf.items():
+            g = am.get_pdf(int(pdf))
+            sub = feats[rows]
+            gp = g.component_posteriors(sub.astype(np.float32)) \
+                * np.asarray(wts)[:, None]
+            self._accumulate_pdf(int(pdf), g, sub, gp)
+
+    def _accumulate_pdf(self, pdf: int, g, sub: np.ndarray,
+                        post: np.ndarray) -> None:
+        # split the per-component posteriors by base class
+        by_class: Dict[int, List[int]] = {}
+        for j in range(g.num_gauss):
+            by_class.setdefault(
+                self.tree.gauss2bclass[(pdf, j)], []).append(j)
+        for b, comps in by_class.items():
+            p = np.zeros_like(post)
+            p[:, comps] = post[:, comps]
+            self.accs[b].accumulate_from_posteriors(g, sub, p)
 
 
 class RegtreeFmllr:
@@ -196,21 +223,28 @@ def estimate_regtree_fmllr(accs: RegtreeFmllrAccs,
 def regtree_log_likes(am, tree: RegressionTree, xforms: RegtreeFmllr,
                       feats: np.ndarray) -> np.ndarray:
     """(T, num_pdfs) log-likelihoods with each Gaussian scored through
-    its base class's transform."""
+    its base class's transform, including that transform's
+    log|det A| Jacobian term (regtree-fmllr-diag-gmm.cc
+    ComputeLogDets; without it Gaussians under different transforms
+    are weighted inconsistently)."""
     feats = np.asarray(feats, np.float64)
     T = feats.shape[0]
     ext = np.concatenate([feats, np.ones((T, 1))], axis=1)
     transformed = {k: ext @ xforms.W[k].T
                    for k in range(xforms.W.shape[0])}
+    D = feats.shape[1]
+    logdets = [float(np.linalg.slogdet(xforms.W[k][:, :D])[1])
+               for k in range(xforms.W.shape[0])]
     out = np.full((T, am.num_pdfs), -np.inf)
     for pdf in range(am.num_pdfs):
         g = am.get_pdf(pdf)
         comp_ll = np.full((T, g.num_gauss), -np.inf)
         for j in range(g.num_gauss):
             b = tree.gauss2bclass[(pdf, j)]
-            x = transformed[xforms.bclass2xform[b]]
+            k = xforms.bclass2xform[b]
+            x = transformed[k]
             cl = g.component_log_likes(x.astype(np.float32))
-            comp_ll[:, j] = cl[:, j]
+            comp_ll[:, j] = cl[:, j] + logdets[k]
         m = comp_ll.max(axis=1, keepdims=True)
         out[:, pdf] = (m + np.log(np.exp(comp_ll - m)
                                   .sum(axis=1, keepdims=True)))[:, 0]
