@@ -245,6 +245,14 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.mllt2_tools", {
+    "gmm-acc-mllt-global": "gmm_acc_mllt_global",
+    "sum-mllt-accs": "sum_mllt_accs",
+    "get-full-lda-mat": "get_full_lda_mat",
+    "gmm-est-rescale": "gmm_est_rescale",
+    "init-ubm": "init_ubm",
+})
+
 _register("kaldi_tpu.cli.regtree2_tools", {
     "gmm-est-regtree-fmllr": "gmm_est_regtree_fmllr",
     "gmm-est-regtree-mllr": "gmm_est_regtree_mllr",

@@ -105,3 +105,74 @@ def _log_likes_kernel(feats, gconsts, mi, iv, seg, num_pdfs):
                                num_segments=num_pdfs)
     out = seg_max + jnp.log(sums)
     return jnp.moveaxis(out, 0, -1)
+
+
+def cluster_gaussians_to_ubm(am: AmDiagGmm, state_occs,
+                             ubm_num_gauss: int = 400,
+                             num_iters: int = 20,
+                             seed: int = 0) -> DiagGmm:
+    """Cluster all of an AM's Gaussians into one background GMM
+    (am-diag-gmm.cc:195 ClusterGaussiansToUbm / sgmm2bin init-ubm).
+
+    Every (pdf, gauss) pair enters with weight state_occ * w; a
+    weighted k-means over the means forms ubm_num_gauss clusters,
+    each moment-matched to a single diagonal Gaussian.  (The
+    reference uses an agglomerative tree-cluster pass before the
+    merge; the k-means route reaches an equivalent UBM without the
+    O(N^2) pair scan.)"""
+    import numpy as _np
+    occs = _np.asarray(state_occs, _np.float64)
+    means, var, w = [], [], []
+    for pdf in range(am.num_pdfs):
+        g = am.get_pdf(pdf)
+        means.append(g.get_means().astype(_np.float64))
+        var.append((1.0 / g.inv_vars).astype(_np.float64))
+        w.append(_np.asarray(g.weights, _np.float64)
+                 * (float(occs[pdf]) + 1e-10))
+    means = _np.concatenate(means)
+    var = _np.concatenate(var)
+    w = _np.concatenate(w)
+    K = min(int(ubm_num_gauss), len(w))
+    rng = _np.random.default_rng(seed)
+    # weighted k-means++ style init: sample K means by weight
+    idx = rng.choice(len(w), K, replace=False,
+                     p=w / w.sum()) if len(w) > K else _np.arange(K)
+    cents = means[idx]
+    for _ in range(num_iters):
+        d2 = ((means[:, None, :] - cents[None]) ** 2).sum(-1) \
+            if len(w) * K * means.shape[1] < 5e7 else None
+        if d2 is None:
+            # chunked distance computation for big models
+            d2 = _np.empty((len(w), K))
+            step = max(1, int(5e7 / (K * means.shape[1])))
+            for s in range(0, len(w), step):
+                d2[s:s + step] = ((means[s:s + step, None, :]
+                                   - cents[None]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        for k in range(K):
+            sel = assign == k
+            if not _np.any(sel):
+                continue
+            ww = w[sel]
+            cents[k] = (means[sel] * ww[:, None]).sum(0) / ww.sum()
+    # moment-match each cluster to one gaussian
+    out_w = _np.zeros(K)
+    out_m = _np.zeros((K, means.shape[1]))
+    out_v = _np.ones((K, means.shape[1]))
+    x2 = var + means ** 2
+    for k in range(K):
+        sel = assign == k
+        if not _np.any(sel):
+            out_m[k] = cents[k]
+            continue
+        ww = w[sel]
+        out_w[k] = ww.sum()
+        out_m[k] = (means[sel] * ww[:, None]).sum(0) / ww.sum()
+        mx2 = (x2[sel] * ww[:, None]).sum(0) / ww.sum()
+        out_v[k] = _np.maximum(mx2 - out_m[k] ** 2, 1e-10)
+    keep = out_w > 0
+    ubm = DiagGmm(int(keep.sum()), means.shape[1])
+    ubm.set_from_means_and_vars(out_w[keep] / out_w[keep].sum(),
+                                out_m[keep], out_v[keep])
+    ubm.compute_gconsts()
+    return ubm

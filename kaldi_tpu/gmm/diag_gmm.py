@@ -119,6 +119,55 @@ class DiagGmm:
         self.inv_vars = np.stack(iv)
         self.compute_gconsts()
 
+    def merge(self, target: int) -> None:
+        """Greedy pair merging down to `target` components
+        (diag-gmm.cc Merge): repeatedly merge the pair with the
+        smallest log-likelihood loss (weighted log-det increase),
+        moment-matching the merged Gaussian."""
+        if target >= self.num_gauss:
+            return
+        if target < 1:
+            raise KaldiTpuError("merge: target must be >= 1")
+        w = np.asarray(self.weights, np.float64).copy()
+        means = self.get_means().astype(np.float64)
+        var = (1.0 / self.inv_vars).astype(np.float64)
+        # second moments for exact moment matching
+        x2 = var + means ** 2
+
+        def logdet(v):
+            return float(np.log(np.maximum(v, 1e-20)).sum())
+
+        while len(w) > target:
+            M = len(w)
+            # merged variance for every pair (vectorized)
+            best = (np.inf, 0, 1)
+            ld = np.array([logdet(var[i]) for i in range(M)])
+            for i in range(M - 1):
+                wj = w[i + 1:]
+                tot = w[i] + wj
+                mm = (w[i] * means[i] + wj[:, None] * means[i + 1:]) \
+                    / tot[:, None]
+                xx = (w[i] * x2[i] + wj[:, None] * x2[i + 1:]) \
+                    / tot[:, None]
+                vv = np.maximum(xx - mm ** 2, 1e-10)
+                ld_merged = np.log(vv).sum(axis=1)
+                cost = 0.5 * (tot * ld_merged
+                              - w[i] * ld[i] - wj * ld[i + 1:])
+                j = int(np.argmin(cost))
+                if cost[j] < best[0]:
+                    best = (float(cost[j]), i, i + 1 + j)
+            _, i, j = best
+            tot = w[i] + w[j]
+            mm = (w[i] * means[i] + w[j] * means[j]) / tot
+            xx = (w[i] * x2[i] + w[j] * x2[j]) / tot
+            means[i], x2[i], w[i] = mm, xx, tot
+            var[i] = np.maximum(xx - mm ** 2, 1e-10)
+            keep = np.ones(M, bool)
+            keep[j] = False
+            w, means, var, x2 = w[keep], means[keep], var[keep], x2[keep]
+        self.set_from_means_and_vars(w / w.sum(), means, var)
+        self.compute_gconsts()
+
     # -- I/O -----------------------------------------------------------------
 
     def write(self, stream: BinaryIO, binary: bool = True) -> None:

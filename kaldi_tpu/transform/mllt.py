@@ -71,9 +71,27 @@ class MlltAccs:
         impr = objf(M) - start
         return M, float(impr)
 
+    def add(self, other: "MlltAccs") -> None:
+        """Sum accumulators (sum-mllt-accs)."""
+        self.beta += other.beta
+        self.G += other.G
+
     def write(self, stream, binary: bool = True) -> None:
         iof.write_token(stream, binary, "<MLLTACCS>")
         iof.write_double(stream, binary, self.beta)
         for i in range(self.dim):
             iof.write_matrix(stream, binary, self.G[i])
         iof.write_token(stream, binary, "</MLLTACCS>")
+
+    @classmethod
+    def read(cls, stream, binary: bool = True) -> "MlltAccs":
+        iof.expect_token(stream, binary, "<MLLTACCS>")
+        beta = iof.read_double(stream, binary)
+        first = iof.read_matrix(stream, binary)
+        out = cls(first.shape[0])
+        out.beta = beta
+        out.G[0] = first
+        for i in range(1, out.dim):
+            out.G[i] = iof.read_matrix(stream, binary)
+        iof.expect_token(stream, binary, "</MLLTACCS>")
+        return out
