@@ -245,6 +245,17 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.latalign_tools", {
+    "lattice-align-phones": "lattice_align_phones",
+    "lattice-align-words-lexicon": "lattice_align_words_lexicon",
+    "nbest-to-prons": "nbest_to_prons",
+    "lattice-difference": "lattice_difference",
+    "lattice-expand": "lattice_expand",
+    "lattice-path-cover": "lattice_path_cover",
+    "lattice-determinize-non-compact":
+        "lattice_determinize_non_compact",
+})
+
 _register("kaldi_tpu.cli.mllt2_tools", {
     "gmm-acc-mllt-global": "gmm_acc_mllt_global",
     "sum-mllt-accs": "sum_mllt_accs",

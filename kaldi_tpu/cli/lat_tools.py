@@ -176,7 +176,38 @@ def lattice_best_path_cli(argv: List[str]) -> int:
     return 0 if n else 1
 
 
-lattice_1best = lattice_best_path_cli
+def lattice_1best(argv: List[str]) -> int:
+    po = ParseOptions(
+        "Compute best path through lattices and write out AS lattices "
+        "(one path per lattice; lattice-1best.cc — note this differs "
+        "from lattice-best-path, which writes transcriptions).\n"
+        "Usage: lattice-1best [options] <lattice-rspecifier> "
+        "<lattice-wspecifier>")
+    lm_scale = po.register_value("lm-scale", 1.0,
+                                 "Scaling factor for graph/lm costs")
+    acoustic_scale = po.register_value(
+        "acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    po.read(argv)
+    if po.num_args() != 2:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.lat.functions import lattice_best_path_lattice
+    writer = TableWriter(LatticeHolder, po.get_arg(2))
+    n = err = 0
+    for key, lat in SequentialTableReader(LatticeHolder, po.get_arg(1)):
+        scaled = lattice_scale(lat, lm_scale[0], acoustic_scale[0])
+        best = lattice_best_path_lattice(scaled)
+        if best is None:
+            warn(f"no best path for {key}")
+            err += 1
+            continue
+        writer.write(key, lattice_scale(
+            best, 1.0 / lm_scale[0] if lm_scale[0] else 1.0,
+            1.0 / acoustic_scale[0] if acoustic_scale[0] else 1.0))
+        n += 1
+    writer.close()
+    log(f"found best paths for {n} lattices ({err} failed)")
+    return 0 if n else 1
 
 
 def lattice_to_nbest(argv: List[str]) -> int:
@@ -284,11 +315,48 @@ def lattice_to_post(argv: List[str]) -> int:
 
 def lattice_align_words(argv: List[str]) -> int:
     po = ParseOptions(
-        "Convert lattices to word-aligned CTM entries (best path)\n"
-        "Usage: lattice-align-words [options] <model> "
-        "<lattice-rspecifier> <ctm-wxfilename>")
+        "Word-align lattices so each CompactLattice arc carries one "
+        "word's transition-ids (lattice-align-words.cc; linear "
+        "lattices — run lattice-1best/lattice-to-nbest first).\n"
+        "Usage: lattice-align-words [options] <word-boundary-file> "
+        "<model> <lattice-rspecifier> <lattice-wspecifier>\n"
+        "   or (legacy 3-arg form): lattice-align-words [options] "
+        "<model> <lattice-rspecifier> <ctm-wxfilename>  — best-path "
+        "CTM output")
     frame_shift = po.register_value("frame-shift", 0.01, "Frame shift in seconds")
+    silence_label = po.register_value(
+        "silence-label", 0, "Word id to give to silence segments")
+    partial_word_label = po.register_value(
+        "partial-word-label", 0,
+        "Word id for partial/broken word segments")
     po.read(argv)
+    if po.num_args() == 4:
+        from kaldi_tpu.cli.tail5_tools import _read_tm
+        from kaldi_tpu.lat.kaldi_lattice import (CompactLatticeHolder,
+                                                 LatticeHolder as _LH)
+        from kaldi_tpu.lat.word_align import (WordBoundaryInfo,
+                                              word_align_lattice)
+        info = WordBoundaryInfo.from_file(
+            po.get_arg(1), silence_label=silence_label[0],
+            partial_word_label=partial_word_label[0])
+        tm4 = _read_tm(po.get_arg(2))
+        writer = TableWriter(CompactLatticeHolder(), po.get_arg(4))
+        n = err = 0
+        for key, lat in SequentialTableReader(_LH(), po.get_arg(3)):
+            res = word_align_lattice(lat, tm4, info)
+            if res is None:
+                warn(f"word alignment failed for {key} (lattice not "
+                     "linear)")
+                err += 1
+                continue
+            clat, ok = res
+            if not ok:
+                warn(f"{key}: partial/forced word alignment")
+            writer.write(key, clat)
+            n += 1
+        writer.close()
+        log(f"word-aligned {n} lattices ({err} failed)")
+        return 0 if n else 1
     if po.num_args() != 3:
         po.print_usage()
         return 1

@@ -213,7 +213,12 @@ def _write_compact(stream: BinaryIO, lat: VectorFst) -> None:
     """Write a Lattice as compactlattice44 (word-level acceptor with tid
     strings). The lattice is first converted to compact form."""
     from kaldi_tpu.lat.kaldi_lattice import lattice_to_compact
-    clat = lattice_to_compact(lat)
+    write_compact_fst(stream, lattice_to_compact(lat))
+
+
+def write_compact_fst(stream: BinaryIO, clat) -> None:
+    """Write an actual CompactLattice as OpenFst compactlattice44,
+    preserving its arc grouping (one arc's string stays one arc)."""
     stream.write(struct.pack("<i", FST_MAGIC))
     _write_string(stream, "vector")
     _write_string(stream, "compactlattice44")
@@ -264,3 +269,48 @@ class FstHolder(_TableHolder):
         if not binary:
             raise KaldiTpuError("FST tables require binary mode")
         write_fst(stream, value)
+
+
+def read_compact_fst(stream: BinaryIO):
+    """Read OpenFst compactlattice44 into a CompactLattice, preserving
+    per-arc tid strings (read_fst expands them instead)."""
+    from kaldi_tpu.lat.kaldi_lattice import (CompactLattice,
+                                             CompactLatticeWeight)
+    magic = struct.unpack("<i", stream.read(4))[0]
+    if magic != FST_MAGIC:
+        raise KaldiTpuError(f"bad OpenFst magic {magic}")
+    fsttype = _read_string(stream)
+    arctype = _read_string(stream)
+    _version = struct.unpack("<i", stream.read(4))[0]
+    flags = struct.unpack("<i", stream.read(4))[0]
+    _props = struct.unpack("<Q", stream.read(8))[0]
+    start = struct.unpack("<q", stream.read(8))[0]
+    numstates = struct.unpack("<q", stream.read(8))[0]
+    _numarcs = struct.unpack("<q", stream.read(8))[0]
+    if fsttype != "vector" or arctype != "compactlattice44":
+        raise KaldiTpuError(
+            f"read_compact_fst: got {fsttype}/{arctype}")
+    if flags & (_HAS_ISYMBOLS | _HAS_OSYMBOLS):
+        raise KaldiTpuError("FSTs with attached symbol tables unsupported")
+    clat = CompactLattice()
+    clat.add_states(max(numstates, 0))
+    clat.start = int(start)
+
+    def read_cw():
+        g, a = struct.unpack("<2f", stream.read(8))
+        n = struct.unpack("<i", stream.read(4))[0]
+        tids = tuple(struct.unpack(f"<{n}i", stream.read(4 * n))) \
+            if n else ()
+        if g == float("inf"):
+            return CompactLatticeWeight.zero
+        return ((float(g), float(a)), tids)
+
+    for s in range(numstates):
+        clat.finals[s] = read_cw()
+        narcs = struct.unpack("<q", stream.read(8))[0]
+        for _ in range(narcs):
+            il, ol = struct.unpack("<ii", stream.read(8))
+            w = read_cw()
+            (ns,) = struct.unpack("<i", stream.read(4))
+            clat.add_arc(s, Arc(il, ol, w, ns))
+    return clat

@@ -71,6 +71,54 @@ def lattice_best_path(lat: Lattice) -> Tuple[List[int], List[int], float]:
     return ali, words, best_c
 
 
+def lattice_best_path_lattice(lat: Lattice) -> Optional[Lattice]:
+    """The best path AS a linear lattice, preserving per-arc weights
+    and the final weight (latbin/lattice-1best.cc: ShortestPath on
+    the lattice semiring)."""
+    n = lat.num_states
+    dist = [INF] * n
+    back: List[Optional[Tuple[int, Arc]]] = [None] * n
+    dist[lat.start] = 0.0
+    inq = [False] * n
+    q = deque([lat.start])
+    inq[lat.start] = True
+    while q:
+        s = q.popleft()
+        inq[s] = False
+        for a in lat.arcs[s]:
+            nd = dist[s] + _total(a.weight)
+            if nd < dist[a.nextstate] - 1e-12:
+                dist[a.nextstate] = nd
+                back[a.nextstate] = (s, a)
+                if not inq[a.nextstate]:
+                    q.append(a.nextstate)
+                    inq[a.nextstate] = True
+    best_s, best_c = -1, INF
+    for s in range(n):
+        if lat.finals[s] != LatticeWeight.zero:
+            c = dist[s] + _total(lat.finals[s])
+            if c < best_c:
+                best_c, best_s = c, s
+    if best_s < 0:
+        return None
+    chain: List[Arc] = []
+    s = best_s
+    while s != lat.start and back[s] is not None:
+        p, a = back[s]
+        chain.append(a)
+        s = p
+    chain.reverse()
+    out = VectorFst(LatticeWeight)
+    cur = out.add_state()
+    out.set_start(cur)
+    for a in chain:
+        ns = out.add_state()
+        out.add_arc(cur, Arc(a.ilabel, a.olabel, a.weight, ns))
+        cur = ns
+    out.finals[cur] = lat.finals[best_s]
+    return out
+
+
 def lattice_scale(lat: Lattice, lm_scale: float = 1.0,
                   acoustic_scale: float = 1.0) -> Lattice:
     out = lat.copy()

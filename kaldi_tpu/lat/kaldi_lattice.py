@@ -213,12 +213,96 @@ class LatticeHolder(_TableHolder):
             write_lattice_text(stream, value)
 
 
+def write_compact_lattice(stream: BinaryIO, binary: bool,
+                          clat: CompactLattice) -> None:
+    """Compact-lattice serialization preserving arc grouping (one
+    aligned arc = one word/phone): binary is the reference's OpenFst
+    compactlattice44; text is the reference's compact text format
+    `s1 s2 word g,a,t1_t2_t3`."""
+    if binary:
+        from kaldi_tpu.fstext.openfst_io import write_compact_fst
+        write_compact_fst(stream, clat)
+        return
+    for s in range(clat.num_states):
+        for a in clat.arcs[s]:
+            tids = "_".join(str(t) for t in (a.weight[1] or ()))
+            stream.write(
+                f"{s} {a.nextstate} {a.ilabel} "
+                f"{a.weight[0][0]:.7g},{a.weight[0][1]:.7g},{tids}\n"
+                .encode())
+        w = clat.finals[s]
+        if w != CompactLatticeWeight.zero and w[1] is not None:
+            tids = "_".join(str(t) for t in w[1])
+            stream.write(
+                f"{s} {w[0][0]:.7g},{w[0][1]:.7g},{tids}\n".encode())
+    stream.write(b"\n")
+
+
+def read_compact_lattice(stream: BinaryIO,
+                         binary: bool) -> Optional[CompactLattice]:
+    if binary:
+        from kaldi_tpu.fstext.openfst_io import read_compact_fst
+        return read_compact_fst(stream)
+    # text: lines until blank; `s1 s2 word g,a,tids` / `s g,a,tids`
+    clat = CompactLattice()
+
+    def ensure(k):
+        while clat.num_states <= k:
+            clat.add_state()
+
+    any_line = False
+    while True:
+        raw = stream.readline()
+        if not raw:
+            break
+        line = raw.decode().strip()
+        if not line:
+            if any_line:
+                break
+            continue
+        any_line = True
+        parts = line.split()
+        def parse_w(tok):
+            bits = tok.split(",")
+            g = float(bits[0]) if bits and bits[0] else 0.0
+            a = float(bits[1]) if len(bits) > 1 and bits[1] else 0.0
+            tids = tuple(int(x) for x in bits[2].split("_")) \
+                if len(bits) > 2 and bits[2] else ()
+            return ((g, a), tids)
+        if len(parts) >= 4:
+            s1, s2, word = int(parts[0]), int(parts[1]), int(parts[2])
+            ensure(max(s1, s2))
+            clat.add_arc(s1, Arc(word, word, parse_w(parts[3]), s2))
+        elif len(parts) == 2:
+            s1 = int(parts[0])
+            ensure(s1)
+            clat.finals[s1] = parse_w(parts[1])
+        elif len(parts) == 1:
+            s1 = int(parts[0])
+            ensure(s1)
+            clat.finals[s1] = ((0.0, 0.0), ())
+    if clat.num_states == 0:
+        return None
+    clat.set_start(0)
+    return clat
+
+
 class CompactLatticeHolder(LatticeHolder):
-    """Round 1: compact lattices are stored in expanded Lattice form."""
+    """Reference-format compactlattice44 container (arc grouping
+    preserved); reads legacy expanded-form KtFst archives by
+    converting on the fly."""
 
     def read(self, stream):
-        lat = super().read(stream)
-        return lattice_to_compact(lat) if lat is not None else None
+        binary = iof.init_input_stream(stream)
+        if binary:
+            from kaldi_tpu.fstext.openfst_io import peek_is_openfst
+            if peek_is_openfst(stream):
+                return read_compact_lattice(stream, True)
+            return lattice_to_compact(VectorFst.read(stream, True))
+        return read_compact_lattice(stream, False)
 
     def write(self, stream, binary, value):
-        super().write(stream, binary, compact_to_lattice(value))
+        if not isinstance(value, CompactLattice) and \
+                value.semiring is LatticeWeight:
+            value = lattice_to_compact(value)
+        write_compact_lattice(stream, binary, value)
