@@ -245,6 +245,31 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.nnet3_tail2_tools", {
+    "nnet3-train": "nnet3_train",
+    "nnet3-combine": "nnet3_combine",
+    "nnet3-chain-train2": "nnet3_chain_train2",
+    "nnet3-chain-combine2": "nnet3_chain_combine2",
+    "nnet3-am-train-transitions": "nnet3_am_train_transitions",
+    "nnet3-acc-lda-stats": "nnet3_acc_lda_stats",
+    "nnet3-chain-acc-lda-stats": "nnet3_chain_acc_lda_stats",
+    "nnet3-get-egs-dense-targets": "nnet3_get_egs_dense_targets",
+    "nnet3-get-egs-simple": "nnet3_get_egs_simple",
+    "nnet3-discriminative-shuffle-egs":
+        "nnet3_discriminative_shuffle_egs",
+    "nnet3-discriminative-subset-egs":
+        "nnet3_discriminative_subset_egs",
+    "nnet3-discriminative-merge-egs":
+        "nnet3_discriminative_merge_egs",
+    "nnet3-discriminative-compute-objf":
+        "nnet3_discriminative_compute_objf",
+    "nnet3-discriminative-compute-from-egs":
+        "nnet3_discriminative_compute_from_egs",
+    "nnet3-chain-add-post-to-egs": "nnet3_chain_add_post_to_egs",
+    "chain-make-num-fst-e2e": "chain_make_num_fst_e2e",
+    "rnnlm-get-egs": "rnnlm_get_egs",
+})
+
 _register("kaldi_tpu.cli.latalign_tools", {
     "lattice-align-phones": "lattice_align_phones",
     "lattice-align-words-lexicon": "lattice_align_words_lexicon",

@@ -225,3 +225,98 @@ def train_chain_from_egs(den_fst_path: str, egs_rspecifier: str,
                 "batch_stats": jax.device_get(state.batch_stats)})
     write_raw_nnet3(graph, model_out)
     return n_steps, objf
+
+
+def train_xent_from_egs(egs_rspecifier: str, model_out: str,
+                        num_epochs: int = 4, minibatch_size: int = 32,
+                        learning_rate: float = 1e-3,
+                        hidden_dim: int = 256,
+                        bottleneck_dim: int = 64,
+                        num_layers: int = 4,
+                        num_pdfs: int = 0,
+                        seed: int = 0) -> Tuple[int, float]:
+    """nnet3-train: plain frame-level cross-entropy training from
+    NnetExample egs (src/nnet3bin/nnet3-train.cc contract: egs in,
+    raw nnet out).  The model is the native TDNN-F stack at frame
+    rate 1; targets are the egs' sparse per-frame posteriors."""
+    from kaldi_tpu.nnet3.egs import ExampleHolder
+    from kaldi_tpu.nnet3.mdl_io import (chain_tdnnf_to_nnet3,
+                                        write_raw_nnet3)
+    from kaldi_tpu.util.table import SequentialTableReader
+
+    egs = [eg for _k, eg in SequentialTableReader(ExampleHolder(),
+                                                  egs_rspecifier)]
+    if not egs:
+        raise ValueError("train_xent_from_egs: no examples")
+    if num_pdfs <= 0:
+        num_pdfs = 1 + max((p for eg in egs for fr in eg.targets
+                            for p, _w in fr), default=0)
+    feat_dim = egs[0].feats.shape[1]
+    # group egs by shape so each minibatch stacks cleanly
+    by_shape: dict = {}
+    for eg in egs:
+        by_shape.setdefault((eg.feats.shape[0], len(eg.targets),
+                             eg.left_context), []).append(eg)
+    cfg = ChainTdnnfConfig(
+        feat_dim=feat_dim, num_pdfs=num_pdfs, hidden_dim=hidden_dim,
+        bottleneck_dim=bottleneck_dim,
+        prefinal_dim=max(hidden_dim // 2, bottleneck_dim),
+        num_layers=num_layers, subsample_layer=10 ** 9,
+        frame_subsampling_factor=1)
+    model = ChainTdnnf(cfg, train=True)
+    rng = jax.random.PRNGKey(seed)
+    T0 = egs[0].feats.shape[0]
+    variables = model.init(rng, jnp.zeros((2, T0, feat_dim)))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(5, 6))
+    def step(params, batch_stats, opt_state, feats, tgt, lc, n_out):
+        def loss_fn(p):
+            out, new_vars = model.apply(
+                {"params": p, "batch_stats": batch_stats}, feats,
+                mutable=["batch_stats"])
+            chain_out, _xent = out
+            # the exported graph's output is the chain head: train it
+            logp = jax.nn.log_softmax(chain_out, axis=-1)
+            # trim context rows so output frames align with targets
+            logp = jax.lax.dynamic_slice_in_dim(logp, lc, n_out,
+                                                axis=1)
+            ce = -(tgt * logp).sum() / jnp.maximum(tgt.sum(), 1.0)
+            return ce, new_vars["batch_stats"]
+        (ce, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, \
+            opt_state2, ce
+
+    n_steps, objf = 0, float("nan")
+    rng_np = np.random.default_rng(seed)
+    for _epoch in range(num_epochs):
+        for shape_key in sorted(by_shape):
+            group = by_shape[shape_key]
+            order = rng_np.permutation(len(group))
+            for i0 in range(0, len(group), minibatch_size):
+                mb = [group[j] for j in order[i0:i0 + minibatch_size]]
+                feats = jnp.asarray(np.stack([eg.feats for eg in mb]))
+                n_out = len(mb[0].targets)
+                tgt = np.zeros((len(mb), n_out, num_pdfs), np.float32)
+                for b, eg in enumerate(mb):
+                    for t, fr in enumerate(eg.targets):
+                        for p, w in fr:
+                            tgt[b, t, p] += w
+                params, batch_stats, opt_state, ce = step(
+                    params, batch_stats, opt_state, feats,
+                    jnp.asarray(tgt), int(mb[0].left_context),
+                    int(n_out))
+                objf = -float(ce)
+                n_steps += 1
+    graph = chain_tdnnf_to_nnet3(
+        model, {"params": jax.device_get(params),
+                "batch_stats": jax.device_get(batch_stats)})
+    write_raw_nnet3(graph, model_out)
+    return n_steps, objf
