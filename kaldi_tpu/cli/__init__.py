@@ -245,6 +245,15 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.decoders2_tools", {
+    "gmm-decode-simple": "gmm_decode_simple",
+    "gmm-latgen-simple": "gmm_latgen_simple",
+    "gmm-decode-biglm-faster": "gmm_decode_biglm_faster",
+    "gmm-latgen-biglm-faster": "gmm_latgen_biglm_faster",
+    "gmm-latgen-map": "gmm_latgen_map",
+    "latgen-incremental-mapped": "latgen_incremental_mapped",
+})
+
 _register("kaldi_tpu.cli.nnet3_tail2_tools", {
     "nnet3-train": "nnet3_train",
     "nnet3-combine": "nnet3_combine",
