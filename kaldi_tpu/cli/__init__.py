@@ -245,6 +245,22 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.fmpe2_tools", {
+    "gmm-fmpe-acc-stats": "gmm_fmpe_acc_stats",
+    "fmpe-acc-stats": "fmpe_acc_stats",
+    "fmpe-sum-accs": "fmpe_sum_accs",
+    "gmm-get-stats-deriv": "gmm_get_stats_deriv",
+    "gmm-acc-stats-twofeats": "gmm_acc_stats_twofeats",
+    "gmm-global-acc-stats-twofeats": "gmm_global_acc_stats_twofeats",
+    "fgmm-global-merge": "fgmm_global_merge",
+    "fgmm-global-init-from-accs": "fgmm_global_init_from_accs",
+    "gmm-global-est-lvtln-trans": "gmm_global_est_lvtln_trans",
+    "fstrand": "fstrand",
+    "cuda-compiled": "cuda_compiled",
+    "cuda-gpu-available": "cuda_gpu_available",
+    "build-pfile-from-ali": "build_pfile_from_ali",
+})
+
 _register("kaldi_tpu.cli.decoders2_tools", {
     "gmm-decode-simple": "gmm_decode_simple",
     "gmm-latgen-simple": "gmm_latgen_simple",

@@ -478,14 +478,36 @@ def fmpe_init(argv: List[str]) -> int:
 
 def fmpe_est(argv: List[str]) -> int:
     po = ParseOptions(
-        "Train the fMPE projection on aligned data (the reference "
-        "splits this into fmpe-acc-stats + fmpe-est; here one tool "
-        "runs the gradient epochs).\n"
+        "Train the fMPE projection: either fused gradient epochs on "
+        "aligned data, or the reference form applying accumulated "
+        "stats from gmm-fmpe-acc-stats / fmpe-sum-accs "
+        "(fmpe-est.cc).\n"
         "Usage: fmpe-est [options] <model-in> <fmpe-in> "
-        "<feats-rspecifier> <ali-rspecifier> <fmpe-out>")
+        "<feats-rspecifier> <ali-rspecifier> <fmpe-out>\n"
+        "   or: fmpe-est [options] <fmpe-in> <stats-in> <fmpe-out>")
     binary = po.register_value("binary", True, "Write output in binary mode")
     num_epochs = po.register_value("num-epochs", 10, "Gradient epochs")
+    learning_rate = po.register_value(
+        "learning-rate", 0.0,
+        "Step size for the stats-mode update (0 = the fmpe object's "
+        "configured rate)")
     po.read(argv)
+    if po.num_args() == 3:
+        from kaldi_tpu.transform.fmpe import FmpeStats
+        with kaldi_io.input_stream(po.get_arg(1)) as f:
+            b = iof.init_input_stream(f)
+            fmpe = _read_fmpe(f, b)
+        stats = kaldi_io.read_kaldi_object(FmpeStats.read,
+                                           po.get_arg(2))
+        lr = learning_rate[0] or fmpe.opts.learning_rate
+        fmpe.M = (fmpe.M + lr * stats.grad
+                  / max(stats.tot_frames, 1.0)).astype(np.float32)
+        kaldi_io.write_kaldi_object(
+            lambda s, b_: _write_fmpe(s, b_, fmpe), po.get_arg(3),
+            binary[0])
+        log(f"applied fMPE stats update (lr {lr}, "
+            f"{stats.tot_frames:.0f} frames)")
+        return 0
     if po.num_args() != 5:
         po.print_usage()
         return 1

@@ -100,3 +100,73 @@ def train_fmpe(fmpe: Fmpe, am, feats_list: Sequence[np.ndarray],
         log(f"fMPE epoch {epoch}: frame objective {objs[-1]:.4f}")
     fmpe.M = np.asarray(M)
     return objs
+
+
+class FmpeStats:
+    """Accumulated gradient of the discriminative objective wrt the
+    fMPE projection M (transform/fmpe.h FmpeStats; the reference also
+    carries per-dimension checks used by its learning-rate rule —
+    here the update consumes the plain gradient)."""
+
+    def __init__(self, shape):
+        self.grad = np.zeros(shape, np.float64)   # (C, G, D)
+        self.tot_frames = 0.0
+
+    def add(self, other: "FmpeStats") -> None:
+        self.grad += other.grad
+        self.tot_frames += other.tot_frames
+
+    def write(self, stream, binary: bool = True) -> None:
+        from kaldi_tpu.base import io_funcs as iof
+        iof.write_token(stream, binary, "<FmpeStats>")
+        iof.write_int32(stream, binary, self.grad.shape[0])
+        iof.write_int32(stream, binary, self.grad.shape[1])
+        iof.write_double(stream, binary, self.tot_frames)
+        for c in range(self.grad.shape[0]):
+            iof.write_matrix(stream, binary, self.grad[c])
+        iof.write_token(stream, binary, "</FmpeStats>")
+
+    @classmethod
+    def read(cls, stream, binary: bool = True) -> "FmpeStats":
+        from kaldi_tpu.base import io_funcs as iof
+        iof.expect_token(stream, binary, "<FmpeStats>")
+        C = iof.read_int32(stream, binary)
+        _G = iof.read_int32(stream, binary)
+        tot = iof.read_double(stream, binary)
+        mats = [iof.read_matrix(stream, binary) for _ in range(C)]
+        out = cls((C, mats[0].shape[0], mats[0].shape[1]))
+        out.grad = np.stack(mats).astype(np.float64)
+        out.tot_frames = tot
+        iof.expect_token(stream, binary, "</FmpeStats>")
+        return out
+
+
+def fmpe_objective_grad(fmpe: Fmpe, am, feats: np.ndarray,
+                        pdf_post) -> Tuple[np.ndarray, float]:
+    """Gradient of the soft-count frame log-posterior objective wrt M
+    for one utterance (gmm-fmpe-acc-stats.cc: the direct
+    differential, computed here by autodiff through the same MXU
+    loglike kernel used at decode time).  pdf_post: per frame
+    [(pdf, weight), ...]."""
+    gconsts, mi, iv, seg = am._pack()
+    num_pdfs = am.num_pdfs
+    h = jnp.asarray(fmpe.descriptor(feats))
+    x = jnp.asarray(np.asarray(feats, np.float32))
+    T = feats.shape[0]
+    tgt = np.zeros((T, num_pdfs), np.float32)
+    for t, frame in enumerate(pdf_post):
+        if t >= T:
+            break
+        for p, w in frame:
+            tgt[t, p] += w
+    tgt_j = jnp.asarray(tgt)
+
+    def objective(M):
+        xp = x + jnp.einsum("tcg,cgd->td", h, M)
+        ll = _log_likes_kernel(xp, gconsts, mi, iv, seg, num_pdfs)
+        logpost = ll - jax.scipy.special.logsumexp(ll, axis=-1,
+                                                   keepdims=True)
+        return jnp.sum(tgt_j * logpost)
+
+    val, grad = jax.value_and_grad(objective)(jnp.asarray(fmpe.M))
+    return np.asarray(grad, np.float64), float(val)
