@@ -245,6 +245,17 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.sgmm2_tools2", {
+    "sgmm2-post-to-gpost": "sgmm2_post_to_gpost",
+    "sgmm2-acc-stats-gpost": "sgmm2_acc_stats_gpost",
+    "sgmm2-acc-stats2": "sgmm2_acc_stats2",
+    "sgmm2-est-spkvecs-gpost": "sgmm2_est_spkvecs_gpost",
+    "sgmm2-comp-prexform": "sgmm2_comp_prexform",
+    "sgmm2-est-fmllr": "sgmm2_est_fmllr",
+    "sgmm2-est-ebw": "sgmm2_est_ebw",
+    "sgmm2-project": "sgmm2_project",
+})
+
 _register("kaldi_tpu.cli.fmpe2_tools", {
     "gmm-fmpe-acc-stats": "gmm_fmpe_acc_stats",
     "fmpe-acc-stats": "fmpe_acc_stats",

@@ -367,6 +367,40 @@ class MleAmSgmm2Accs:
             post = post * w[:, None, None]
         else:
             w = np.ones(len(states))
+        self._accumulate_post(model, x, post, spk_vec)
+        like = float(np.dot(w, tot))
+        self.total_like += like
+        self.total_frames += float(w.sum())
+        return like
+
+    def accumulate_from_gpost(self, model: AmSgmm2, feats: np.ndarray,
+                              gpost,
+                              spk_vec: Optional[np.ndarray] = None
+                              ) -> float:
+        """Accumulate from precomputed substate/Gaussian-level
+        posteriors (sgmm2-acc-stats-gpost.cc): gpost is per frame a
+        list of (first_substate_row, posterior matrix (n_sub, I))."""
+        x = np.asarray(feats, np.float64)
+        JM = self.gamma.shape[0]
+        I = self.gamma.shape[1]
+        post = np.zeros((x.shape[0], JM, I))
+        tot_w = 0.0
+        for t, frame in enumerate(gpost):
+            if t >= x.shape[0]:
+                break
+            for jm0, mat in frame:
+                mat = np.asarray(mat, np.float64)
+                post[t, jm0:jm0 + mat.shape[0]] += mat
+                tot_w += float(mat.sum())
+        self._accumulate_post(model, x, post, spk_vec)
+        self.total_frames += tot_w
+        return tot_w
+
+    def _accumulate_post(self, model: AmSgmm2, x: np.ndarray,
+                         post: np.ndarray,
+                         spk_vec: Optional[np.ndarray]) -> None:
+        """Moment accumulation given explicit (T, JM, I) posteriors."""
+        _state_of, _logc, means, _, _ = model._pack()
         self.gamma += post.sum(axis=0)
         gi = post.sum(axis=1)                            # (T, I)
         g = gi.sum(axis=0)                               # (I,)
@@ -402,10 +436,40 @@ class MleAmSgmm2Accs:
         else:
             self.y += np.einsum("tmi,td->mid", post, x, optimize=True)
             self.S += A
-        like = float(np.dot(w, tot))
-        self.total_like += like
-        self.total_frames += float(w.sum())
-        return like
+
+
+def compute_gauss_post(model: AmSgmm2, feats: np.ndarray,
+                       states: Sequence[int],
+                       spk_vec: Optional[np.ndarray] = None,
+                       weights: Optional[Sequence[float]] = None):
+    """Per-frame substate/Gaussian posteriors for the aligned states
+    (sgmm2-post-to-gpost.cc): returns (gpost, total loglike) where
+    gpost[t] = [(first_substate_row, matrix (n_sub, I))]."""
+    state_of, logc, _means, _, _ = model._pack()
+    x = np.asarray(feats, np.float64)
+    comp = model.component_log_likes(x, spk_vec) + logc[None, :, None]
+    states = np.asarray(states)
+    mask = state_of[None, :] == states[:, None]
+    masked = np.where(mask[:, :, None], comp, -np.inf)
+    tot = _logsumexp(masked.reshape(x.shape[0], -1), axis=1)
+    post = np.exp(masked - tot[:, None, None])
+    if weights is not None:
+        w = np.asarray(weights, np.float64)
+        post = post * w[:, None, None]
+    else:
+        w = np.ones(len(states))
+    # first substate row per state
+    first_row = {}
+    for row, j in enumerate(state_of):
+        first_row.setdefault(int(j), row)
+    gpost = []
+    for t in range(x.shape[0]):
+        j = int(states[t])
+        jm0 = first_row[j]
+        n_sub = int((state_of == j).sum())
+        gpost.append([(jm0, post[t, jm0:jm0 + n_sub]
+                       .astype(np.float32))])
+    return gpost, float(np.dot(w, tot))
 
 
 class MleSgmm2SpeakerAccs:
@@ -436,6 +500,26 @@ class MleSgmm2SpeakerAccs:
         masked = np.where(mask[:, :, None], comp, -np.inf)
         tot = _logsumexp(masked.reshape(x.shape[0], -1), axis=1)
         post = np.exp(masked - tot[:, None, None])       # (T, JM, I)
+        self._accumulate_post(model, x, post)
+
+    def accumulate_from_gpost(self, model: AmSgmm2, feats: np.ndarray,
+                              gpost) -> None:
+        """Accumulate from precomputed gposts
+        (sgmm2-est-spkvecs-gpost.cc)."""
+        x = np.asarray(feats, np.float64)
+        JM, I = self.gamma.shape
+        post = np.zeros((x.shape[0], JM, I))
+        for t, frame in enumerate(gpost):
+            if t >= x.shape[0]:
+                break
+            for jm0, mat in frame:
+                mat = np.asarray(mat, np.float64)
+                post[t, jm0:jm0 + mat.shape[0]] += mat
+        self._accumulate_post(model, x, post)
+
+    def _accumulate_post(self, model: AmSgmm2, x: np.ndarray,
+                         post: np.ndarray) -> None:
+        _state_of, _logc, means, _, _ = model._pack()
         gi = post.sum(axis=1)                            # (Tt, I)
         self.gamma_i += gi.sum(0)
         self.gamma += post.sum(0)
