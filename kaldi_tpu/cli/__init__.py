@@ -245,6 +245,17 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.tree2_tools", {
+    "compile-questions": "compile_questions",
+    "build-tree-two-level": "build_tree_two_level",
+    "gmm-init-biphone": "gmm_init_biphone",
+    "fstmakecontextfst": "fstmakecontextfst",
+    "fstmakecontextsyms": "fstmakecontextsyms",
+    "make-ilabel-transducer": "make_ilabel_transducer",
+    "compile-train-graphs-without-lexicon":
+        "compile_train_graphs_without_lexicon",
+})
+
 _register("kaldi_tpu.cli.sgmm2_tools2", {
     "sgmm2-post-to-gpost": "sgmm2_post_to_gpost",
     "sgmm2-acc-stats-gpost": "sgmm2_acc_stats_gpost",
