@@ -104,7 +104,9 @@ class TestRegtreeFmllr:
             ll2, np.asarray(ali)[:, None], 1).mean())
         lpf1 = float(np.take_along_axis(
             ll1, np.asarray(ali)[:, None], 1).mean())
-        assert lpf2 > lpf1 + 0.5
+        # with the log|det A| term (reference decodable) the margin
+        # narrows; region-specific must still beat global
+        assert lpf2 > lpf1 + 0.1
 
     def test_small_data_falls_back_to_shared_transform(self):
         am, tm = _system()
