@@ -245,6 +245,18 @@ _register("kaldi_tpu.cli.tail4_tools", {
     "show-transitions": "show_transitions",
 })
 
+_register("kaldi_tpu.cli.latrnnlm_tools", {
+    "lattice-add-nnlmscore": "lattice_add_nnlmscore",
+    "lattice-lmrescore-rnnlm": "lattice_lmrescore_rnnlm",
+    "lattice-lmrescore-kaldi-rnnlm-pruned":
+        "lattice_lmrescore_kaldi_rnnlm_pruned",
+    "phones-to-prons": "phones_to_prons",
+    "prons-to-wordali": "prons_to_wordali",
+    "generate-proxy-keywords": "generate_proxy_keywords",
+    "print-proxy-keywords": "print_proxy_keywords",
+    "ivector-extract-online2": "ivector_extract_online2",
+})
+
 _register("kaldi_tpu.cli.tree2_tools", {
     "compile-questions": "compile_questions",
     "build-tree-two-level": "build_tree_two_level",
