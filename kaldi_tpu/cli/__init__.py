@@ -574,6 +574,26 @@ _register("kaldi_tpu.cli.sgmm2_tools", {
 })
 
 
+_register("kaldi_tpu.cli.nnet1_tools", {
+    "nnet-initialize": "nnet_initialize",
+    "nnet-copy": "nnet_copy",
+    "nnet-info": "nnet_info",
+    "nnet-concat": "nnet_concat",
+    "nnet-forward": "nnet_forward",
+    "transf-to-nnet": "transf_to_nnet",
+    "cmvn-to-nnet": "cmvn_to_nnet",
+    "nnet-set-learnrate": "nnet_set_learnrate",
+    "nnet-train-frmshuff": "nnet_train_frmshuff",
+    "nnet-train-perutt": "nnet_train_perutt",
+    "nnet-train-multistream": "nnet_train_multistream",
+    "nnet-train-multistream-perutt": "nnet_train_multistream_perutt",
+    "nnet-train-mmi-sequential": "nnet_train_mmi_sequential",
+    "nnet-train-mpe-sequential": "nnet_train_mpe_sequential",
+    "rbm-convert-to-nnet": "rbm_convert_to_nnet",
+    "rbm-train-cd1-frmshuff": "rbm_train_cd1_frmshuff",
+})
+
+
 def get_tool(name: str) -> Callable[[List[str]], int]:
     module_name, func = TOOLS[name]
     module = importlib.import_module(module_name)
