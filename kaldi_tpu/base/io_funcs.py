@@ -384,35 +384,33 @@ def read_matrix(stream: BinaryIO, binary: bool) -> np.ndarray:
     expect_token(stream, binary, "[")
     rows: List[List[float]] = []
     cur: List[float] = []
+    # NB: pushback via peek_byte (not tell/seek) so the scan also works on
+    # non-seekable PeekableReader-wrapped pipes, whose logical position is
+    # behind the raw stream's whenever peeked bytes are buffered.
     while True:
         saw_nl = False
         while True:                       # skip whitespace, note \n
-            pos = stream.tell()
-            c = stream.read(1)
+            c = peek_byte(stream)
             if not c:
                 raise KaldiTpuError("read_matrix: unexpected EOF")
-            if c.isspace():
-                if c == b"\n":
-                    saw_nl = True
-                continue
-            stream.seek(pos)
-            break
+            if not c.isspace():
+                break
+            if c == b"\n":
+                saw_nl = True
+            stream.read(1)
         if saw_nl and cur:
             rows.append(cur)
             cur = []
         chars = bytearray()               # read token, keep delimiter
         while True:
-            pos = stream.tell()
-            c = stream.read(1)
+            c = peek_byte(stream)
             if not c or c.isspace():
-                stream.seek(pos)
                 break
-            chars += c
+            chars += stream.read(1)
         tok = chars.decode("utf-8")
         if tok == "]":
-            pos = stream.tell()           # consume one trailing ws, if any
-            if not (stream.read(1) or b" ").isspace():
-                stream.seek(pos)
+            if (peek_byte(stream) or b" ").isspace():
+                stream.read(1)            # consume one trailing ws, if any
             if cur:
                 rows.append(cur)
             break

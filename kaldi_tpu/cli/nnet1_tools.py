@@ -12,6 +12,7 @@ import numpy as np
 
 from kaldi_tpu.base import io_funcs as iof
 from kaldi_tpu.base.logging import log, warn
+from kaldi_tpu.nnet1 import nnet as nnet1_module
 from kaldi_tpu.nnet1.nnet import Nnet, Rbm, Softmax, nnet_from_proto
 from kaldi_tpu.util import kaldi_io
 from kaldi_tpu.util.parse_options import ParseOptions
@@ -55,6 +56,7 @@ def nnet_initialize(argv: List[str]) -> int:
         po.print_usage()
         return 1
     np.random.seed(seed[0] & 0x7FFFFFFF)
+    nnet1_module.seed_init_rng(seed[0])
     with kaldi_io.input_stream(po.get_arg(1)) as f:
         text = f.read().decode("utf-8")
     net = nnet_from_proto(text)
@@ -325,7 +327,9 @@ def _run_frm_train(argv: List[str], tool: str, per_utt: bool,
         tot_obj += obj
         tot_frames += x.shape[0]
         if not cross_validate[0]:
-            net.backprop_update(acts, dy, learn_rate[0] / x.shape[0],
+            # reference nnet1 SGD applies the learning rate per minibatch
+            # without frame-count scaling (nnet-affine-transform.h Update)
+            net.backprop_update(acts, dy, learn_rate[0],
                                 momentum=momentum[0], l2=l2_penalty[0])
 
     n = err = 0
@@ -337,7 +341,18 @@ def _run_frm_train(argv: List[str], tool: str, per_utt: bool,
         x = np.asarray(feats, np.float32)
         if ft is not None:
             x = ft.propagate(x)
-        tgt = _targets_to_matrix(tgt_reader[key], x.shape[0], dim)
+        post = tgt_reader[key]
+        # reference nnet-train-* checks feature/target length mismatch
+        # (length_tolerance); trim to the common length, skip on gross
+        # mismatch so untargeted frames never train as all-zero rows
+        T = min(len(post), x.shape[0])
+        if abs(len(post) - x.shape[0]) > 5:
+            warn(f"{key}: feature/target length mismatch "
+                 f"{x.shape[0]} vs {len(post)}, skipping")
+            err += 1
+            continue
+        x = x[:T]
+        tgt = _targets_to_matrix(post, T, dim)
         n += 1
         if per_utt or multistream:
             consume(x, tgt)

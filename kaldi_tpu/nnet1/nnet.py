@@ -30,6 +30,28 @@ def _softmax(x: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=-1, keepdims=True)
 
 
+# Shared init RNG, reseedable via the --seed CLI option so each layer in a
+# prototype draws distinct values from one seeded stream (the reference
+# seeds srand once in nnet-initialize.cc and every layer consumes it).
+_RNG = np.random.default_rng(777)
+
+
+def seed_init_rng(s: int) -> None:
+    global _RNG
+    _RNG = np.random.default_rng(s & 0x7FFFFFFF)
+
+
+def _peek_marker(stream: BinaryIO, binary: bool) -> str:
+    """Peek the next token, skipping pending whitespace first (text-format
+    writes leave a '\\n' before option/end tokens; the reference's Read
+    does `is >> std::ws` — nnet-component.cc:233).  Returns "" when the
+    upcoming bytes are not a UTF-8 token (binary parameter data)."""
+    try:
+        return iof.peek_token(stream, binary)
+    except UnicodeDecodeError:
+        return ""
+
+
 class Component:
     """Base: marker registry + wire framing (nnet-component.cc:210-267)."""
 
@@ -70,9 +92,8 @@ class Component:
         comp = Component.lookup(token)(in_dim, out_dim)
         comp.read_data(stream, binary)
         # eat the separator if read_data left it
-        if iof.peek_byte(stream) == b"<":
-            if iof.peek_token(stream, binary) == "<!EndOfComponent>":
-                iof.expect_token(stream, binary, "<!EndOfComponent>")
+        if _peek_marker(stream, binary) == "<!EndOfComponent>":
+            iof.expect_token(stream, binary, "<!EndOfComponent>")
         return comp
 
     def write(self, stream: BinaryIO, binary: bool) -> None:
@@ -121,8 +142,10 @@ def _read_opt_tokens(stream: BinaryIO, binary: bool, spec: dict) -> dict:
     non-'<' byte (the parameter data) appears; '<!EndOfComponent>' and
     unknown tokens stop the scan by raising."""
     out = {}
-    while iof.peek_byte(stream) == b"<":
-        tok = iof.peek_token(stream, binary)
+    while True:
+        tok = _peek_marker(stream, binary)
+        if not tok.startswith("<"):
+            break
         if tok not in spec:
             break
         iof.expect_token(stream, binary, tok)
@@ -227,7 +250,7 @@ class AffineTransform(Component):
             else:
                 raise ValueError(f"AffineTransform init: {t}")
             i += 2
-        rng = np.random.default_rng(0)
+        rng = _RNG
         self.linearity = (param_stddev * rng.standard_normal(
             (self.out_dim, self.in_dim))).astype(np.float32)
         self.bias = (bias_mean + bias_range *
@@ -307,7 +330,7 @@ class LinearTransform(Component):
             else:
                 raise ValueError(f"LinearTransform init: {t}")
         if not self.linearity.any():
-            rng = np.random.default_rng(0)
+            rng = _RNG
             self.linearity = (param_stddev * rng.standard_normal(
                 (self.out_dim, self.in_dim))).astype(np.float32)
 
@@ -463,14 +486,15 @@ class BlockSoftmax(Component):
         return out
 
     def backprop(self, x, y, dy):
-        # zero blocks with no supervision, pass the rest (reference
-        # masks blocks whose diff sums to 0)
+        # Zero blocks whose signed diff row-sum is 1.0 (no target in that
+        # block, so diff == posterior); keep blocks summing to 0.  The
+        # reference scales rows by (1 - row_sum) — nnet-activation.h
+        # BlockSoftmax::BackpropagateFnc.
         out = dy.copy()
         o = 0
         for d in self.block_dims:
             blk = out[:, o:o + d]
-            mask = (np.abs(blk).sum(axis=1, keepdims=True) > 0)
-            out[:, o:o + d] = blk * mask
+            out[:, o:o + d] = blk * (1.0 - blk.sum(axis=1, keepdims=True))
             o += d
         return out
 
@@ -524,8 +548,10 @@ class Dropout(Component):
         self.dropout_rate = 0.5
 
     def read_data(self, stream, binary):
-        while iof.peek_byte(stream) == b"<":
-            tok = iof.peek_token(stream, binary)
+        while True:
+            tok = _peek_marker(stream, binary)
+            if not tok.startswith("<") or tok == "<!EndOfComponent>":
+                break
             if tok == "<DropoutRate>":
                 iof.expect_token(stream, binary, tok)
                 self.dropout_rate = iof.read_float(stream, binary)
@@ -699,7 +725,7 @@ class Rbm(Component):
             else:
                 raise ValueError(f"Rbm init: {t}")
             i += 2
-        rng = np.random.default_rng(0)
+        rng = _RNG
         self.vis_hid = (param_stddev * rng.standard_normal(
             (self.out_dim, self.in_dim))).astype(np.float32)
 
@@ -750,8 +776,10 @@ class LstmProjected(Component):
         self.w_r_m = None
 
     def read_data(self, stream, binary):
-        while iof.peek_byte(stream) == b"<":
-            tok = iof.peek_token(stream, binary)
+        while True:
+            tok = _peek_marker(stream, binary)
+            if not tok.startswith("<") or tok == "<!EndOfComponent>":
+                break
             if tok in ("<CellDim>",):
                 iof.expect_token(stream, binary, tok)
                 self.cell_dim = iof.read_int32(stream, binary)
