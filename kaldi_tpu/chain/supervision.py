@@ -108,12 +108,16 @@ def make_denominator_graph(phone_seqs: Sequence[Sequence[int]],
 
 
 def denominator_graph_from_phone_lm(lm, tm: TransitionModel,
-                                    ctx_dep) -> DenominatorGraph:
+                                    ctx_dep,
+                                    ilabel_info=None) -> DenominatorGraph:
     """Denominator graph from an existing phone-LM acceptor
-    (chain-make-den-fst, chainbin/chain-make-den-fst.cc)."""
+    (chain-make-den-fst, chainbin/chain-make-den-fst.cc).  For
+    context-dependent trees pass `ilabel_info` mapping LM ilabels to
+    phone windows (the LM is then over context tokens, the CLG-level
+    view of chain-den-graph.cc)."""
     # expand phones to HMMs with TRUE probabilities (scale 1/1)
     h = expand_hmm(lm, tm, ctx_dep, transition_scale=1.0,
-                   self_loop_scale=1.0)
+                   self_loop_scale=1.0, ilabel_info=ilabel_info)
     # relabel transition-ids -> pdf+1 and strip output labels
     for arcs in h.arcs:
         for a in arcs:
@@ -172,7 +176,9 @@ def make_tolerance_supervision(segments: Sequence[Tuple[int, int, int]],
                                chain_tm: TransitionModel,
                                subsample: int = 3,
                                left_tolerance: int = 5,
-                               right_tolerance: int = 5) -> PackedGraph:
+                               right_tolerance: int = 5,
+                               pdf_pairs: Optional[Sequence[
+                                   Tuple[int, int]]] = None) -> PackedGraph:
     """Time-tolerant numerator (chain-supervision.cc
     AlignmentToProtoSupervision + TimeEnforcerFst, built directly as a
     packed DAG): each phone boundary may move within
@@ -215,7 +221,11 @@ def make_tolerance_supervision(segments: Sequence[Tuple[int, int, int]],
         hi = np.minimum(hi, T_out)
         if np.any(lo >= hi):
             raise ValueError("infeasible supervision windows")
-    pdfs = [_chain_pdfs_for_phone(chain_tm, p) for p, _, _ in segments]
+    # pdf_pairs: context-dependent (fwd_pdf, self_pdf) per segment
+    # (the ctx-tree chain path passes window-computed pdfs; monophone
+    # callers fall back to the per-phone lookup)
+    pdfs = list(pdf_pairs) if pdf_pairs is not None else \
+        [_chain_pdfs_for_phone(chain_tm, p) for p, _, _ in segments]
 
     # state ids: 0 = start; (i, t) for t in (lo[i], hi[i]] means "in
     # segment i, t output frames consumed"

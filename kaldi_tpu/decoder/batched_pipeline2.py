@@ -50,9 +50,12 @@ class BatchedOfflinePipeline2:
 
     def __init__(self, model, params, batch_stats, decoder,
                  feature_computer, acoustic_scale: float = 1.0,
-                 sample_rate: float = 16000.0):
-        """model: ChainTdnnf (train=False); decoder: BlockChainDecoder
-        or DenseViterbiDecoder (duck-typed decode_batch)."""
+                 sample_rate: float = 16000.0,
+                 search_kwargs: Optional[dict] = None):
+        """model: ChainTdnnf (train=False); decoder: any duck-typed
+        decode_batch (LexChainDecoder, NgramLexDecoder, ...);
+        search_kwargs are forwarded to decoder.decode_batch (e.g.
+        prune_k/prune_beam for the pruned expansions)."""
         import jax
         import jax.numpy as jnp
         self.model = model
@@ -60,6 +63,7 @@ class BatchedOfflinePipeline2:
         self.feats = feature_computer
         self.acoustic_scale = acoustic_scale
         self.sample_rate = sample_rate
+        self.search_kwargs = dict(search_kwargs or {})
         self._params = params
         self._batch_stats = batch_stats
 
@@ -139,7 +143,8 @@ class BatchedOfflinePipeline2:
                     out.append((words, cost, lt))
             else:
                 hyps = self.decoder.decode_batch(
-                    loglikes, self.acoustic_scale, lengths=out_lens)
+                    loglikes, self.acoustic_scale, lengths=out_lens,
+                    **self.search_kwargs)
                 out.extend(None if h is None else (h[0], h[2])
                            for h in hyps)
             t_search += time.time() - t0

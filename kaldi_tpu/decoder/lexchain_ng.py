@@ -610,7 +610,8 @@ class NgramLexDecoder:
         self._jit = {}
 
     # ------------------------------------------------------------------
-    def _make_step(self, B: int, K: int, beam: float):
+    def _make_step(self, B: int, K: int, beam: float,
+                   exact_topk: bool = True):
         import jax
         import jax.numpy as jnp
         g = self.g
@@ -677,8 +678,13 @@ class NgramLexDecoder:
             vvals = sval_ext[vc_src]                          # (VC,B)
             cutoff = jnp.min(rmin, axis=0) + beam
             vm = jnp.where(vvals <= cutoff[None, :], vvals, INF)
-            neg, ids = jax.lax.top_k(-vm.T, K)                # (B,K)
-            vals = -neg
+            if exact_topk or K >= self.VC:
+                neg, ids = jax.lax.top_k(-vm.T, K)            # (B,K)
+                vals = -neg
+            else:
+                # TPU-optimized approximate selection (the round-3
+                # pruned path's trade: ~recall for speed at large VC)
+                vals, ids = jax.lax.approx_min_k(vm.T, K)
             ids = ids.astype(jnp.int32)
             dsts = vc_dst[ids]                                # (B,K,D)
             cand = vals[:, :, None] + vc_cost[ids]
@@ -832,6 +838,7 @@ class NgramLexDecoder:
                      lengths: Optional[Sequence[int]] = None,
                      prune_k: Optional[int] = None,
                      prune_beam: float = float(BIG),
+                     exact_topk: bool = True,
                      stats: Optional[Dict[str, float]] = None):
         import time as _time
         import jax.numpy as jnp
@@ -844,9 +851,9 @@ class NgramLexDecoder:
                              else [T] * B, np.int64)
         K = self.VC if prune_k is None else int(prune_k)
         beam = float(prune_beam)
-        key = (B, K, beam)
+        key = (B, K, beam, bool(exact_topk))
         if key not in self._jit:
-            self._jit[key] = self._make_step(B, K, beam)
+            self._jit[key] = self._make_step(B, K, beam, exact_topk)
         fwd, fol = self._jit[key]
         am = jnp.transpose(jnp.asarray(loglikes) * (-acoustic_scale),
                            (1, 2, 0))

@@ -101,9 +101,11 @@ def make_lexicon(spec: BenchCorpusSpec) -> Dict[str, List[List[str]]]:
 
 def make_text(spec: BenchCorpusSpec, n_sents: int, seed: int
               ) -> List[List[str]]:
-    """Markov bigram text: Zipf unigram + per-context preferred
-    successors (so a bigram LM beats a unigram LM).  The PROCESS
-    (hot-successor table) depends only on spec.seed; `seed` drives the
+    """Markov text with SECOND-ORDER structure: Zipf unigram +
+    per-context preferred successors (bigram mass) + hashed
+    pair-context preferred successors (trigram mass a bigram LM cannot
+    capture — what makes the trigram first pass earn its keep).  The
+    PROCESS tables depend only on spec.seed; `seed` drives the
     sampling — train/test/LM text must come from the SAME process."""
     rng = np.random.default_rng(seed)
     proc_rng = np.random.default_rng(spec.seed + 777)
@@ -111,20 +113,27 @@ def make_text(spec: BenchCorpusSpec, n_sents: int, seed: int
     words = [f"W{w:04d}" for w in range(V)]
     zipf = 1.0 / np.arange(1, V + 1) ** 0.8
     zipf /= zipf.sum()
-    # each context prefers 4 successors with 60% total mass
     n_hot = 4
     hot = proc_rng.integers(0, V, size=(V + 1, n_hot))
+    # hashed pair-context table: successor prefers hot2[(u,v) hash]
+    M2 = 1 << 14
+    hot2 = proc_rng.integers(0, V, size=(M2, n_hot))
     sents = []
     for _ in range(n_sents):
         n = spec.words_per_utt + int(rng.integers(-2, 3))
-        sent, prev = [], V
+        sent = []
+        prev2, prev = V, V
         for _ in range(max(n, 1)):
-            if rng.random() < 0.6:
+            r = rng.random()
+            if r < 0.35:
+                h2 = (prev2 * 1000003 + prev * 8191) % M2
+                w = int(hot2[h2, rng.integers(n_hot)])
+            elif r < 0.7:
                 w = int(hot[prev, rng.integers(n_hot)])
             else:
                 w = int(rng.choice(V, p=zipf))
             sent.append(words[w])
-            prev = w
+            prev2, prev = prev, w
         sents.append(sent)
     return sents
 
@@ -196,12 +205,19 @@ def build_lang(lexicon):
 
 def train_system(spec: BenchCorpusSpec, cfg=None,
                  chain_opts=None, num_ceps: int = 40,
-                 mono_iters: int = 8, mono_totgauss: int = 500):
-    """Full ladder: feats -> mono -> align -> chain.  Returns a dict
-    with everything the decode side needs (and the trained params)."""
+                 mono_iters: int = 8, mono_totgauss: int = 500,
+                 ctx: bool = False, max_leaves: int = 500,
+                 min_gain: float = 50.0):
+    """Full ladder: feats -> mono -> align -> chain.  With ctx=True
+    the chain system uses a TRIPHONE tree over word-internal windows
+    (recipes/chain.py train_chain_ctx), the round-4 bench
+    configuration.  Returns a dict with everything the decode side
+    needs (and the trained params)."""
     from kaldi_tpu.decoder.graph import TrainingGraphCompiler
     from kaldi_tpu.feat.frontend import OfflineFeature
-    from kaldi_tpu.recipes.chain import ChainTrainOptions, train_chain_topo
+    from kaldi_tpu.recipes.chain import (ChainTrainOptions,
+                                         train_chain_ctx,
+                                         train_chain_topo)
     from kaldi_tpu.recipes.mono import (TrainMonoOptions, _align_all,
                                         train_mono)
     lexicon, train_txt, train_wav, test_txt, test_wav, lm_text = \
@@ -224,8 +240,16 @@ def train_system(spec: BenchCorpusSpec, cfg=None,
         chain_opts = ChainTrainOptions(num_epochs=8, learning_rate=1e-3,
                                        minibatch_size=32, chunk_width=150,
                                        left_tolerance=5, right_tolerance=5)
-    model, variables, den, chain_tm, chain_tree = train_chain_topo(
-        gmm, feats, ali, cfg, chain_opts)
+    if ctx:
+        word_prons = {
+            u: [[lang.phones[p] for p in lexicon[w][0]]
+                for w in train_txt[u]] for u in feats}
+        model, variables, den, chain_tm, chain_tree = train_chain_ctx(
+            gmm, feats, ali, word_prons, cfg, chain_opts,
+            max_leaves=max_leaves, min_gain=min_gain)
+    else:
+        model, variables, den, chain_tm, chain_tree = train_chain_topo(
+            gmm, feats, ali, cfg, chain_opts)
     return dict(spec=spec, lexicon=lexicon, lang=lang,
                 train_txt=train_txt, test_txt=test_txt,
                 test_wav=test_wav, lm_text=lm_text, gmm=gmm,
@@ -252,6 +276,34 @@ def build_decode_graph(lexicon, lm_text, chain_tm, chain_tree,
             pron_word.append(wi)
             pron_cost.append(math.log(max(len(variants), 1)))
     return LexChainGraph.build(
+        prons, lm, pron_word=pron_word, pron_cost=pron_cost,
+        tm=chain_tm, tree=chain_tree, use_sil=True,
+        sil_phone=lang.phones["SIL"], sil_prob=0.5)
+
+
+def build_decode_graph_ng(lexicon, lm_text, chain_tm, chain_tree,
+                          lang=None, prune_bi: int = 1,
+                          prune_tri: int = 2):
+    """NgramLexGraph from the corpus artifacts: estimated backoff
+    TRIGRAM + trained triphone-tree pdf/tid tables (word-internal
+    windows) + optional-silence lexicon — the round-4 bench graph."""
+    from kaldi_tpu.decoder.lexchain_ng import NgramLexGraph
+    from kaldi_tpu.lm.trigram import TrigramBackoffLm
+    if lang is None:
+        lang = build_lang(lexicon)
+    vocab = sorted(lexicon)
+    lm = TrigramBackoffLm.from_counts(lm_text, vocab,
+                                      prune_bi=prune_bi,
+                                      prune_tri=prune_tri)
+    prons, pron_word, pron_cost = [], [], []
+    for wi, w in enumerate(vocab):
+        variants = lexicon[w]
+        for pron in variants:
+            prons.append(np.asarray([lang.phones[p] for p in pron],
+                                    np.int32))
+            pron_word.append(wi)
+            pron_cost.append(math.log(max(len(variants), 1)))
+    return NgramLexGraph.build(
         prons, lm, pron_word=pron_word, pron_cost=pron_cost,
         tm=chain_tm, tree=chain_tree, use_sil=True,
         sil_phone=lang.phones["SIL"], sil_prob=0.5)

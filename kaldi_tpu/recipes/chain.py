@@ -324,10 +324,19 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
         raise ValueError("no chain chunks")
     log(f"chain-topo training: {len(chunks)} chunks of {cw} frames "
         f"({cw // sub} outputs), tolerance {tol}")
+    model, variables = _fit_chain(cfg, den_graph, chunks, num_graphs,
+                                  opts, cw, dim,
+                                  use_ivectors=ivectors is not None)
+    return model, variables, den_graph, chain_tm, chain_tree
 
+
+def _fit_chain(cfg, den_graph, chunks, num_graphs, opts, cw, dim,
+               use_ivectors=False):
+    """Shared chain SGD loop (the train_one_iteration body of
+    steps/chain/train.py, single-process)."""
     model = ChainTdnnf(cfg, train=True)
     rng = jax.random.PRNGKey(opts.seed)
-    if ivectors is not None:
+    if use_ivectors:
         variables = model.init(rng, jnp.zeros((2, cw, dim)),
                                jnp.zeros((2, cfg.ivector_dim)))
     else:
@@ -389,7 +398,7 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
             idx = order[i:i + opts.minibatch_size]
             feats_b = jnp.asarray(np.stack([chunks[j][0] for j in idx]))
             ivecs_b = (jnp.asarray(np.stack([chunks[j][2] for j in idx]))
-                       if ivectors is not None else None)
+                       if use_ivectors else None)
             num_arrays = tuple(jnp.asarray(a) for a in batch_pack(
                 [num_graphs[j] for j in idx]))
             params, batch_stats, opt_state, objf = step(
@@ -399,9 +408,194 @@ def train_chain_topo(sys_mono, feats: Dict[str, np.ndarray],
             it += 1
             if it % opts.orthonormal_interval == 0:
                 params = apply_orthonormal(params)
-        log(f"chain-topo epoch {epoch}: objf/frame {np.mean(objfs):.4f}")
-    return (model, {"params": params, "batch_stats": batch_stats},
-            den_graph, chain_tm, chain_tree)
+        log(f"chain epoch {epoch}: objf/frame {np.mean(objfs):.4f}")
+    return model, {"params": params, "batch_stats": batch_stats}
+
+
+# ----------------------------------------------------------------------
+# Context-dependent (triphone) chain system.  The reference builds the
+# chain tree from GMM alignments (steps/nnet3/chain/build_tree.sh) and
+# composes the den phone-LM through the context expansion
+# (chain-den-graph.cc); here the context convention is WORD-INTERNAL
+# windows (0-padded at word boundaries), matching the n-gram device
+# decoder's graph build (decoder/lexchain_ng.py) so train-side pdfs and
+# decode-side pdfs agree exactly.
+
+def segment_alignment_words(ali: Sequence[int], mono_tm,
+                            word_prons: Sequence[Sequence[int]],
+                            sil_phone: int, N: int = 3, P: int = 1):
+    """Mono frame alignment + per-word phone lists ->
+    [(window, phone, start, end)] full-rate segments with word-internal
+    context windows; silence segments get the 0-padded window."""
+    from kaldi_tpu.chain.supervision import alignment_to_phone_segments
+    segs = alignment_to_phone_segments(ali, mono_tm)
+    exp: List[Tuple[int, Tuple[int, ...]]] = []
+    for pron in word_prons:
+        padded = [0] * P + [int(x) for x in pron] + [0] * (N - P - 1)
+        for i in range(len(pron)):
+            exp.append((int(pron[i]), tuple(padded[i:i + N])))
+    sil_win = tuple([0] * P + [sil_phone] + [0] * (N - P - 1))
+    out = []
+    j = 0
+    for (ph, s, e) in segs:
+        if ph == sil_phone and (j >= len(exp) or exp[j][0] != sil_phone):
+            out.append((sil_win, ph, s, e))
+            continue
+        if j < len(exp) and exp[j][0] == ph:
+            out.append((exp[j][1], ph, s, e))
+            j += 1
+        else:
+            raise ValueError(
+                f"alignment/transcript phone mismatch at segment "
+                f"{len(out)}: got phone {ph}, expected "
+                f"{exp[j] if j < len(exp) else 'EOS'}")
+    if j != len(exp):
+        raise ValueError(f"alignment ended with {len(exp) - j} "
+                         "transcript phones unconsumed")
+    return out
+
+
+def build_ctx_chain_system(feats: Dict[str, np.ndarray],
+                           seg_windows: Dict[str, list],
+                           phones: Sequence[int],
+                           N: int = 3, P: int = 1,
+                           max_leaves: int = 2000,
+                           min_gain: float = 30.0):
+    """Triphone chain tree from windowed alignment stats + the chain
+    TransitionModel over it.  Returns (chain_tm, chain_tree)."""
+    from kaldi_tpu.hmm.topology import HmmTopology
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.tree.build_tree import (BuildTreeOptions, build_tree,
+                                           cluster_phones)
+    from kaldi_tpu.tree.clusterable import GaussClusterable
+    from kaldi_tpu.tree.event_map import PDF_CLASS_KEY
+    stats: Dict[tuple, GaussClusterable] = {}
+    for u, segs in seg_windows.items():
+        f = feats[u]
+        for (win, ph, s, e) in segs:
+            e = min(e, f.shape[0])
+            if e <= s:
+                continue
+            for pc, sl in ((0, slice(s, s + 1)), (1, slice(s + 1, e))):
+                frames = f[sl]
+                if frames.shape[0] == 0:
+                    continue
+                ev = tuple(sorted(
+                    [(PDF_CLASS_KEY, pc)]
+                    + [(i, int(w)) for i, w in enumerate(win)]))
+                gc = stats.get(ev)
+                if gc is None:
+                    gc = GaussClusterable(f.shape[1])
+                    stats[ev] = gc
+                gc.accumulate(frames)
+    qsets = cluster_phones(stats, list(phones), P)
+    # out-of-word position 0 can appear in context keys
+    questions = {k: [[0]] + qsets for k in range(N)}
+    questions[PDF_CLASS_KEY] = [[0], [1]]
+    roots = [([p], True, True) for p in phones]
+    topo = HmmTopology.chain_topology(list(phones))
+    tree = build_tree(stats, questions, roots, N, P,
+                      opts=BuildTreeOptions(max_leaves=max_leaves,
+                                            min_gain=min_gain),
+                      topo=topo)
+    tm = TransitionModel(topo, tree)
+    log(f"ctx chain system: N={N} P={P} leaves={tree.num_pdfs} "
+        f"tids={tm.num_transition_ids}")
+    return tm, tree
+
+
+def train_chain_ctx(sys_mono, feats: Dict[str, np.ndarray],
+                    mono_alignments: Dict[str, List[int]],
+                    word_prons: Dict[str, List[List[int]]],
+                    cfg: Optional[ChainTdnnfConfig] = None,
+                    opts: Optional[ChainTrainOptions] = None,
+                    N: int = 3, P: int = 1,
+                    max_leaves: int = 2000, min_gain: float = 30.0,
+                    sil_phone: Optional[int] = None):
+    """Chain training over a context-dependent (triphone) tree with
+    word-internal windows.  word_prons: per utterance the transcript's
+    per-word phone lists.  Returns (model, variables, den_graph,
+    chain_tm, chain_tree)."""
+    from kaldi_tpu.chain.supervision import (
+        denominator_graph_from_phone_lm, estimate_phone_lm,
+        make_tolerance_supervision)
+    if opts is None:
+        opts = ChainTrainOptions()
+    if sil_phone is None:
+        sil_phone = sys_mono.lang.phones["SIL"]
+    seg_windows = {}
+    skipped = 0
+    for u, ali in mono_alignments.items():
+        try:
+            seg_windows[u] = segment_alignment_words(
+                ali, sys_mono.tm, word_prons[u], sil_phone, N, P)
+        except ValueError:
+            skipped += 1
+    if skipped:
+        warn(f"train_chain_ctx: {skipped} utterances failed "
+             "word segmentation")
+    phones = sorted(sys_mono.tm.get_phones())
+    chain_tm, chain_tree = build_ctx_chain_system(
+        feats, seg_windows, phones, N, P, max_leaves, min_gain)
+    sub = 3 if cfg is None else cfg.frame_subsampling_factor
+    dim = next(iter(feats.values())).shape[1]
+    if cfg is None:
+        cfg = ChainTdnnfConfig(feat_dim=dim, num_pdfs=chain_tm.num_pdfs,
+                               hidden_dim=128, bottleneck_dim=32,
+                               prefinal_dim=64, num_layers=5,
+                               subsample_layer=3,
+                               frame_subsampling_factor=3)
+        sub = 3
+    # --- denominator: token-level phone LM through the tree ----------
+    tokens = sorted({win for segs in seg_windows.values()
+                     for (win, _, _, _) in segs})
+    tok_id = {w: i + 1 for i, w in enumerate(tokens)}
+    ilabel_info = [()] + list(tokens)
+    tok_seqs = [[tok_id[win] for (win, _, _, _) in segs]
+                for segs in seg_windows.values()]
+    lm = estimate_phone_lm(tok_seqs, list(tok_id.values()))
+    den_graph = denominator_graph_from_phone_lm(
+        lm, chain_tm, chain_tree, ilabel_info=ilabel_info)
+    # --- chunks + context-aware tolerance numerators -----------------
+    cw = (opts.chunk_width // sub) * sub
+    tol = (opts.left_tolerance, opts.right_tolerance)
+    pdf_cache: Dict[tuple, Tuple[int, int]] = {}
+
+    def pdfs_of(win):
+        if win not in pdf_cache:
+            pdf_cache[win] = (chain_tree.compute(list(win), 0),
+                              chain_tree.compute(list(win), 1))
+        return pdf_cache[win]
+
+    chunks, num_graphs = [], []
+    for u, f in feats.items():
+        if u not in seg_windows:
+            continue
+        segs = seg_windows[u]
+        T_in = min(f.shape[0], max(e for (_, _, _, e) in segs))
+        for start in range(0, T_in - cw + 1, cw):
+            end = start + cw
+            clip = [(ph, max(s, start) - start, min(e, end) - start,
+                     win) for (win, ph, s, e) in segs
+                    if s < end and e > start]
+            if not clip:
+                continue
+            seg3 = [(ph, s, e) for (ph, s, e, _) in clip]
+            pairs = [pdfs_of(win) for (_, _, _, win) in clip]
+            try:
+                g = make_tolerance_supervision(
+                    seg3, cw, chain_tm, sub, *tol, pdf_pairs=pairs)
+            except ValueError:
+                continue
+            chunks.append((f[start:end], None, None))
+            num_graphs.append(g)
+    if not chunks:
+        raise ValueError("no chain chunks")
+    log(f"chain-ctx training: {len(chunks)} chunks of {cw} frames, "
+        f"tolerance {tol}, {len(tokens)} context tokens")
+    model, variables = _fit_chain(cfg, den_graph, chunks, num_graphs,
+                                  opts, cw, dim)
+    return model, variables, den_graph, chain_tm, chain_tree
 
 
 def train_chain_e2e(lang, feats: Dict[str, np.ndarray],
