@@ -384,6 +384,16 @@ class NgramLexGraph:
         destination ARPA-FST semantics (tests only; O(U^2)-ish)."""
         lm = self.lm
         V, SP = lm.V, lm.SP
+        fold = {}
+        for u, w, cc in zip(lm.fold_src, lm.fold_dst, lm.fold_cost):
+            fold[(int(u), int(w))] = float(cc)
+
+        def from_uni_to_uni(u, w):
+            cands = [float(lm.bo1[u]) + float(lm.uni[w])]
+            if (u, w) in fold:
+                cands.append(fold[(u, w)])
+            return min(cands)
+
         # source states: per unit its hist; begin = uni(<s>)
         src_states = list(self.unit_hist) + [lm.SP + V]
         out = []
@@ -400,27 +410,28 @@ class NgramLexGraph:
                         # arcs from s land in pairs (y, w): need y==u'
                         if int(lm.pair_v[s]) == need_u:
                             cands = []
-                            m = (lm.tri_src == s) & \
-                                (lm.tri_dst_pair == h)
+                            m = (lm.tri_src == s) & (lm.tri_dst == h)
                             if m.any():
                                 cands.append(float(lm.tri_cost[m].min()))
-                            if lm.bi_cost_of_pair[h] < BIG / 2:
+                            if lm.ent_bi_cost[h] < BIG / 2:
                                 cands.append(float(lm.bo2[s])
-                                             + float(lm.bi_cost_of_pair[h]))
+                                             + float(lm.ent_bi_cost[h]))
                             cost = min(cands) if cands else None
                     else:                       # uni source
                         u = s - SP
-                        if u == need_u and \
-                                lm.bi_cost_of_pair[h] < BIG / 2:
-                            cost = float(lm.bi_cost_of_pair[h])
+                        if u == need_u and lm.ent_bi_cost[h] < BIG / 2:
+                            cost = float(lm.ent_bi_cost[h])
                 else:                           # uni destination
                     if s < SP:
-                        v2 = int(lm.pair_v[s])
-                        cost = float(lm.bo2[s]) + float(lm.bo1[v2]) \
-                            + float(lm.uni[w])
+                        y = int(lm.pair_v[s])
+                        cands = [float(lm.bo2[s])
+                                 + from_uni_to_uni(y, w)]
+                        m = (lm.tri_src == s) & (lm.tri_dst == SP + w)
+                        if m.any():
+                            cands.append(float(lm.tri_cost[m].min()))
+                        cost = min(cands)
                     else:
-                        u = s - SP
-                        cost = float(lm.bo1[u]) + float(lm.uni[w])
+                        cost = from_uni_to_uni(s - SP, w)
                 if cost is not None and cost < BIG / 2:
                     out.append((si, dst_u, cost + pc))
         return out
@@ -529,10 +540,12 @@ class NgramLexDecoder:
                                    [g.uni_state(V)]]).astype(np.int32)
         c["hist_ext"] = jnp.asarray(hist_ext)
         # --- virtual-context rows ------------------------------------
-        # trigram arcs CSR by source pair; bigram arcs CSR by source
-        # uni state.  Each row: (source state id, <=D dst pair ids,
-        # costs).  Pool selection is over rows (a high-degree source
-        # contributes several rows that share its value).
+        # All explicit arcs CSR by SOURCE state, with ENCODED
+        # destinations: dst < SP = pair state, dst in [SP, SP+V) =
+        # folded to uni(dst-SP).  Sources: pair states (trigram arcs)
+        # and uni states (bigram arcs into pair states + folded
+        # bigrams).  Each virtual row: (source state id, <=D encoded
+        # dsts, costs); pool selection is over rows.
         D = self.VC_D
         vc_src, vc_dst, vc_cost = [], [], []
 
@@ -546,30 +559,20 @@ class NgramLexDecoder:
                 vc_dst.append(dd + [0] * pad)
                 vc_cost.append(cc + [BIG] * pad)
 
-        order3 = np.argsort(lm.tri_src, kind="stable")
-        ts, td, tc = lm.tri_src[order3], lm.tri_dst_pair[order3], \
-            lm.tri_cost[order3]
-        i = 0
-        while i < len(ts):
-            j = i
-            while j < len(ts) and ts[j] == ts[i]:
-                j += 1
-            push_csr(int(ts[i]), td[i:j].tolist(), tc[i:j].tolist())
-            i = j
-        # bigram arcs: from uni state pair_u[sp] to dst pair sp
-        m2 = lm.bi_cost_of_pair < BIG / 2
-        order2 = np.argsort(lm.pair_u[m2], kind="stable")
-        bu = lm.pair_u[m2][order2]
-        bsp = np.nonzero(m2)[0][order2]
-        bc = lm.bi_cost_of_pair[m2][order2]
-        i = 0
-        while i < len(bu):
-            j = i
-            while j < len(bu) and bu[j] == bu[i]:
-                j += 1
-            push_csr(SP + int(bu[i]), bsp[i:j].tolist(),
-                     bc[i:j].tolist())
-            i = j
+        # group (src_state -> [(dst, cost)]) over all explicit arcs
+        by_src: Dict[int, list] = {}
+        for s, d, cc in zip(lm.tri_src, lm.tri_dst, lm.tri_cost):
+            by_src.setdefault(int(s), []).append((int(d), float(cc)))
+        m2 = lm.ent_bi_cost < BIG / 2
+        for sp in np.nonzero(m2)[0]:
+            by_src.setdefault(SP + int(lm.pair_u[sp]), []).append(
+                (int(sp), float(lm.ent_bi_cost[sp])))
+        for u, w, cc in zip(lm.fold_src, lm.fold_dst, lm.fold_cost):
+            by_src.setdefault(SP + int(u), []).append(
+                (SP + int(w), float(cc)))
+        for s in sorted(by_src):
+            arcs = by_src[s]
+            push_csr(s, [a[0] for a in arcs], [a[1] for a in arcs])
         n_vc = max(8, len(vc_src))
         while len(vc_src) < n_vc:
             vc_src.append(S)               # INF slot
@@ -688,7 +691,9 @@ class NgramLexDecoder:
             ids = ids.astype(jnp.int32)
             dsts = vc_dst[ids]                                # (B,K,D)
             cand = vals[:, :, None] + vc_cost[ids]
-            ent_pair = jnp.full((SP, B), INF, jnp.float32).at[
+            # one scatter over the combined destination plane:
+            # [0,SP) pair-state entries, [SP,SP+V) folded uni entries
+            ent_all = jnp.full((SP + V, B), INF, jnp.float32).at[
                 dsts, lane[:, None, None]].min(cand)
             # pool source slots (for traceback)
             psrc = vc_src[ids]                                # (B,K)
@@ -698,10 +703,12 @@ class NgramLexDecoder:
                 sarg[jnp.clip(psrc, 0, S - 1), lane[:, None]],
                 uslot[jnp.clip(psrc - SP, 0, V), lane[:, None]])
             # --- entry per unit --------------------------------------
-            ent_uni_w = nval[None, :] + c["uni"][:, None]     # (V,B)
+            ent_uni_w = jnp.minimum(
+                nval[None, :] + c["uni"][:, None],
+                ent_all[SP:])                                 # (V,B)
             ent_unit = jnp.where(
                 c["unit_is_pair"][:, None],
-                ent_pair[c["unit_pair"]],
+                ent_all[c["unit_pair"]],
                 ent_uni_w[c["unit_uni_word"]]) + c["unit_pron_cost"]
             # --- rows ------------------------------------------------
             amf = am_t[c["pdf_fwd_row"]] + c["fwd_extra"]
@@ -772,21 +779,34 @@ class NgramLexDecoder:
         def follow(ys, active, final_state):
             lane = jnp.arange(B)
 
+            uni_cost = c["uni"]
+            unit_uni_word = c["unit_uni_word"]
+
             def entry_src(u_i, x):
                 (_rb, _eb, _sb, ids, vals, pslot, p_fromsil,
                  nval, nslot, n_fromsil) = x
-                # pair-history unit: recover winner from the pool
-                sp = unit_pair[u_i]                        # (B,)
+                # recover the winning entry source from the pool: the
+                # pool candidate set is exactly what the forward
+                # scatter-min reduced, so values match bitwise
+                w_i = unit_uni_word[u_i]                   # (B,)
+                target = jnp.where(unit_is_pair[u_i],
+                                   unit_pair[u_i], SP + w_i)
                 dsts = vc_dst[ids]                         # (B,K,D)
                 cand = vals[:, :, None] + vc_cost[ids]
-                candw = jnp.where(dsts == sp[:, None, None], cand, INF)
+                candw = jnp.where(dsts == target[:, None, None],
+                                  cand, INF)
                 flat = candw.reshape(B, -1)
                 amin = jnp.argmin(flat, axis=1)
+                cmin = jnp.min(flat, axis=1)
                 k_win = (amin // D).astype(jnp.int32)
                 slot_p = pslot[lane, k_win]
                 sil_p = p_fromsil[lane, k_win]
-                slot = jnp.where(unit_is_pair[u_i], slot_p, nslot)
-                fromsil = jnp.where(unit_is_pair[u_i], sil_p, n_fromsil)
+                # uni-history units: the null-state backoff route
+                # competes with the folded explicit arcs
+                base = nval + uni_cost[w_i]
+                use_pool = unit_is_pair[u_i] | (cmin < base)
+                slot = jnp.where(use_pool, slot_p, nslot)
+                fromsil = jnp.where(use_pool, sil_p, n_fromsil)
                 return slot_to_state(slot, fromsil)
 
             def unpack(bits, idx):
