@@ -196,38 +196,45 @@ class NgramLexGraph:
     def _layout(self) -> None:
         lm = self.lm
         V = lm.V
-        # histories per word: pair states (u, w) then uni(w)
-        pairs_of_word: Dict[int, List[int]] = {}
-        for sp, v in enumerate(lm.pair_v.tolist()):
-            pairs_of_word.setdefault(v, []).append(sp)
-        unit_var, unit_hist = [], []
-        for p_i, w in enumerate(self.pron_word.tolist()):
-            for sp in pairs_of_word.get(int(w), []):
-                unit_var.append(p_i)
-                unit_hist.append(sp)
-            unit_var.append(p_i)
-            unit_hist.append(lm.SP + int(w))       # uni state
-        self.U = len(unit_var)
-        self.unit_var = np.asarray(unit_var, np.int32)
-        self.unit_hist = np.asarray(unit_hist, np.int32)
+        P = len(self.prons)
+        # histories per word: pair states (u, w) in sp order, then
+        # uni(w) — vectorized (U can reach 1e5+ at vocabulary scale)
+        SP = lm.SP
+        pv = lm.pair_v.astype(np.int64)
+        order = np.argsort(pv, kind="stable")      # sps grouped by v
+        n_pairs_of_word = np.bincount(pv, minlength=V + 1)
+        word_off = np.concatenate([[0], np.cumsum(n_pairs_of_word)])
+        pw = self.pron_word.astype(np.int64)
+        k_units = n_pairs_of_word[pw] + 1          # per pron
+        self.U = int(k_units.sum())
+        unit_var = np.repeat(np.arange(P, dtype=np.int32), k_units)
+        # within-pron unit index j: j < k-1 -> pair order[word_off[w]+j],
+        # j == k-1 -> uni state
+        u_off = np.concatenate([[0], np.cumsum(k_units)])
+        j_in = np.arange(self.U, dtype=np.int64) - u_off[unit_var]
+        is_uni = j_in == (k_units[unit_var] - 1)
+        pair_idx = order[np.minimum(
+            word_off[pw[unit_var]] + j_in,
+            len(order) - 1 if len(order) else 0)] if SP else \
+            np.zeros(self.U, np.int64)
+        unit_hist = np.where(is_uni, SP + pw[unit_var], pair_idx)
+        self.unit_var = unit_var.astype(np.int32)
+        self.unit_hist = unit_hist.astype(np.int32)
         self.unit_word = self.pron_word[self.unit_var]
-        # rows, unit-major
-        row_unit, row_pos = [], []
-        end_row = np.full(self.U, -1, np.int64)
-        for u_i, p_i in enumerate(unit_var):
-            k = len(self.prons[p_i])
-            for j in range(k - 1):
-                row_unit.append(u_i)
-                row_pos.append(j)
-            if k >= 2:
-                end_row[u_i] = len(row_unit) - 1
+        # rows, unit-major: unit u of pron length k owns k-1 rows
+        pron_len = np.asarray([len(p) for p in self.prons], np.int64)
+        k_rows = pron_len[self.unit_var] - 1
+        row_unit = np.repeat(np.arange(self.U, dtype=np.int32), k_rows)
+        r_off = np.concatenate([[0], np.cumsum(k_rows)])
+        row_pos = (np.arange(len(row_unit), dtype=np.int64)
+                   - r_off[row_unit])
+        end_row = np.where(k_rows >= 1, r_off[1:] - 1, -1)
         self.n_rows_true = len(row_unit)
         self.Nr = max(8, _round_up(self.n_rows_true, 8))
         pad = self.Nr - self.n_rows_true
-        row_unit += [-1] * pad
-        row_pos += [0] * pad
-        self.row_unit = np.asarray(row_unit, np.int32)
-        self.row_pos = np.asarray(row_pos, np.int32)
+        self.row_unit = np.pad(row_unit.astype(np.int32), (0, pad),
+                               constant_values=-1)
+        self.row_pos = np.pad(row_pos.astype(np.int32), (0, pad))
         self.row_is_first = (self.row_pos == 0) & (self.row_unit >= 0)
         self.end_row = end_row
 
@@ -255,24 +262,30 @@ class NgramLexGraph:
             return (2 * h) % self.num_pdfs, (2 * h + 1) % self.num_pdfs
 
         Nr, U = self.Nr, self.U
-        self.pdf_fwd_row = np.zeros(Nr, np.int32)
-        self.pdf_self_row = np.zeros(Nr, np.int32)
-        self.pdf_end = np.zeros(U, np.int32)
-        self.pdf_root_self = np.zeros(U, np.int32)
-        for u_i in range(U):
-            pron = self.prons[int(self.unit_var[u_i])]
+        # per-variant flat tables + vectorized gather (as in
+        # _tables_from_model)
+        nP = len(self.prons)
+        var_off = np.zeros(nP + 1, np.int64)
+        flat_rows: List[Tuple] = []
+        end_tab = np.zeros((nP, 2), np.int64)
+        for p_i, pron in enumerate(self.prons):
             wins = self._phone_windows(pron, 3 if ctx == 3 else 1,
                                        1 if ctx == 3 else 0)
-            e = int(self.end_row[u_i])
-            k = len(pron)
-            if e >= 0:
-                for j in range(k - 1):
-                    f, s = pdf_pair(wins[j])
-                    self.pdf_fwd_row[e - (k - 2) + j] = f
-                    self.pdf_self_row[e - (k - 2) + j] = s
-            f, s = pdf_pair(wins[k - 1])
-            self.pdf_end[u_i] = f
-            self.pdf_root_self[u_i] = s
+            flat_rows.extend(pdf_pair(w) for w in wins[:-1])
+            var_off[p_i + 1] = len(flat_rows)
+            end_tab[p_i] = pdf_pair(wins[-1])
+        flat = np.asarray(flat_rows, np.int64).reshape(-1, 2)
+        n_true = self.n_rows_true
+        ru = self.row_unit[:n_true].astype(np.int64)
+        fi = var_off[self.unit_var[ru].astype(np.int64)] \
+            + self.row_pos[:n_true].astype(np.int64)
+        self.pdf_fwd_row = np.pad(flat[fi, 0].astype(np.int32),
+                                  (0, Nr - n_true))
+        self.pdf_self_row = np.pad(flat[fi, 1].astype(np.int32),
+                                   (0, Nr - n_true))
+        uv = self.unit_var.astype(np.int64)
+        self.pdf_end = end_tab[uv, 0].astype(np.int32)
+        self.pdf_root_self = end_tab[uv, 1].astype(np.int32)
         self.tid_fwd_row = (self.pdf_fwd_row + 1).astype(np.int32)
         self.tid_self_row = (self.num_pdfs + self.pdf_self_row + 1
                              ).astype(np.int32)
@@ -325,46 +338,44 @@ class NgramLexGraph:
             return out
 
         Nr, U = self.Nr, self.U
-        self.pdf_fwd_row = np.zeros(Nr, np.int32)
-        self.pdf_self_row = np.zeros(Nr, np.int32)
-        self.tid_fwd_row = np.zeros(Nr, np.int32)
-        self.tid_self_row = np.zeros(Nr, np.int32)
-        self.tr_fwd_row = np.full(Nr, LN2, np.float32)
-        self.tr_self_row = np.full(Nr, LN2, np.float32)
-        self.pdf_end = np.zeros(U, np.int32)
-        self.tid_end = np.zeros(U, np.int32)
-        self.tr_end = np.zeros(U, np.float32)
-        self.pdf_root_self = np.zeros(U, np.int32)
-        self.tid_root_self = np.zeros(U, np.int32)
-        self.tr_root_self = np.zeros(U, np.float32)
-        # per-variant row tables, then scatter per unit
-        var_rows: Dict[int, List[Tuple]] = {}
-        var_end: Dict[int, Tuple] = {}
+        # per-variant flat row tables + end tables, then one vectorized
+        # gather per output array (U can reach 1e5+ at vocabulary scale)
+        nP = len(self.prons)
+        var_off = np.zeros(nP + 1, np.int64)
+        flat_rows: List[Tuple] = []
+        end_tab = np.zeros((nP, 6), np.float64)
         for p_i, pron in enumerate(self.prons):
             wins = self._phone_windows(pron, N, P)
-            var_rows[p_i] = [lookup(w) for w in wins[:-1]]
-            var_end[p_i] = lookup(wins[-1])
-        for u_i in range(U):
-            p_i = int(self.unit_var[u_i])
-            e = int(self.end_row[u_i])
-            k = len(self.prons[p_i])
-            if e >= 0:
-                for j, (p0, p1, fw, sl, tf, ts_) in \
-                        enumerate(var_rows[p_i]):
-                    r = e - (k - 2) + j
-                    self.pdf_fwd_row[r] = p0
-                    self.pdf_self_row[r] = p1
-                    self.tid_fwd_row[r] = fw
-                    self.tid_self_row[r] = sl
-                    self.tr_fwd_row[r] = tf
-                    self.tr_self_row[r] = ts_
-            p0, p1, fw, sl, tf, ts_ = var_end[p_i]
-            self.pdf_end[u_i] = p0
-            self.pdf_root_self[u_i] = p1
-            self.tid_end[u_i] = fw
-            self.tid_root_self[u_i] = sl
-            self.tr_end[u_i] = tf
-            self.tr_root_self[u_i] = ts_
+            flat_rows.extend(lookup(w) for w in wins[:-1])
+            var_off[p_i + 1] = len(flat_rows)
+            end_tab[p_i] = lookup(wins[-1])
+        flat = np.asarray(flat_rows, np.float64).reshape(-1, 6)
+        n_true = self.n_rows_true
+        ru = self.row_unit[:n_true].astype(np.int64)
+        fi = var_off[self.unit_var[ru].astype(np.int64)] \
+            + self.row_pos[:n_true].astype(np.int64)
+
+        def pad_i(col, fill=0):
+            return np.pad(flat[fi, col].astype(np.int32),
+                          (0, Nr - n_true), constant_values=fill)
+
+        def pad_f(col):
+            return np.pad(flat[fi, col].astype(np.float32),
+                          (0, Nr - n_true), constant_values=LN2)
+
+        self.pdf_fwd_row = pad_i(0)
+        self.pdf_self_row = pad_i(1)
+        self.tid_fwd_row = pad_i(2)
+        self.tid_self_row = pad_i(3)
+        self.tr_fwd_row = pad_f(4)
+        self.tr_self_row = pad_f(5)
+        uv = self.unit_var.astype(np.int64)
+        self.pdf_end = end_tab[uv, 0].astype(np.int32)
+        self.pdf_root_self = end_tab[uv, 1].astype(np.int32)
+        self.tid_end = end_tab[uv, 2].astype(np.int32)
+        self.tid_root_self = end_tab[uv, 3].astype(np.int32)
+        self.tr_end = end_tab[uv, 4].astype(np.float32)
+        self.tr_root_self = end_tab[uv, 5].astype(np.float32)
         if self.use_sil:
             w = [0] * P + [self.sil_phone] + [0] * (N - P - 1)
             p0, p1, fw, sl, tf, ts_ = lookup(w)
@@ -547,41 +558,61 @@ class NgramLexDecoder:
         # bigrams).  Each virtual row: (source state id, <=D encoded
         # dsts, costs); pool selection is over rows.
         D = self.VC_D
-        vc_src, vc_dst, vc_cost = [], [], []
-
-        def push_csr(src_state, dsts, costs):
-            for off in range(0, len(dsts), D):
-                sl = slice(off, off + D)
-                dd = list(dsts[sl])
-                cc = list(costs[sl])
-                pad = D - len(dd)
-                vc_src.append(src_state)
-                vc_dst.append(dd + [0] * pad)
-                vc_cost.append(cc + [BIG] * pad)
-
-        # group (src_state -> [(dst, cost)]) over all explicit arcs
-        by_src: Dict[int, list] = {}
-        for s, d, cc in zip(lm.tri_src, lm.tri_dst, lm.tri_cost):
-            by_src.setdefault(int(s), []).append((int(d), float(cc)))
-        m2 = lm.ent_bi_cost < BIG / 2
-        for sp in np.nonzero(m2)[0]:
-            by_src.setdefault(SP + int(lm.pair_u[sp]), []).append(
-                (int(sp), float(lm.ent_bi_cost[sp])))
-        for u, w, cc in zip(lm.fold_src, lm.fold_dst, lm.fold_cost):
-            by_src.setdefault(SP + int(u), []).append(
-                (SP + int(w), float(cc)))
-        for s in sorted(by_src):
-            arcs = by_src[s]
-            push_csr(s, [a[0] for a in arcs], [a[1] for a in arcs])
-        n_vc = max(8, len(vc_src))
-        while len(vc_src) < n_vc:
-            vc_src.append(S)               # INF slot
-            vc_dst.append([0] * D)
-            vc_cost.append([BIG] * D)
-        self.VC = len(vc_src)
-        self._vc_src = jnp.asarray(np.asarray(vc_src, np.int32))
-        self._vc_dst = jnp.asarray(np.asarray(vc_dst, np.int32))
-        self._vc_cost = jnp.asarray(np.asarray(vc_cost, np.float32))
+        # all explicit arcs (src order: trigram, bi-entry, folds —
+        # concatenated then stable-sorted by source), vectorized CSR
+        # chunking into D-wide virtual rows
+        m2 = np.nonzero(lm.ent_bi_cost < BIG / 2)[0]
+        src_all = np.concatenate([
+            lm.tri_src.astype(np.int64),
+            SP + lm.pair_u[m2].astype(np.int64),
+            SP + lm.fold_src.astype(np.int64)])
+        dst_all = np.concatenate([
+            lm.tri_dst.astype(np.int64), m2.astype(np.int64),
+            SP + lm.fold_dst.astype(np.int64)])
+        cost_all = np.concatenate([
+            lm.tri_cost, lm.ent_bi_cost[m2], lm.fold_cost]
+        ).astype(np.float32)
+        if len(src_all):
+            order = np.argsort(src_all, kind="stable")
+            s_s, d_s, c_s = src_all[order], dst_all[order], \
+                cost_all[order]
+            new_grp = np.empty(len(s_s), bool)
+            new_grp[0] = True
+            new_grp[1:] = s_s[1:] != s_s[:-1]
+            grp_start = np.maximum.accumulate(
+                np.where(new_grp, np.arange(len(s_s)), 0))
+            pos = np.arange(len(s_s)) - grp_start
+            # row index: rows emitted before this group + pos//D
+            rows_per_arc_prefix = np.cumsum(new_grp) - 1  # group id
+            grp_first_row = np.zeros(len(s_s), np.int64)
+            # rows before group g = sum over earlier groups of
+            # ceil(n_g/D); compute per-group sizes
+            gid = rows_per_arc_prefix
+            n_grps = int(gid[-1]) + 1
+            grp_sizes = np.bincount(gid, minlength=n_grps)
+            grp_rows = -(-grp_sizes // D)
+            grp_row_off = np.concatenate([[0],
+                                          np.cumsum(grp_rows)[:-1]])
+            row_of_arc = grp_row_off[gid] + pos // D
+            col_of_arc = pos % D
+            n_rows = int(grp_rows.sum())
+        else:
+            row_of_arc = col_of_arc = np.zeros(0, np.int64)
+            s_s = d_s = np.zeros(0, np.int64)
+            c_s = np.zeros(0, np.float32)
+            n_rows = 0
+        n_vc = max(8, n_rows)
+        vc_src = np.full(n_vc, S, np.int32)        # INF slot default
+        vc_dst = np.zeros((n_vc, D), np.int32)
+        vc_cost = np.full((n_vc, D), BIG, np.float32)
+        if n_rows:
+            vc_src[row_of_arc] = s_s.astype(np.int32)
+            vc_dst[row_of_arc, col_of_arc] = d_s.astype(np.int32)
+            vc_cost[row_of_arc, col_of_arc] = c_s
+        self.VC = n_vc
+        self._vc_src = jnp.asarray(vc_src)
+        self._vc_dst = jnp.asarray(vc_dst)
+        self._vc_cost = jnp.asarray(vc_cost)
         # --- per-unit constants --------------------------------------
         c["unit_is_pair"] = jnp.asarray(g.unit_hist < SP)
         c["unit_pair"] = jnp.asarray(
@@ -593,6 +624,49 @@ class NgramLexDecoder:
         c["bo1"] = jnp.asarray(lm.bo1)
         c["bo2"] = jnp.asarray(lm.bo2)
         c["pair_v"] = jnp.asarray(lm.pair_v.astype(np.int32))
+        # --- pairs-of-word reduction tree ------------------------------
+        # The per-frame backoff closure needs, for every word w,
+        # min over pair states (u, w) of sval + bo2 — a segmented min
+        # whose natural form (`.at[pair_v].min`) is a duplicate-heavy
+        # scatter: measured CATASTROPHIC on TPU (23 ms/frame at SP=81k
+        # with zipf-duplicated indices, vs 0.12 ms for this tree).  So
+        # it is computed as a static D2-ary gather tree over the pairs
+        # sorted by word: every level is a static axis-0 gather (fast)
+        # + a width-D2 min; (value, slot) planes propagate together so
+        # the winner's traceback slot falls out with NO argmax scatter
+        # and NO per-element (row, lane) gathers (34 ms/frame class).
+        D2 = 16
+        perm = np.argsort(lm.pair_v, kind="stable")
+        counts = np.bincount(lm.pair_v, minlength=V).astype(np.int64)
+        self._fold_perm = jnp.asarray(perm.astype(np.int32))
+        c["bo2_sorted"] = jnp.asarray(lm.bo2[perm][:, None]) \
+            if SP else None
+        levels: List[np.ndarray] = []
+        cur_counts = counts
+        cur_off = np.concatenate([[0], np.cumsum(cur_counts)])
+        cur_len = SP
+        while SP and cur_counts.max(initial=0) > 1:
+            new_counts = -(-cur_counts // D2)
+            R = int(new_counts.sum())
+            row_word = np.repeat(np.arange(V), new_counts)
+            new_off = np.concatenate([[0], np.cumsum(new_counts)])
+            row_in_word = np.arange(R, dtype=np.int64) \
+                - new_off[row_word]
+            base = cur_off[row_word] + row_in_word * D2
+            cand = base[:, None] + np.arange(D2)[None, :]
+            valid = cand < (cur_off[row_word]
+                            + cur_counts[row_word])[:, None]
+            levels.append(np.where(valid, cand, cur_len).astype(
+                np.int32))
+            cur_counts = new_counts
+            cur_off = new_off
+            cur_len = R
+        # final per-word entry (or sentinel=cur_len for no-pair words);
+        # index V (the BOS uni state) always takes the direct value
+        fin = np.where(cur_counts > 0, cur_off[:-1], cur_len)
+        self._fold_levels = [jnp.asarray(l) for l in levels]
+        self._fold_fin = jnp.asarray(
+            np.concatenate([fin, [cur_len]]).astype(np.int32))
         # --- row constants -------------------------------------------
         pad_big = np.where(g.row_unit < 0, BIG, 0.0).astype(np.float32)
         c["first"] = jnp.asarray(g.row_is_first)
@@ -629,13 +703,20 @@ class NgramLexDecoder:
         NB = Nr // 8
         UB = _round_up(U + 1, 8) // 8
 
+        fold_perm = self._fold_perm
+        fold_levels = self._fold_levels
+        fold_fin = self._fold_fin
+        IBIG = jnp.int32(2**31 - 1)
+
         def pack_bits(dec, npad):
-            # dec: (n, B) bool -> (ceil(n/8), B) uint8
+            # dec: (n, B) bool -> (ceil(n/8), B) uint8; pure uint8
+            # arithmetic (an int32 intermediate would 4x the traffic)
             d = jnp.pad(dec.astype(jnp.uint8),
                         ((0, npad * 8 - dec.shape[0]), (0, 0)))
-            d3 = d.reshape(npad, 8, B).astype(jnp.int32)
-            w8 = (1 << jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1))
-            return (d3 * w8).sum(axis=1).astype(jnp.uint8)
+            d3 = d.reshape(npad, 8, B)
+            w8 = (jnp.uint8(1) << jax.lax.broadcasted_iota(
+                jnp.uint8, (1, 8, 1), 1))
+            return (d3 * w8).sum(axis=1, dtype=jnp.uint8)
 
         def frame(carry, x):
             cost, roots, sil = carry      # (Nr,B), (U+1,B), (U+1,B)
@@ -649,27 +730,41 @@ class NgramLexDecoder:
                 rmin = radj
                 pick_sil = jnp.zeros_like(radj, bool)
             # --- fold slots -> LM state values -----------------------
+            # (near-unique indices: each state has ~#variants slots,
+            # so this scatter is cheap — unlike the pair fold below)
             sval = jnp.full((S, B), INF, jnp.float32).at[
                 c["hist_ext"]].min(rmin)
             slot_iota = jnp.arange(U + 1, dtype=jnp.int32)[:, None]
             sarg = jnp.full((S, B), -1, jnp.int32).at[
                 c["hist_ext"]].max(jnp.where(
                     rmin == sval[c["hist_ext"]], slot_iota, -1))
-            # --- backoff closure -------------------------------------
-            pairval = sval[:SP]
-            pbo = pairval + c["bo2"][:, None]
-            unival = sval[SP:].at[c["pair_v"]].min(pbo)       # (V+1,B)
-            # winning pair per uni state (for slot recovery)
-            pair_iota = jnp.arange(SP, dtype=jnp.int32)[:, None]
-            upar = jnp.full((V + 1, B), -1, jnp.int32).at[
-                c["pair_v"]].max(jnp.where(
-                    pbo == unival[c["pair_v"]], pair_iota, -1))
-            # uni slot: direct if the direct value won, else via pair
+            # --- backoff closure: static D2-ary reduction tree -------
             uni_direct = sval[SP:]
-            take_pair = (upar >= 0) & (unival < uni_direct)
-            slot_via_pair = sarg[jnp.clip(upar, 0, max(S - 1, 0)),
-                                 lane[None, :]]
-            uslot = jnp.where(take_pair, slot_via_pair, sarg[SP:])
+            if SP:
+                val = jnp.concatenate(
+                    [sval[:SP][fold_perm] + c["bo2_sorted"],
+                     jnp.full((1, B), INF, jnp.float32)], 0)
+                slot = jnp.concatenate(
+                    [sarg[:SP][fold_perm],
+                     jnp.full((1, B), IBIG, jnp.int32)], 0)
+                for lv in fold_levels:
+                    v = val[lv]                       # (R,D2,B)
+                    s = slot[lv]
+                    vmin = v.min(axis=1)
+                    smin = jnp.min(jnp.where(v == vmin[:, None, :], s,
+                                             IBIG), axis=1)
+                    val = jnp.concatenate(
+                        [vmin, jnp.full((1, B), INF, jnp.float32)], 0)
+                    slot = jnp.concatenate(
+                        [smin, jnp.full((1, B), IBIG, jnp.int32)], 0)
+                pair_val_w = val[fold_fin]            # (V+1,B)
+                pair_slot_w = slot[fold_fin]
+                take_pair = pair_val_w < uni_direct
+                unival = jnp.where(take_pair, pair_val_w, uni_direct)
+                uslot = jnp.where(take_pair, pair_slot_w, sarg[SP:])
+            else:
+                unival = uni_direct
+                uslot = sarg[SP:]
             # --- null state ------------------------------------------
             nv_cand = unival + c["bo1"][:, None]
             nval = jnp.min(nv_cand, axis=0)                   # (B,)
@@ -677,7 +772,8 @@ class NgramLexDecoder:
             nslot = uslot[narg_u, lane]
             # --- pooled arc expansion --------------------------------
             sval_ext = jnp.concatenate(
-                [pairval, unival, jnp.full((1, B), INF, jnp.float32)], 0)
+                [sval[:SP], unival,
+                 jnp.full((1, B), INF, jnp.float32)], 0)
             vvals = sval_ext[vc_src]                          # (VC,B)
             cutoff = jnp.min(rmin, axis=0) + beam
             vm = jnp.where(vvals <= cutoff[None, :], vvals, INF)

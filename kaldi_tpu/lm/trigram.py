@@ -244,93 +244,105 @@ class TrigramBackoffLm:
         words = list(vocab)
         V = len(words)
         wid = {w: i for i, w in enumerate(words)}
-        BOS, EOS = V, -2
-        uni_c = np.zeros(V)
-        eos_total = 0
-        bi_c: Dict[Tuple[int, int], int] = {}
-        tri_c: Dict[Tuple[int, int, int], int] = {}
-        ctx1_c = np.zeros(V + 1)
-        ctx2_c: Dict[Tuple[int, int], int] = {}
-        for s in sentences:
-            ids = [wid[w] for w in s] + [EOS]
-            prev2, prev1 = None, BOS
-            for w in ids:
-                if w >= 0:
-                    uni_c[w] += 1
-                else:
-                    eos_total += 1
-                bi_c[(prev1, w)] = bi_c.get((prev1, w), 0) + 1
-                ctx1_c[prev1] += 1
-                if prev2 is not None:
-                    tri_c[(prev2, prev1, w)] = \
-                        tri_c.get((prev2, prev1, w), 0) + 1
-                    ctx2_c[(prev2, prev1)] = \
-                        ctx2_c.get((prev2, prev1), 0) + 1
-                prev2, prev1 = prev1, w
-                if w == EOS:
-                    break
+        # counting is fully vectorized (the LM-text corpus reaches
+        # millions of tokens at vocabulary scale).  Internal EOS code
+        # E = V+1; BOS = V; the dict tables handed to _assemble use
+        # the original convention (EOS key = -2 never appears there).
+        E = V + 1
+        lens = np.asarray([len(s) + 1 for s in sentences], np.int64)
+        total = int(lens.sum())
+        ids = np.full(total, E, np.int64)
+        flat = [wid[w] for s in sentences for w in s]
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        body = np.ones(total, bool)
+        body[np.cumsum(lens) - 1] = False          # EOS positions
+        ids[body] = np.asarray(flat, np.int64)
+        prev1 = np.empty(total, np.int64)
+        prev1[1:] = ids[:-1]
+        prev1[starts] = V                           # BOS
+        prev2 = np.full(total, -1, np.int64)
+        prev2[1:] = prev1[:-1]
+        prev2[starts] = -1                          # no trigram at t=0
+        uni_c = np.bincount(ids[ids < V], minlength=V).astype(float)
+        eos_total = int((ids == E).sum())
+        ctx1_c = np.bincount(prev1, minlength=V + 1).astype(float)
+        K = V + 2
+        bk, bc = np.unique(prev1 * K + ids, return_counts=True)
+        m3 = prev2 >= 0
+        tk, tc = np.unique((prev2[m3] * K + prev1[m3]) * K + ids[m3],
+                           return_counts=True)
+        ck, cc = np.unique(prev2[m3] * K + prev1[m3],
+                           return_counts=True)
         tot = uni_c.sum() + eos_total
         uni_p = (uni_c + discount) / (tot + discount * (V + 1))
         eos_uni_p = (eos_total + discount) / (tot + discount * (V + 1))
         # ---- bigram level: mass-exact backoff weights ---------------
-        kept_bi = {k for k, c in bi_c.items() if c >= prune_bi}
-        disc_mass1 = np.zeros(V + 1)     # (D*kept + pruned counts)
-        for (u, w), c in bi_c.items():
-            disc_mass1[u] += discount if (u, w) in kept_bi else c
-        bo1 = np.ones(V + 1)
+        b_u, b_w = bk // K, bk % K
+        b_kept = bc >= prune_bi
+        disc_mass1 = np.bincount(
+            b_u, weights=np.where(b_kept, discount, bc),
+            minlength=V + 1)
         has_kept1 = np.zeros(V + 1, bool)
-        for (u, w) in kept_bi:
-            has_kept1[u] = True
-        for u in range(V + 1):
-            cu = ctx1_c[u]
-            if cu > 0 and has_kept1[u]:
-                bo1[u] = max(disc_mass1[u] / cu, 1e-10)
+        has_kept1[b_u[b_kept]] = True
+        bo1 = np.ones(V + 1)
+        m = (ctx1_c > 0) & has_kept1
+        bo1[m] = np.maximum(disc_mass1[m] / ctx1_c[m], 1e-10)
+        base_all = np.concatenate([uni_p, [0.0, eos_uni_p]])
 
-        def p_bi(u, w):
-            cu = ctx1_c[u]
-            base = eos_uni_p if w == EOS else uni_p[w]
-            if cu == 0 or (u, w) not in kept_bi:
-                return bo1[u] * base
-            return max(bi_c[(u, w)] - discount, 0.0) / cu \
-                + bo1[u] * base
+        def p_bi_vec(u, w):
+            """Vector P(w|u) with (u, w) kept-bigram lookup by
+            searchsorted into the unique bigram keys."""
+            u = np.asarray(u, np.int64)
+            w = np.asarray(w, np.int64)
+            key = u * K + w
+            pos = np.searchsorted(bk, key)
+            pos_c = np.minimum(pos, len(bk) - 1) if len(bk) else pos * 0
+            hit = (len(bk) > 0) & (bk[pos_c] == key) & b_kept[pos_c] \
+                & (ctx1_c[u] > 0)
+            expl = np.where(
+                hit,
+                np.maximum(bc[pos_c] - discount, 0.0)
+                / np.maximum(ctx1_c[u], 1.0), 0.0)
+            return expl + bo1[u] * base_all[w]
         # ---- trigram level ------------------------------------------
-        kept_tri = {k for k, c in tri_c.items() if c >= prune_tri}
-        disc_mass2: Dict[Tuple[int, int], float] = {}
-        has_kept2: Dict[Tuple[int, int], bool] = {}
-        for (u, v, w), c in tri_c.items():
-            key = (u, v)
-            if (u, v, w) in kept_tri:
-                disc_mass2[key] = disc_mass2.get(key, 0.0) + discount
-                has_kept2[key] = True
-            else:
-                disc_mass2[key] = disc_mass2.get(key, 0.0) + c
-        bo2_map: Dict[Tuple[int, int], float] = {}
-        for key, c2 in ctx2_c.items():
-            if c2 > 0 and has_kept2.get(key):
-                bo2_map[key] = float(
-                    -math.log(max(disc_mass2[key] / c2, 1e-10)))
-
-        def p_tri(u, v, w):
-            c2 = ctx2_c.get((u, v), 0)
-            bo = math.exp(-bo2_map.get((u, v), 0.0))
-            if c2 == 0 or (u, v, w) not in kept_tri:
-                return bo * p_bi(v, w)
-            return max(tri_c[(u, v, w)] - discount, 0.0) / c2 \
-                + bo * p_bi(v, w)
+        t_uv, t_w = tk // K, tk % K
+        t_u, t_v = t_uv // K, t_uv % K
+        t_kept = tc >= prune_tri
+        # per-ctx2 discounted mass + has-kept flags over unique ctx2
+        cpos = np.searchsorted(ck, t_uv)
+        disc_mass2 = np.zeros(len(ck))
+        np.add.at(disc_mass2, cpos, np.where(t_kept, discount, tc))
+        has_kept2 = np.zeros(len(ck), bool)
+        has_kept2[cpos[t_kept]] = True
+        bo2_arr = np.ones(len(ck))
+        m = (cc > 0) & has_kept2
+        bo2_arr[m] = np.maximum(disc_mass2[m] / cc[m], 1e-10)
+        bo2_map = {(int(k // K), int(k % K)): float(-np.log(b))
+                   for k, b, hm in zip(ck, bo2_arr, m) if hm}
         # ---- dict tables --------------------------------------------
-        bi_map = {(u, w): -math.log(p_bi(u, w))
-                  for (u, w) in kept_bi if w != EOS}
-        eos_bi_map = {u: -math.log(p_bi(u, EOS))
-                      for (u, w) in kept_bi if w == EOS}
+        kb_u, kb_w, kb_p = b_u[b_kept], b_w[b_kept], \
+            p_bi_vec(b_u[b_kept], b_w[b_kept])
+        bi_map = {(int(u), int(w)): float(-np.log(p))
+                  for u, w, p in zip(kb_u, kb_w, kb_p) if w != E}
+        eos_bi_map = {int(u): float(-np.log(p))
+                      for u, w, p in zip(kb_u, kb_w, kb_p) if w == E}
+        kt = t_kept
+        kt_u, kt_v, kt_w = t_u[kt], t_v[kt], t_w[kt]
+        kt_c2 = cc[cpos[kt]]
+        kt_bo = bo2_arr[cpos[kt]] * has_kept2[cpos[kt]] \
+            + 1.0 * ~has_kept2[cpos[kt]]
+        kt_p = np.maximum(tc[kt] - discount, 0.0) \
+            / np.maximum(kt_c2, 1.0) * (kt_c2 > 0) \
+            + kt_bo * p_bi_vec(kt_v, kt_w)
         tri_map = {}
         eos_tri_map = {}
-        for (u, v, w) in kept_tri:
-            if v == EOS:
+        for u, v, w, p in zip(kt_u, kt_v, kt_w, kt_p):
+            if v == E:
                 continue
-            if w == EOS:
-                eos_tri_map[(u, v)] = -math.log(p_tri(u, v, EOS))
+            if w == E:
+                eos_tri_map[(int(u), int(v))] = float(-np.log(p))
             else:
-                tri_map[(u, v, w)] = -math.log(p_tri(u, v, w))
+                tri_map[(int(u), int(v), int(w))] = float(-np.log(p))
         return cls._assemble(
             words, -np.log(uni_p), -np.log(bo1), bi_map, bo2_map,
             tri_map, -math.log(eos_uni_p), eos_bi_map, eos_tri_map)

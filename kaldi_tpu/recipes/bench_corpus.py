@@ -54,6 +54,10 @@ class BenchCorpusSpec:
     num_test: int = 128
     num_lm_sents: int = 4000
     seed: int = 11
+    vec_text: bool = False         # vectorized text sampler (required
+    #                                at vocabulary scale; different RNG
+    #                                stream than the v1 scalar sampler,
+    #                                so committed-model specs keep False)
 
     @property
     def num_phones(self) -> int:
@@ -118,6 +122,27 @@ def make_text(spec: BenchCorpusSpec, n_sents: int, seed: int
     # hashed pair-context table: successor prefers hot2[(u,v) hash]
     M2 = 1 << 14
     hot2 = proc_rng.integers(0, V, size=(M2, n_hot))
+    if spec.vec_text:
+        # vectorized across sentences (position-major): same process
+        # tables, different draw order than the v1 scalar sampler
+        lens = np.maximum(
+            spec.words_per_utt + rng.integers(-2, 3, n_sents), 1)
+        Lmax = int(lens.max())
+        prev2 = np.full(n_sents, V, np.int64)
+        prev = np.full(n_sents, V, np.int64)
+        cols = []
+        for _t in range(Lmax):
+            r = rng.random(n_sents)
+            h_i = rng.integers(0, n_hot, n_sents)
+            w2 = hot2[(prev2 * 1000003 + prev * 8191) % M2, h_i]
+            w1 = hot[prev, h_i]
+            wz = rng.choice(V, size=n_sents, p=zipf)
+            w = np.where(r < 0.35, w2, np.where(r < 0.7, w1, wz))
+            cols.append(w)
+            prev2, prev = prev, w
+        toks = np.stack(cols, axis=1)
+        return [[words[toks[i, t]] for t in range(lens[i])]
+                for i in range(n_sents)]
     sents = []
     for _ in range(n_sents):
         n = spec.words_per_utt + int(rng.integers(-2, 3))

@@ -537,6 +537,10 @@ def train_chain_ctx(sys_mono, feats: Dict[str, np.ndarray],
     phones = sorted(sys_mono.tm.get_phones())
     chain_tm, chain_tree = build_ctx_chain_system(
         feats, seg_windows, phones, N, P, max_leaves, min_gain)
+    if callable(cfg):
+        # the ctx tree's leaf count is data-dependent, so callers that
+        # want non-default dims pass a factory num_pdfs -> cfg
+        cfg = cfg(chain_tm.num_pdfs)
     sub = 3 if cfg is None else cfg.frame_subsampling_factor
     dim = next(iter(feats.values())).shape[1]
     if cfg is None:

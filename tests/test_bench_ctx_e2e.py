@@ -15,9 +15,13 @@ from kaldi_tpu.recipes.bench_corpus import (BenchCorpusSpec,
 
 @pytest.fixture(scope="module")
 def system():
+    # num_lm_sents: the trigram needs >=~3k sentences at V=30 before
+    # it beats the bigram on held-out text (measured ppl 17.0 vs 18.7
+    # at 3000; at 600 the D=0.5 singleton trigrams overfit: 23.2 vs
+    # 20.3) — test_trigram_helps_vs_bigram depends on this
     spec = BenchCorpusSpec(vocab=30, num_phone_groups=5,
                            phones_per_group=2, words_per_utt=8,
-                           num_train=48, num_test=16, num_lm_sents=600,
+                           num_train=48, num_test=16, num_lm_sents=3000,
                            noise=850.0, f2_gap=120.0, seed=11)
     from kaldi_tpu.recipes.chain import ChainTrainOptions
     opts = ChainTrainOptions(num_epochs=20, learning_rate=2e-3,
