@@ -51,11 +51,18 @@ class BatchedOfflinePipeline2:
     def __init__(self, model, params, batch_stats, decoder,
                  feature_computer, acoustic_scale: float = 1.0,
                  sample_rate: float = 16000.0,
-                 search_kwargs: Optional[dict] = None):
+                 search_kwargs: Optional[dict] = None,
+                 ivector_extractor=None):
         """model: ChainTdnnf (train=False); decoder: any duck-typed
         decode_batch (LexChainDecoder, NgramLexDecoder, ...);
         search_kwargs are forwarded to decoder.decode_batch (e.g.
-        prune_k/prune_beam for the pruned expansions)."""
+        prune_k/prune_beam for the pruned expansions).
+
+        ivector_extractor: optional BatchedIvectorExtractor — the
+        batched device i-vector leg (cudafeat
+        feature-online-batched-ivector-cuda.h:44): whole-utterance
+        i-vectors computed on device from the same staged features and
+        fed to the AM as its second input."""
         import jax
         import jax.numpy as jnp
         self.model = model
@@ -64,13 +71,16 @@ class BatchedOfflinePipeline2:
         self.acoustic_scale = acoustic_scale
         self.sample_rate = sample_rate
         self.search_kwargs = dict(search_kwargs or {})
+        self.ivec = ivector_extractor
         self._params = params
         self._batch_stats = batch_stats
 
-        def am_forward(feats_b):
+        def am_forward(feats_b, ivecs_b=None):
             chain_out, _ = model.apply(
                 {"params": params, "batch_stats": batch_stats},
-                feats_b.astype(jnp.bfloat16))
+                feats_b.astype(jnp.bfloat16),
+                None if ivecs_b is None
+                else ivecs_b.astype(jnp.bfloat16))
             return chain_out.astype(jnp.float32)
 
         self._am_forward = jax.jit(am_forward)
@@ -124,7 +134,11 @@ class BatchedOfflinePipeline2:
             # 2. acoustic model (one batched dispatch, bf16); padded
             # feature rows are garbage but masked by out_lens
             t0 = time.time()
-            loglikes = self._am_forward(feats_d)
+            if self.ivec is not None:
+                ivecs = self.ivec.extract_batch(feats_d, dims)
+                loglikes = self._am_forward(feats_d, ivecs)
+            else:
+                loglikes = self._am_forward(feats_d)
             sub = max(1, -(-T // loglikes.shape[1]))
             out_lens = -(-dims // sub)
             t_am += time.time() - t0

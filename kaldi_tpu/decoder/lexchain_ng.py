@@ -638,7 +638,14 @@ class NgramLexDecoder:
         D2 = 16
         perm = np.argsort(lm.pair_v, kind="stable")
         counts = np.bincount(lm.pair_v, minlength=V).astype(np.int64)
-        self._fold_perm = jnp.asarray(perm.astype(np.int32))
+        # identity when the LM already numbers pairs sorted by word
+        # (lm/trigram.py sorts pair states by (v, u) for exactly this);
+        # a non-identity permutation would gather in random order —
+        # measured 30 ms/frame at SP=81k vs ~0 for the sorted layout
+        self._fold_identity = bool(
+            SP == 0 or (perm == np.arange(SP)).all())
+        self._fold_perm = None if self._fold_identity else \
+            jnp.asarray(perm.astype(np.int32))
         c["bo2_sorted"] = jnp.asarray(lm.bo2[perm][:, None]) \
             if SP else None
         levels: List[np.ndarray] = []
@@ -741,12 +748,15 @@ class NgramLexDecoder:
             # --- backoff closure: static D2-ary reduction tree -------
             uni_direct = sval[SP:]
             if SP:
+                pv = sval[:SP] if fold_perm is None else \
+                    sval[:SP][fold_perm]
+                ps = sarg[:SP] if fold_perm is None else \
+                    sarg[:SP][fold_perm]
                 val = jnp.concatenate(
-                    [sval[:SP][fold_perm] + c["bo2_sorted"],
+                    [pv + c["bo2_sorted"],
                      jnp.full((1, B), INF, jnp.float32)], 0)
                 slot = jnp.concatenate(
-                    [sarg[:SP][fold_perm],
-                     jnp.full((1, B), IBIG, jnp.int32)], 0)
+                    [ps, jnp.full((1, B), IBIG, jnp.int32)], 0)
                 for lv in fold_levels:
                     v = val[lv]                       # (R,D2,B)
                     s = slot[lv]
@@ -1053,3 +1063,706 @@ class NgramLexDecoder:
 
     def decode(self, loglikes, acoustic_scale: float = 1.0):
         return self.decode_batch(loglikes[None], acoustic_scale)[0]
+
+    # ==================================================================
+    # Lattice mode — the cudadecoder GetRawLattice split (device token
+    # dumps -> host lattice assembly, cuda-decoder.cc +
+    # lattice-postprocessor.h:73) with FIXED-CAPACITY per-frame dumps:
+    # unlike the bigram lexchain's dense (T, V, B) entry/beta planes
+    # (decoder/lexchain.py), every per-frame artifact here is O(K + L)
+    # per lane — top-L word-END events + the top-K entry-source pool —
+    # so the design scales to vocabulary-size graphs (U ~ 1e5), the
+    # same reason the reference bounds its main-q capacity per frame
+    # (cuda-decoder.h:174-232).  Alpha/beta pruning runs on the host
+    # over the captured event-node graph (the reference prunes raw
+    # lattices on host workers the same way).
+    # ==================================================================
+    def _make_lattice_step(self, B: int, K: int, L: int, beam: float):
+        import jax
+        import jax.numpy as jnp
+        g = self.g
+        lm = g.lm
+        V, SP, U, Nr, S = g.V, lm.SP, g.U, g.Nr, g.S
+        c = self._c
+        use_sil = g.use_sil
+        D = self.VC_D
+        K = int(min(K, self.VC))
+        vc_src, vc_dst, vc_cost = self._vc_src, self._vc_dst, \
+            self._vc_cost
+        fold_perm = self._fold_perm
+        fold_levels = self._fold_levels
+        fold_fin = self._fold_fin
+        IBIG = jnp.int32(2**31 - 1)
+
+        def frame(carry, x):
+            cost, ent, roots, sil, sil_t, t = carry
+            am_t, act = x
+            lane = jnp.arange(B)
+            tf = t.astype(jnp.float32)
+            radj = roots + c["nosil"]
+            if use_sil:
+                rmin = jnp.minimum(radj, sil)
+                pick_sil = sil < radj
+            else:
+                rmin = radj
+                pick_sil = jnp.zeros_like(radj, bool)
+            src_time = jnp.where(pick_sil, sil_t,
+                                 jnp.broadcast_to(tf - 1.0, radj.shape))
+            # --- LM fold (identical op sequence to the best-path
+            # step, so entry values match it bitwise) ------------------
+            sval = jnp.full((S, B), INF, jnp.float32).at[
+                c["hist_ext"]].min(rmin)
+            slot_iota = jnp.arange(U + 1, dtype=jnp.int32)[:, None]
+            sarg = jnp.full((S, B), -1, jnp.int32).at[
+                c["hist_ext"]].max(jnp.where(
+                    rmin == sval[c["hist_ext"]], slot_iota, -1))
+            uni_direct = sval[SP:]
+            if SP:
+                pv = sval[:SP] if fold_perm is None else \
+                    sval[:SP][fold_perm]
+                ps = sarg[:SP] if fold_perm is None else \
+                    sarg[:SP][fold_perm]
+                val = jnp.concatenate(
+                    [pv + c["bo2_sorted"],
+                     jnp.full((1, B), INF, jnp.float32)], 0)
+                slot = jnp.concatenate(
+                    [ps, jnp.full((1, B), IBIG, jnp.int32)], 0)
+                for lv in fold_levels:
+                    v = val[lv]
+                    s = slot[lv]
+                    vmin = v.min(axis=1)
+                    smin = jnp.min(jnp.where(v == vmin[:, None, :], s,
+                                             IBIG), axis=1)
+                    val = jnp.concatenate(
+                        [vmin, jnp.full((1, B), INF, jnp.float32)], 0)
+                    slot = jnp.concatenate(
+                        [smin, jnp.full((1, B), IBIG, jnp.int32)], 0)
+                pair_val_w = val[fold_fin]
+                pair_slot_w = slot[fold_fin]
+                take_pair = pair_val_w < uni_direct
+                unival = jnp.where(take_pair, pair_val_w, uni_direct)
+                uslot = jnp.where(take_pair, pair_slot_w, sarg[SP:])
+            else:
+                unival = uni_direct
+                uslot = sarg[SP:]
+            nv_cand = unival + c["bo1"][:, None]
+            nval = jnp.min(nv_cand, axis=0)
+            narg_u = jnp.argmin(nv_cand, axis=0).astype(jnp.int32)
+            nslot = uslot[narg_u, lane]
+            sval_ext = jnp.concatenate(
+                [sval[:SP], unival,
+                 jnp.full((1, B), INF, jnp.float32)], 0)
+            vvals = sval_ext[vc_src]
+            cutoff = jnp.min(rmin, axis=0) + beam
+            vm = jnp.where(vvals <= cutoff[None, :], vvals, INF)
+            vals, ids = jax.lax.approx_min_k(vm.T, K)
+            ids = ids.astype(jnp.int32)
+            dsts = vc_dst[ids]
+            cand = vals[:, :, None] + vc_cost[ids]
+            ent_all = jnp.full((SP + V, B), INF, jnp.float32).at[
+                dsts, lane[:, None, None]].min(cand)
+            psrc = vc_src[ids]
+            is_pair_src = psrc < SP
+            pslot = jnp.where(
+                is_pair_src,
+                sarg[jnp.clip(psrc, 0, S - 1), lane[:, None]],
+                uslot[jnp.clip(psrc - SP, 0, V), lane[:, None]])
+            pslot_c = jnp.clip(pslot, 0, U)
+            p_fromsil = pick_sil[pslot_c, lane[:, None]]
+            p_srct = src_time[pslot_c, lane[:, None]]
+            nslot_c = jnp.clip(nslot, 0, U)
+            n_fromsil = pick_sil[nslot_c, lane]
+            n_srct = src_time[nslot_c, lane]
+            n_srcval = rmin[nslot_c, lane]
+            ent_uni_w = jnp.minimum(
+                nval[None, :] + c["uni"][:, None], ent_all[SP:])
+            ent_unit = jnp.where(
+                c["unit_is_pair"][:, None],
+                ent_all[c["unit_pair"]],
+                ent_uni_w[c["unit_uni_word"]]) + c["unit_pron_cost"]
+            # --- rows with entry-frame propagation --------------------
+            amf = am_t[c["pdf_fwd_row"]] + c["fwd_extra"]
+            ams = am_t[c["pdf_self_row"]] + c["self_extra"]
+            rolled = jnp.roll(cost, 1, axis=0)
+            rolled_e = jnp.roll(ent, 1, axis=0)
+            fwd_src = jnp.where(c["first"][:, None],
+                                ent_unit[c["row_unit"]], rolled)
+            fwd_ent = jnp.where(c["first"][:, None],
+                                jnp.broadcast_to(tf, ent.shape),
+                                rolled_e)
+            fwd_cand = fwd_src + amf
+            self_cand = cost + ams
+            take_fwd = fwd_cand < self_cand
+            new_cost = jnp.where(take_fwd, fwd_cand, self_cand)
+            new_ent = jnp.where(take_fwd, fwd_ent, ent)
+            # --- roots -------------------------------------------------
+            am_end = am_t[c["pdf_end"]] + c["tr_end"]
+            end_src = jnp.where(c["end_is_row"], cost[c["end_row"]],
+                                ent_unit)
+            end_cand = end_src + am_end
+            arr_te = jnp.where(c["end_is_row"][:, 0][:, None],
+                               ent[c["end_row"]],
+                               jnp.broadcast_to(tf, end_cand.shape))
+            self_r = roots[:U] + am_t[c["pdf_root_self"]] + \
+                c["tr_root_self"]
+            take_end = end_cand < self_r
+            roots_new = jnp.concatenate(
+                [jnp.where(take_end, end_cand, self_r),
+                 jnp.full((1, B), INF, jnp.float32)], axis=0)
+            # --- top-L word-end events (the node dump) ----------------
+            evq = jnp.where(take_end & act[None, :], end_cand, INF)
+            ev_val, ev_ids = jax.lax.approx_min_k(evq.T, L)   # (B,L)
+            ev_ids = ev_ids.astype(jnp.int32)
+            ev_te = arr_te[ev_ids, lane[:, None]]
+            # --- silence shadows ---------------------------------------
+            if use_sil:
+                sil_in = roots + g.sil_cost + g.sil_tr_fwd + \
+                    am_t[g.sil_pdf_fwd][None, :]
+                sil_self = sil + g.sil_tr_self + \
+                    am_t[g.sil_pdf_self][None, :]
+                sil_take = sil_in < sil_self
+                sil_new = jnp.where(sil_take, sil_in, sil_self)
+                sil_t_new = jnp.where(sil_take, tf - 1.0, sil_t)
+            else:
+                sil_new, sil_t_new = sil, sil_t
+            new_cost = jnp.where(act[None, :], new_cost, cost)
+            new_ent = jnp.where(act[None, :], new_ent, ent)
+            roots_new = jnp.where(act[None, :], roots_new, roots)
+            sil_new = jnp.where(act[None, :], sil_new, sil)
+            sil_t_new = jnp.where(act[None, :], sil_t_new, sil_t)
+            ys = (ids, vals, pslot, p_fromsil, p_srct,
+                  nval, nslot, n_fromsil, n_srct, n_srcval,
+                  ev_ids, ev_val, ev_te)
+            return (new_cost, new_ent, roots_new, sil_new, sil_t_new,
+                    t + 1), ys
+
+        def forward(cost0, ent0, roots0, sil0, silt0, am, active):
+            (cost, ent, roots, sil, sil_t, _), ys = jax.lax.scan(
+                frame, (cost0, ent0, roots0, sil0, silt0,
+                        jnp.int32(0)), (am, active))
+            return roots, sil, sil_t, ys
+
+        return jax.jit(forward, donate_argnums=(0, 1))
+
+    def _make_event_pools(self, B: int, K: int, J: int):
+        """Top-J entry candidates at padded survivor positions
+        (S, t=te, unit, lane) — a gather-compute over the scan's
+        per-frame pool dumps; the op set mirrors the scan's entry
+        computation so j=0 matches the forward value exactly."""
+        import jax
+        import jax.numpy as jnp
+        g = self.g
+        lm = g.lm
+        SP, V, U = lm.SP, g.V, g.U
+        D = self.VC_D
+        vc_dst, vc_cost = self._vc_dst, self._vc_cost
+        unit_is_pair = self._c["unit_is_pair"]
+        unit_pair = self._c["unit_pair"]
+        unit_word = self._c["unit_uni_word"]
+        pron_cost_u = jnp.asarray(
+            g.pron_cost[g.unit_var].astype(np.float32))
+        uni = jnp.asarray(lm.uni)
+
+        def pools(ids_all, vals_all, pslot_all, pfs_all, pst_all,
+                  nval_all, nslot_all, nfs_all, nst_all, nsv_all,
+                  st, su, sb):
+            Sn = st.shape[0]
+            idsK = ids_all[st, sb]              # (S,K)
+            valsK = vals_all[st, sb]
+            pslotK = pslot_all[st, sb]
+            pfsK = pfs_all[st, sb]
+            pstK = pst_all[st, sb]
+            target = jnp.where(unit_is_pair[su], unit_pair[su],
+                               SP + unit_word[su])
+            dsts = vc_dst[idsK]                 # (S,K,D)
+            cand = valsK[:, :, None] + vc_cost[idsK]
+            cand = jnp.where(dsts == target[:, None, None], cand, INF)
+            flat = cand.reshape(Sn, -1)         # (S, K*D)
+            pc = pron_cost_u[su]
+            # backoff candidate (uni-history units only)
+            nv = nval_all[st, sb]
+            bo_ok = ~unit_is_pair[su]
+            bo_val = jnp.where(bo_ok, nv + uni[unit_word[su]], INF)
+            all_v = jnp.concatenate([flat, bo_val[:, None]], 1) \
+                + pc[:, None]
+            # lm cost per candidate (excludes pron): explicit = arc
+            # cost; backoff = (nval - source root value) + uni
+            lm_flat = (cand - valsK[:, :, None]).reshape(Sn, -1)
+            bo_lm = (nv - nsv_all[st, sb]) + uni[unit_word[su]]
+            all_lm = jnp.concatenate([lm_flat, bo_lm[:, None]], 1)
+            slot_flat = jnp.repeat(pslotK, D, axis=1)
+            fs_flat = jnp.repeat(pfsK, D, axis=1)
+            stime_flat = jnp.repeat(pstK, D, axis=1)
+            all_slot = jnp.concatenate(
+                [slot_flat, nslot_all[st, sb][:, None]], 1)
+            all_fs = jnp.concatenate(
+                [fs_flat, nfs_all[st, sb][:, None]], 1)
+            all_st = jnp.concatenate(
+                [stime_flat, nst_all[st, sb][:, None]], 1)
+            outs = []
+            cols = jax.lax.broadcasted_iota(jnp.int32, all_v.shape, 1)
+            for _ in range(J):
+                a = jnp.argmin(all_v, axis=1)
+                m = jnp.min(all_v, axis=1)
+                pick = lambda arr: jnp.take_along_axis(
+                    arr, a[:, None], 1)[:, 0]
+                outs.append((m, pick(all_slot), pick(all_st),
+                             pick(all_fs), pick(all_lm)))
+                all_v = jnp.where(cols == a[:, None], INF, all_v)
+            ecv = jnp.stack([o[0] for o in outs], 1)    # (S,J)
+            esl = jnp.stack([o[1] for o in outs], 1)
+            est = jnp.stack([o[2] for o in outs], 1)
+            efs = jnp.stack([o[3] for o in outs], 1)
+            elm = jnp.stack([o[4] for o in outs], 1)
+            return ecv, esl, est, efs, elm
+
+        return jax.jit(pools)
+
+    def _gather_jit(self, name, fn, n):
+        import jax
+        Sz = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 4)
+        key = (name, Sz)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(fn)
+        return self._jit[key], Sz
+
+    def decode_batch_lattice(self, loglikes, acoustic_scale: float = 1.0,
+                             lengths: Optional[Sequence[int]] = None,
+                             lattice_beam: float = 8.0, J: int = 4,
+                             prune_k: Optional[int] = 128,
+                             event_cap: int = 64,
+                             stats: Optional[Dict[str, float]] = None):
+        """Word-lattice decode: per lane a Lattice (ilabel=tid,
+        olabel=word id, weights (graph, acoustic)) pruned to
+        `lattice_beam`, or None.  Per frame at most `event_cap`
+        word-end events and `prune_k` entry sources are captured
+        (fixed-capacity dumps; the cudadecoder bounds its per-frame
+        queues the same way) — alpha+beta pruning of the captured
+        event graph is exact."""
+        import time as _time
+        import jax.numpy as jnp
+        g = self.g
+        Nr, U, V = g.Nr, g.U, g.V
+        B, T, Pdf = loglikes.shape
+        lengths = np.asarray(lengths if lengths is not None
+                             else [T] * B, np.int64)
+        K = self.VC if prune_k is None else int(prune_k)
+        L = int(min(event_cap, U))
+        key = ("lat", B, K, L)
+        if key not in self._jit:
+            self._jit[key] = self._make_lattice_step(
+                B, K, L, float(BIG))
+        fwd = self._jit[key]
+        am = jnp.transpose(jnp.asarray(loglikes) * (-acoustic_scale),
+                           (1, 2, 0))
+        active = jnp.asarray(np.arange(T)[:, None] < lengths[None, :])
+        cost0 = jnp.full((Nr, B), INF, jnp.float32)
+        ent0 = jnp.zeros((Nr, B), jnp.float32)
+        roots0 = jnp.full((U + 1, B), INF, jnp.float32).at[U].set(0.0)
+        sil0 = jnp.full((U + 1, B), INF, jnp.float32)
+        silt0 = jnp.full((U + 1, B), -1.0, jnp.float32)
+        _t0 = _time.time()
+        roots_fin, sil_fin, silt_fin, ys = fwd(
+            cost0, ent0, roots0, sil0, silt0, am, active)
+        (ids_all, vals_all, pslot_all, pfs_all, pst_all, nval_all,
+         nslot_all, nfs_all, nst_all, nsv_all,
+         ev_ids_d, ev_val_d, ev_te_d) = ys
+        # finals: dense (U+1, B) planes stay on device; only the
+        # within-beam final slots come to host
+        eos = self._c["eos_slot"]
+        fin_root = roots_fin + eos
+        fin_sil = (sil_fin + eos) if g.use_sil else \
+            jnp.full_like(fin_root, INF)
+        pkey = ("latfin", B)
+        if pkey not in self._jit:
+            import jax
+            Lf = int(min(32, 2 * (U + 1)))
+
+            def finals(fin_root, fin_sil, silt):
+                allfin = jnp.concatenate([fin_root, fin_sil], 0)
+                fv, fi = jax.lax.approx_min_k(allfin.T, Lf)
+                lane = jnp.arange(B)
+                is_sil = fi >= (U + 1)
+                slot = jnp.where(is_sil, fi - (U + 1), fi)
+                stime = silt[jnp.clip(slot, 0, U), lane[:, None]]
+                best = jnp.min(fv, axis=1)
+                return fv, slot.astype(jnp.int32), is_sil, stime, best
+            self._jit[pkey] = jax.jit(finals)
+        fv_d, fslot_d, fsil_d, fst_d, best_d = self._jit[pkey](
+            fin_root, fin_sil, silt_fin if g.use_sil else
+            jnp.full((U + 1, B), -1.0, jnp.float32))
+        ev_ids = np.asarray(ev_ids_d)            # (T,B,L)
+        ev_val = np.asarray(ev_val_d)
+        ev_te = np.rint(np.asarray(ev_te_d)).astype(np.int64)
+        fv = np.asarray(fv_d)
+        fslot = np.asarray(fslot_d)
+        fsil = np.asarray(fsil_d)
+        fst = np.rint(np.asarray(fst_d)).astype(np.int64)
+        best = np.asarray(best_d)
+        if stats is not None:
+            stats["fwd_s"] = _time.time() - _t0
+            _t0 = _time.time()
+        # ---- survivors: events within beam of the lane best ----------
+        tgrid = np.arange(T)[:, None, None]
+        okev = (ev_val <= (best[None, :, None] + lattice_beam + 1e-3)) \
+            & (ev_val < INF / 2) & (tgrid < lengths[None, :, None])
+        st_, sb_, sl_ = np.nonzero(okev)
+        su_ = ev_ids[st_, sb_, sl_].astype(np.int64)
+        sv_ = ev_val[st_, sb_, sl_].astype(np.float64)
+        ste_ = ev_te[st_, sb_, sl_]
+        # dedup (t, unit, lane) — approx_min_k may repeat entries
+        ukey = (sb_ * T + st_) * (U + 1) + su_
+        _, first = np.unique(ukey, return_index=True)
+        st_, sb_, su_, sv_, ste_ = (x[first] for x in
+                                    (st_, sb_, su_, sv_, ste_))
+        if stats is not None:
+            stats["n_events"] = len(st_)
+        if len(st_) == 0:
+            return [None] * B
+        # ---- top-J entry pools at the survivors -----------------------
+        ekey = ("evpool", B, K, J)
+        if ekey not in self._jit:
+            self._jit[ekey] = self._make_event_pools(B, K, J)
+        n_sv = len(st_)
+        Sp = 1 << max(int(np.ceil(np.log2(max(n_sv, 1)))), 4)
+        padn = Sp - n_sv
+        ecv_d, esl_d, est_d, efs_d, elm_d = self._jit[ekey](
+            ids_all, vals_all, pslot_all, pfs_all, pst_all,
+            nval_all, nslot_all, nfs_all, nst_all, nsv_all,
+            jnp.asarray(np.pad(ste_, (0, padn))),
+            jnp.asarray(np.pad(su_, (0, padn))),
+            jnp.asarray(np.pad(sb_, (0, padn))))
+        ecv = np.asarray(ecv_d)[:n_sv].astype(np.float64)   # (S,J)
+        esl = np.asarray(esl_d)[:n_sv].astype(np.int64)
+        est = np.rint(np.asarray(est_d))[:n_sv].astype(np.int64)
+        efs = np.asarray(efs_d)[:n_sv].astype(bool)
+        elm = np.asarray(elm_d)[:n_sv].astype(np.float64)
+        if stats is not None:
+            stats["pool_s"] = _time.time() - _t0
+            _t0 = _time.time()
+        # ---- per-lane node graphs (phase 1: structure only) -----------
+        plans = []
+        for b in range(B):
+            sel = np.nonzero(sb_ == b)[0]
+            fin_b = [(float(fv[b, i]), int(fslot[b, i]),
+                      bool(fsil[b, i]), int(fst[b, i]))
+                     for i in range(fv.shape[1])
+                     if fv[b, i] < INF / 2]
+            plans.append(self._plan_lane(
+                b, int(lengths[b]), st_[sel], su_[sel], sv_[sel],
+                ste_[sel], ecv[sel], esl[sel], est[sel], efs[sel],
+                elm[sel], fin_b, float(best[b]), lattice_beam))
+        # ---- one batched device gather of self-span acoustics ---------
+        ckey = ("amcs", B)
+        if ckey not in self._jit:
+            import jax
+            self._jit[ckey] = jax.jit(lambda am: jnp.cumsum(am, axis=0))
+        am_cs_d = self._jit[ckey](am)
+        req = [p["span_req"] for p in plans if p is not None]
+        n_req = sum(len(r[0]) for r in req)
+        if n_req:
+            t0s = np.concatenate([r[0] for r in req])
+            t1s = np.concatenate([r[1] for r in req])
+            pdfs = np.concatenate([r[2] for r in req])
+            bs = np.concatenate([r[3] for r in req])
+
+            def gsp(cs, t0i, t1i, pi, bi):
+                return cs[t1i, pi, bi] - cs[t0i, pi, bi]
+            fng, Sg = self._gather_jit("lat_span", gsp, n_req)
+            padg = Sg - n_req
+            vals_sp = np.asarray(fng(
+                am_cs_d,
+                *[jnp.asarray(np.pad(x, (0, padg)))
+                  for x in (t0s, t1s, pdfs, bs)]))[:n_req]
+        else:
+            vals_sp = np.zeros(0, np.float32)
+        off = 0
+        lats = []
+        for p in plans:
+            if p is None:
+                lats.append(None)
+                continue
+            n = len(p["span_req"][0])
+            lats.append(self._assemble_lane(
+                p, vals_sp[off:off + n].astype(np.float64)))
+            off += n
+        if stats is not None:
+            stats["assemble_s"] = _time.time() - _t0
+        return lats
+
+    def _plan_lane(self, b, Tb, st, su, sv, ste, ecv, esl, est, efs,
+                   elm, fin_b, best, beam):
+        """Phase-1 host planning for one lane: node set (events +
+        referenced entry sources + final anchors), entry/self/final
+        arc lists, and the (t0, t1, pdf) span-acoustic gather request.
+        Returns None for an unreachable lane."""
+        g = self.g
+        U = g.U
+        if Tb == 0 or len(st) == 0 or not np.isfinite(best) \
+                or best >= INF / 2:
+            return None
+        cutoff = best + beam + 1e-4
+        J = ecv.shape[1]
+        # ---- candidate arcs (flattened over events x J; the exact
+        # alpha+beta filter runs in phase 2 — no value pre-filter here
+        # because beta can be negative with positive loglikes) ---------
+        n_ev = len(st)
+        ev_i = np.repeat(np.arange(n_ev), J)
+        cand_v = ecv.reshape(-1)
+        keep = cand_v < INF / 2
+        # a_cost: alpha at dst via candidate j
+        a_cost = sv[ev_i] - ecv[ev_i, 0] + cand_v
+        ev_i = ev_i[keep]
+        a_cost = a_cost[keep]
+        c_slot = esl.reshape(-1)[keep]
+        c_st = est.reshape(-1)[keep]
+        c_fs = efs.reshape(-1)[keep]
+        c_lm = elm.reshape(-1)[keep]
+        src_is_start = (c_slot >= U) | (c_st < 0)
+        # ---- node set -------------------------------------------------
+        ev_key = su * (Tb + 1) + st
+        src_key = np.where(src_is_start, -1, c_slot * (Tb + 1) + c_st)
+        fin_keys = []
+        for (val, slot, is_sil, stime) in fin_b:
+            if val > cutoff or slot > U:
+                continue
+            if is_sil:
+                if stime >= 0 and slot < U:
+                    fin_keys.append(slot * (Tb + 1) + stime)
+            elif slot < U:
+                fin_keys.append(slot * (Tb + 1) + (Tb - 1))
+        node_keys = np.unique(np.concatenate(
+            [ev_key, src_key[src_key >= 0],
+             np.asarray(fin_keys, np.int64)]))
+        node_u = node_keys // (Tb + 1)
+        node_t = node_keys % (Tb + 1)
+        n = len(node_keys)
+        # node alpha: arrival value at event nodes, else INF (filled
+        # exactly along self-chains in phase 2)
+        node_arr = np.full(n, np.inf)
+        pos = np.searchsorted(node_keys, ev_key)
+        node_arr[pos] = sv
+        node_te = np.full(n, -1, np.int64)
+        node_te[pos] = ste
+        src_i = np.where(src_is_start, -1,
+                         np.searchsorted(node_keys, src_key))
+        # drop arcs referencing a nonexistent source node (possible
+        # only if the source key computation raced the unique() — it
+        # cannot, but guard)
+        ok = src_is_start | ((src_i < n)
+                             & (node_keys[np.maximum(src_i, 0)]
+                                == src_key))
+        ev_i, a_cost, c_slot, c_st, c_fs, c_lm, src_is_start, src_i = (
+            x[ok] for x in (ev_i, a_cost, c_slot, c_st, c_fs, c_lm,
+                            src_is_start, src_i))
+        dst_i = np.searchsorted(node_keys, ev_key[ev_i])
+        # ---- self-extension spans (consecutive same-unit nodes) ------
+        same = node_u[1:] == node_u[:-1]
+        ss = np.nonzero(same)[0]
+        sd = ss + 1
+        pdfs = g.pdf_root_self[node_u[ss]]
+        span_req = (node_t[ss].astype(np.int64),
+                    node_t[sd].astype(np.int64),
+                    pdfs.astype(np.int64),
+                    np.full(len(ss), b, np.int64))
+        return dict(b=b, Tb=Tb, cutoff=cutoff, best=best,
+                    node_keys=node_keys, node_u=node_u, node_t=node_t,
+                    node_arr=node_arr, node_te=node_te,
+                    ev_i=ev_i, a_cost=a_cost, c_slot=c_slot,
+                    c_st=c_st, c_fs=c_fs, c_lm=c_lm,
+                    src_is_start=src_is_start, src_i=src_i,
+                    dst_i=dst_i, ss=ss, sd=sd, fin_b=fin_b,
+                    span_req=span_req)
+
+    def _assemble_lane(self, p, span_ac):
+        """Phase-2 host assembly: exact alpha along self-chains, beta
+        over the captured node graph, alpha+beta pruning, FST emission
+        (ilabel=tid, olabel=word, weights (graph, acoustic))."""
+        from kaldi_tpu.fstext.fst import Arc, LatticeWeight, VectorFst
+        from kaldi_tpu.fstext.ops import connect
+        g = self.g
+        U = g.U
+        Tb, cutoff = p["Tb"], p["cutoff"]
+        node_u, node_t = p["node_u"], p["node_t"]
+        node_arr, node_te = p["node_arr"], p["node_te"]
+        ss, sd = p["ss"], p["sd"]
+        n = len(node_u)
+        eos = g.eos_of_slot()                      # (U+1,)
+        tr_self = np.asarray(g.tr_root_self, np.float64)
+        s_cost = (node_t[sd] - node_t[ss]) * tr_self[node_u[ss]] \
+            + span_ac
+        # ---- alpha along chains (nodes sorted by (u, t)): Jacobi
+        # relaxation over consecutive-node edges, one hop per pass
+        # (vectorized; passes bounded by the longest per-unit chain)
+        alpha = node_arr.copy()
+        for _ in range(n):
+            new = alpha[ss] + s_cost
+            upd = new < alpha[sd] - 1e-12
+            if not upd.any():
+                break
+            np.minimum.at(alpha, sd[upd], new[upd])
+        # ---- beta ------------------------------------------------------
+        beta = np.full(n, np.inf)
+        last = node_t == Tb - 1
+        beta[last] = eos[node_u[last]]
+        fin_sil_arcs = []
+        for (val, slot, is_sil, stime) in p["fin_b"]:
+            if val > cutoff:
+                continue
+            if is_sil and slot < U and stime >= 0:
+                i = np.searchsorted(p["node_keys"],
+                                    slot * (Tb + 1) + stime)
+                if i < n and p["node_keys"][i] == \
+                        slot * (Tb + 1) + stime:
+                    beta[i] = min(beta[i], val - alpha[i])
+                    fin_sil_arcs.append((int(i), int(slot),
+                                         int(stime), float(val)))
+            elif is_sil and slot >= U:
+                fin_sil_arcs.append((-1, int(slot), int(stime),
+                                     float(val)))
+        ev_i, a_cost = p["ev_i"], p["a_cost"]
+        src_is_start, src_i, dst_i = (p["src_is_start"], p["src_i"],
+                                      p["dst_i"])
+        src_alpha = np.where(src_is_start, 0.0,
+                             alpha[np.maximum(src_i, 0)])
+        arc_delta = a_cost - src_alpha
+        arc_src_t = np.where(src_is_start, -1,
+                             node_t[np.maximum(src_i, 0)])
+        for f in range(Tb - 1, -2, -1):
+            if len(ss):
+                m_s = node_t[ss] == f
+                if m_s.any():
+                    cand = s_cost[m_s] + beta[sd[m_s]]
+                    np.minimum.at(beta, ss[m_s], cand)
+            wa = np.nonzero(arc_src_t == f)[0]
+            if len(wa):
+                cand = arc_delta[wa] + beta[dst_i[wa]]
+                keep = ~src_is_start[wa]
+                np.minimum.at(beta, src_i[wa[keep]], cand[keep])
+        keep_node = alpha + beta <= cutoff
+        # ---- emit ------------------------------------------------------
+        lat = VectorFst(LatticeWeight)
+        nodes: Dict[int, int] = {}
+        start = lat.add_state()
+        lat.set_start(start)
+
+        def node_state(i):
+            s = nodes.get(i)
+            if s is None:
+                s = lat.add_state()
+                nodes[i] = s
+            return s
+
+        def emit_chain(cur, dst_state, u, te, t, olabel, graph, acous):
+            e = int(g.end_row[u])
+            k = len(g.prons[int(g.unit_var[u])])
+            dur = t - te + 1
+            tids = []
+            if e >= 0:
+                first_row = e - (k - 2)
+                tids = [int(g.tid_fwd_row[r])
+                        for r in range(first_row, e + 1)]
+                tids += [int(g.tid_self_row[e])] * (dur - k)
+            tids.append(int(g.tid_end[u]))
+            for q, tid in enumerate(tids):
+                lastq = q == len(tids) - 1
+                nxt = dst_state if lastq else lat.add_state()
+                wgt = (graph, acous) if q == 0 else (0.0, 0.0)
+                lat.add_arc(cur, Arc(tid, olabel if q == 0 else 0,
+                                     wgt, nxt))
+                cur = nxt
+
+        def emit_sil(cur, n_frames):
+            for q in range(n_frames):
+                nxt = lat.add_state()
+                lat.add_arc(cur, Arc(
+                    int(g.sil_tid_fwd if q == 0 else g.sil_tid_self),
+                    0, (0.0, 0.0), nxt))
+                cur = nxt
+            return cur
+
+        keep_arc = keep_node[dst_i] & \
+            (src_is_start | keep_node[np.maximum(src_i, 0)]) & \
+            (src_alpha + arc_delta + beta[dst_i] <= cutoff)
+        for i in np.nonzero(keep_arc)[0]:
+            u = int(node_u[dst_i[i]])
+            t = int(node_t[dst_i[i]])
+            te = int(node_te[dst_i[i]])
+            src_t = int(p["c_st"][i])
+            lm_cost = float(p["c_lm"][i])
+            is_start = bool(src_is_start[i])
+            cur = start if is_start else node_state(int(src_i[i]))
+            dst = node_state(int(dst_i[i]))
+            n_sil = (te - 1) - src_t
+            var = int(g.unit_var[u])
+            k = len(g.prons[var])
+            dur = t - te + 1
+            e = int(g.end_row[u])
+            gcost = lm_cost + float(g.pron_cost[var]) \
+                + float(g.tr_end[u])
+            if e >= 0:
+                first_row = e - (k - 2)
+                gcost += float(np.sum(g.tr_fwd_row[first_row:e + 1]))
+                gcost += (dur - k) * float(g.tr_self_row[e])
+            if n_sil > 0:
+                gcost += g.sil_cost + g.sil_tr_fwd + \
+                    (n_sil - 1) * g.sil_tr_self
+            elif g.use_sil:
+                gcost += g.nosil_cost
+            acous = float(arc_delta[i]) - gcost
+            if n_sil > 0:
+                cur = emit_sil(cur, n_sil)
+            emit_chain(cur, dst, u, te, t,
+                       int(g.unit_word[u]) + 1, gcost, acous)
+        # self-extension arcs
+        for k2 in range(len(ss)):
+            i0, i1 = int(ss[k2]), int(sd[k2])
+            if not (keep_node[i0] and keep_node[i1]):
+                continue
+            if alpha[i0] + s_cost[k2] + beta[i1] > cutoff:
+                continue
+            cur = nodes.get(i0)
+            if cur is None:
+                continue
+            u = int(node_u[i0])
+            t0, t1 = int(node_t[i0]), int(node_t[i1])
+            dstn = node_state(i1)
+            gc = (t1 - t0) * float(tr_self[u])
+            ac = float(span_ac[k2])
+            for q in range(t0 + 1, t1 + 1):
+                lastq = q == t1
+                nxt = dstn if lastq else lat.add_state()
+                wgt = (gc, ac) if q == t0 + 1 else (0.0, 0.0)
+                lat.add_arc(cur, Arc(int(g.tid_root_self[u]), 0, wgt,
+                                     nxt))
+                cur = nxt
+        # finals at last-frame nodes
+        for i, s in list(nodes.items()):
+            if int(node_t[i]) == Tb - 1:
+                lat.set_final(s, (float(eos[int(node_u[i])]), 0.0))
+        # final-silence arcs (trailing silence then eos)
+        for (i, slot, stime, val) in fin_sil_arcs:
+            if i >= 0 and i not in nodes:
+                continue
+            cur = start if i < 0 else nodes[i]
+            src_alpha_f = 0.0 if i < 0 else float(alpha[i])
+            n_frames = (Tb - 1) - stime
+            if n_frames <= 0:
+                continue
+            gcost = g.sil_cost + g.sil_tr_fwd + \
+                (n_frames - 1) * g.sil_tr_self
+            eos_f = float(eos[min(slot, U)])
+            acous = (val - eos_f - src_alpha_f) - gcost
+            nxt = lat.add_state()
+            lat.add_arc(cur, Arc(int(g.sil_tid_fwd), 0,
+                                 (gcost, acous), nxt))
+            for q in range(1, n_frames):
+                nn = lat.add_state()
+                lat.add_arc(nxt, Arc(int(g.sil_tid_self), 0,
+                                     (0.0, 0.0), nn))
+                nxt = nn
+            lat.set_final(nxt, (eos_f, 0.0))
+        connect(lat)
+        if lat.num_states == 0 or lat.start is None:
+            return None
+        return lat

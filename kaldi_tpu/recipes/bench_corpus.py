@@ -58,10 +58,29 @@ class BenchCorpusSpec:
     #                                at vocabulary scale; different RNG
     #                                stream than the v1 scalar sampler,
     #                                so committed-model specs keep False)
+    num_speakers: int = 0          # > 0: per-speaker VTLN-like formant
+    #                                warp + gain (utterances assigned
+    #                                round-robin) — the variability the
+    #                                i-vector-adapted AM removes
 
     @property
     def num_phones(self) -> int:
         return self.num_phone_groups * self.phones_per_group
+
+
+def bench_scale_spec(**over) -> BenchCorpusSpec:
+    """The round-4 vocabulary-scale bench configuration: V=20k over a
+    30-phone inventory, trigram LM text, triphone-tree training.  The
+    decode graph this yields (build_decode_graph_ng, prune (2,3)) has
+    ~500k states — the reference's own headline runs on a graph of
+    this order (LibriSpeech tgsmall HCLG, cuda-fst.h:62)."""
+    kw = dict(vocab=20000, num_phone_groups=10, phones_per_group=3,
+              min_pron=2, max_pron=5, words_per_utt=12,
+              num_train=384, num_test=128, num_lm_sents=600000,
+              noise=1600.0, f2_gap=60.0, seed=11, vec_text=True,
+              num_speakers=24)
+    kw.update(over)
+    return BenchCorpusSpec(**kw)
 
 
 def phone_inventory(spec: BenchCorpusSpec) -> Dict[str, Tuple[float, float]]:
@@ -163,10 +182,22 @@ def make_text(spec: BenchCorpusSpec, n_sents: int, seed: int
     return sents
 
 
+def speaker_params(spec: BenchCorpusSpec
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """(warps, gains) per speaker, deterministic in spec.seed."""
+    rng = np.random.default_rng(spec.seed + 555)
+    S = max(spec.num_speakers, 1)
+    if spec.num_speakers == 0:
+        return np.ones(1), np.ones(1)
+    return (rng.uniform(0.88, 1.12, S), rng.uniform(0.7, 1.3, S))
+
+
 def synth_utterance(words: Sequence[str],
                     lexicon: Dict[str, List[List[str]]],
                     inv: Dict[str, Tuple[float, float]],
-                    spec: BenchCorpusSpec, seed: int) -> np.ndarray:
+                    spec: BenchCorpusSpec, seed: int,
+                    warp: float = 1.0,
+                    spk_gain: float = 1.0) -> np.ndarray:
     rng = np.random.default_rng(seed)
     fs = spec.fs
 
@@ -179,10 +210,11 @@ def synth_utterance(words: Sequence[str],
         pron = lexicon[w][0]
         for ph in pron:
             f1, f2 = inv[ph]
+            f1, f2 = f1 * warp, f2 * warp
             dur = 0.07 + 0.05 * rng.random()
             n = int(dur * fs)
             t = np.arange(n) / fs
-            gain = 0.75 + 0.5 * rng.random()
+            gain = (0.75 + 0.5 * rng.random()) * spk_gain
             seg = gain * (1500 * np.sin(2 * np.pi * f1 * t)
                           + 950 * np.sin(2 * np.pi * f2 * t)) \
                 + spec.noise * rng.normal(size=n)
@@ -205,9 +237,13 @@ def make_corpus(spec: BenchCorpusSpec):
     lm_text = make_text(spec, spec.num_lm_sents, spec.seed + 3)
     train_txt = {f"tr{i:04d}": s for i, s in enumerate(train_sents)}
     test_txt = {f"te{i:04d}": s for i, s in enumerate(test_sents)}
-    train_wav = {u: synth_utterance(s, lexicon, inv, spec, 10_000 + i)
+    warps, gains = speaker_params(spec)
+    S = len(warps)
+    train_wav = {u: synth_utterance(s, lexicon, inv, spec, 10_000 + i,
+                                    warps[i % S], gains[i % S])
                  for i, (u, s) in enumerate(train_txt.items())}
-    test_wav = {u: synth_utterance(s, lexicon, inv, spec, 50_000 + i)
+    test_wav = {u: synth_utterance(s, lexicon, inv, spec, 50_000 + i,
+                                   warps[i % S], gains[i % S])
                 for i, (u, s) in enumerate(test_txt.items())}
     return lexicon, train_txt, train_wav, test_txt, test_wav, lm_text
 
@@ -232,11 +268,15 @@ def train_system(spec: BenchCorpusSpec, cfg=None,
                  chain_opts=None, num_ceps: int = 40,
                  mono_iters: int = 8, mono_totgauss: int = 500,
                  ctx: bool = False, max_leaves: int = 500,
-                 min_gain: float = 50.0):
+                 min_gain: float = 50.0, ivector_dim: int = 0):
     """Full ladder: feats -> mono -> align -> chain.  With ctx=True
     the chain system uses a TRIPHONE tree over word-internal windows
     (recipes/chain.py train_chain_ctx), the round-4 bench
-    configuration.  Returns a dict with everything the decode side
+    configuration.  With ivector_dim > 0 a diag-UBM i-vector
+    extractor is trained on the corpus and the chain AM consumes
+    per-utterance i-vectors as its second input (run_tdnn_1d.sh's
+    online-ivector configuration; the cfg/factory must set the same
+    ivector_dim).  Returns a dict with everything the decode side
     needs (and the trained params)."""
     from kaldi_tpu.decoder.graph import TrainingGraphCompiler
     from kaldi_tpu.feat.frontend import OfflineFeature
@@ -260,6 +300,15 @@ def train_system(spec: BenchCorpusSpec, cfg=None,
     graphs = {u: compiler.compile(train_txt[u]) for u in feats}
     log("bench_corpus: aligning")
     ali = _align_all(gmm, graphs, feats, 10.0, 0.1, 1.0)
+    ivec_ex, ivectors = None, None
+    if ivector_dim > 0:
+        from kaldi_tpu.ivector.batched import train_bench_extractor
+        log("bench_corpus: training i-vector extractor")
+        ivec_ex = train_bench_extractor(feats,
+                                        ivector_dim=ivector_dim)
+        ivectors = {u: ivec_ex.extract_offset_removed(
+            np.asarray(f, np.float64)).astype(np.float32)
+            for u, f in feats.items()}
     log("bench_corpus: chain training")
     if chain_opts is None:
         chain_opts = ChainTrainOptions(num_epochs=8, learning_rate=1e-3,
@@ -271,15 +320,17 @@ def train_system(spec: BenchCorpusSpec, cfg=None,
                 for w in train_txt[u]] for u in feats}
         model, variables, den, chain_tm, chain_tree = train_chain_ctx(
             gmm, feats, ali, word_prons, cfg, chain_opts,
-            max_leaves=max_leaves, min_gain=min_gain)
+            max_leaves=max_leaves, min_gain=min_gain,
+            ivectors=ivectors)
     else:
         model, variables, den, chain_tm, chain_tree = train_chain_topo(
-            gmm, feats, ali, cfg, chain_opts)
+            gmm, feats, ali, cfg, chain_opts, ivectors=ivectors)
     return dict(spec=spec, lexicon=lexicon, lang=lang,
                 train_txt=train_txt, test_txt=test_txt,
                 test_wav=test_wav, lm_text=lm_text, gmm=gmm,
                 model=model, variables=variables, den=den,
-                chain_tm=chain_tm, chain_tree=chain_tree)
+                chain_tm=chain_tm, chain_tree=chain_tree,
+                ivector_extractor=ivec_ex)
 
 
 def build_decode_graph(lexicon, lm_text, chain_tm, chain_tree,
@@ -363,6 +414,33 @@ def save_params(path: str, variables: dict) -> None:
         if coll in variables and variables[coll]:
             walk(coll, variables[coll])
     np.savez_compressed(path, **flat)
+
+
+def save_ivector_extractor(path: str, ex) -> None:
+    np.savez_compressed(
+        path, M=ex.M.astype(np.float32),
+        sigma_inv=ex.sigma_inv.astype(np.float32),
+        prior=np.float64(ex.prior_offset),
+        weights=ex.ubm.weights.astype(np.float64),
+        means=ex.ubm.get_means().astype(np.float64),
+        inv_vars=ex.ubm.inv_vars.astype(np.float64))
+
+
+def load_ivector_extractor(path: str):
+    from kaldi_tpu.gmm.diag_gmm import DiagGmm
+    from kaldi_tpu.ivector.extractor import IvectorExtractor
+    d = np.load(path)
+    G, D = d["means"].shape
+    gmm = DiagGmm(G, D)
+    gmm.set_from_means_and_vars(d["weights"], d["means"],
+                                1.0 / d["inv_vars"])
+    ex = IvectorExtractor.__new__(IvectorExtractor)
+    ex.ubm = gmm
+    ex.M = d["M"].astype(np.float64)
+    ex.sigma_inv = d["sigma_inv"].astype(np.float64)
+    ex.R = ex.M.shape[2]
+    ex.prior_offset = float(d["prior"])
+    return ex
 
 
 def load_params(path: str) -> dict:

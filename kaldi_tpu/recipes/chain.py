@@ -511,7 +511,8 @@ def train_chain_ctx(sys_mono, feats: Dict[str, np.ndarray],
                     opts: Optional[ChainTrainOptions] = None,
                     N: int = 3, P: int = 1,
                     max_leaves: int = 2000, min_gain: float = 30.0,
-                    sil_phone: Optional[int] = None):
+                    sil_phone: Optional[int] = None,
+                    ivectors: Optional[Dict[str, np.ndarray]] = None):
     """Chain training over a context-dependent (triphone) tree with
     word-internal windows.  word_prons: per utterance the transcript's
     per-word phone lists.  Returns (model, variables, den_graph,
@@ -591,14 +592,17 @@ def train_chain_ctx(sys_mono, feats: Dict[str, np.ndarray],
                     seg3, cw, chain_tm, sub, *tol, pdf_pairs=pairs)
             except ValueError:
                 continue
-            chunks.append((f[start:end], None, None))
+            iv = None if ivectors is None else np.asarray(
+                ivectors[u], np.float32)
+            chunks.append((f[start:end], None, iv))
             num_graphs.append(g)
     if not chunks:
         raise ValueError("no chain chunks")
     log(f"chain-ctx training: {len(chunks)} chunks of {cw} frames, "
         f"tolerance {tol}, {len(tokens)} context tokens")
     model, variables = _fit_chain(cfg, den_graph, chunks, num_graphs,
-                                  opts, cw, dim)
+                                  opts, cw, dim,
+                                  use_ivectors=ivectors is not None)
     return model, variables, den_graph, chain_tm, chain_tree
 
 
