@@ -206,6 +206,30 @@ def read_int32(stream: BinaryIO, binary: bool) -> int:
     return int(read_token(stream, binary))
 
 
+def write_uint32(stream: BinaryIO, binary: bool, value: int) -> None:
+    """Unsigned int32 basic type: the reference marks unsignedness
+    with a NEGATIVE size byte (-4 = 0xfc; io-funcs-inl.h
+    WriteBasicType's is_signed branch) — used by TableEventMap /
+    WriteEventType / WriteBuildTreeStats sizes."""
+    if binary:
+        stream.write(b"\xfc" + struct.pack("<I", int(value)))
+    else:
+        stream.write(f"{int(value)} ".encode())
+
+
+def read_uint32(stream: BinaryIO, binary: bool) -> int:
+    if binary:
+        size = stream.read(1)
+        # lenient: accept the signed marker too (files written by
+        # earlier versions of this repo used int32 here)
+        if size == b"\xfc":
+            return struct.unpack("<I", stream.read(4))[0]
+        if size == b"\x04":
+            return struct.unpack("<i", stream.read(4))[0]
+        raise KaldiTpuError(f"read_uint32: bad size byte {size!r}")
+    return int(read_token(stream, binary))
+
+
 def write_int64(stream: BinaryIO, binary: bool, value: int) -> None:
     if binary:
         stream.write(b"\x08" + struct.pack("<q", int(value)))

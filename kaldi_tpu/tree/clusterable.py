@@ -121,10 +121,10 @@ def write_build_tree_stats(stream, binary: bool, stats) -> None:
     from kaldi_tpu.base import io_funcs as iof
     items = sorted(stats.items()) if hasattr(stats, "items") else list(stats)
     iof.write_token(stream, binary, "BTS")
-    iof.write_int32(stream, binary, len(items))
+    iof.write_uint32(stream, binary, len(items))
     for event, clus in items:
         iof.write_token(stream, binary, "EV")
-        iof.write_int32(stream, binary, len(event))
+        iof.write_uint32(stream, binary, len(event))
         for key, value in event:
             iof.write_int32(stream, binary, key)
             iof.write_int32(stream, binary, value)
@@ -142,11 +142,11 @@ def read_build_tree_stats(stream, binary: bool):
     (e.g. when summing multiple acc files) are added together."""
     from kaldi_tpu.base import io_funcs as iof
     iof.expect_token(stream, binary, "BTS")
-    n = iof.read_int32(stream, binary)
+    n = iof.read_uint32(stream, binary)
     stats = {}
     for _ in range(n):
         iof.expect_token(stream, binary, "EV")
-        npairs = iof.read_int32(stream, binary)
+        npairs = iof.read_uint32(stream, binary)
         event = tuple((iof.read_int32(stream, binary),
                        iof.read_int32(stream, binary))
                       for _ in range(npairs))

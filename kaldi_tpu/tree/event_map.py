@@ -50,7 +50,7 @@ class EventMap:
         if tok == "TE":
             iof.read_token(stream, binary)
             key = iof.read_int32(stream, binary)
-            size = iof.read_int32(stream, binary)
+            size = iof.read_uint32(stream, binary)
             iof.expect_token(stream, binary, "(")
             table = [EventMap.read(stream, binary) for _ in range(size)]
             iof.expect_token(stream, binary, ")")
@@ -126,7 +126,8 @@ class TableEventMap(EventMap):
     def write(self, stream, binary=True):
         iof.write_token(stream, binary, "TE")
         iof.write_int32(stream, binary, self.key)
-        iof.write_int32(stream, binary, len(self.table))
+        # size is UNSIGNED in the reference (event-map.cc:125)
+        iof.write_uint32(stream, binary, len(self.table))
         iof.write_token(stream, binary, "(")
         for t in self.table:
             EventMap.write_nullable(stream, binary, t)

@@ -243,7 +243,11 @@ class TestBuildTreeStatsFormat:
             write_build_tree_stats(buf, binary, stats)
             if binary:
                 data = buf.getvalue()
-                assert data.startswith(b"BTS \x04\x02\x00\x00\x00EV ")
+                # \xfc: sizes here are uint32 in the reference (the
+                # negative size byte marks unsignedness,
+                # io-funcs-inl.h; pinned by tests/test_ref_golden.py
+                # against reference-written bytes)
+                assert data.startswith(b"BTS \xfc\x02\x00\x00\x00EV ")
             buf.seek(0)
             got = read_build_tree_stats(buf, binary)
             assert set(got) == set(stats)

@@ -1,0 +1,49 @@
+set -e
+BIN=/tmp/refbuild/bin
+OUT=/root/repo/tests/data/ref_golden
+mkdir -p $OUT /tmp/fix
+# topo: standard 3-state phones 1-4, 5-state silence phone 5 (the
+# prepare_lang.sh shape)
+cat > $OUT/topo <<'EOT'
+<Topology>
+<TopologyEntry>
+<ForPhones>
+1 2 3 4
+</ForPhones>
+<State> 0 <PdfClass> 0 <Transition> 0 0.75 <Transition> 1 0.25 </State>
+<State> 1 <PdfClass> 1 <Transition> 1 0.75 <Transition> 2 0.25 </State>
+<State> 2 <PdfClass> 2 <Transition> 2 0.75 <Transition> 3 0.25 </State>
+<State> 3 </State>
+</TopologyEntry>
+<TopologyEntry>
+<ForPhones>
+5
+</ForPhones>
+<State> 0 <PdfClass> 0 <Transition> 0 0.5 <Transition> 1 0.5 </State>
+<State> 1 <PdfClass> 1 <Transition> 1 0.5 <Transition> 2 0.5 </State>
+<State> 2 <PdfClass> 2 <Transition> 2 0.5 <Transition> 3 0.5 </State>
+<State> 3 </State>
+</TopologyEntry>
+</Topology>
+EOT
+# deterministic training feats via our own writer (text ark is
+# trivially correct); the reference sets global mean/var from them
+python3 - <<'EOP'
+import numpy as np
+rng = np.random.default_rng(42)
+with open("/tmp/fix/train.ark", "w") as f:
+    for i in range(3):
+        m = rng.normal(size=(20, 13)) * 2.0 + i
+        f.write(f"utt{i}  [\n")
+        for r in m:
+            f.write("  " + " ".join(f"{x:.6f}" for x in r) + "\n")
+        f.write("]\n")
+EOP
+$BIN/gmm-init-mono --binary=true --train-feats=ark,t:/tmp/fix/train.ark $OUT/topo 13 $OUT/mono.mdl $OUT/mono.tree
+$BIN/gmm-init-mono --binary=false --train-feats=ark,t:/tmp/fix/train.ark $OUT/topo 13 $OUT/mono_text.mdl /dev/null
+$BIN/copy-tree --binary=false $OUT/mono.tree $OUT/mono_text.tree
+# reference-written feature archives (binary ark + scp) from the text ark
+$BIN/copy-feats --compress=false ark,t:/tmp/fix/train.ark ark,scp:$OUT/feats.ark,$OUT/feats.scp
+$BIN/copy-feats --compress=true --compression-method=2 ark,t:/tmp/fix/train.ark ark:$OUT/feats_cm2.ark
+sed -i "s|$OUT/|tests/data/ref_golden/|" $OUT/feats.scp
+ls -la $OUT
