@@ -173,9 +173,15 @@ class TrigramBackoffLm:
         tri_map: (u,v,w) -> cost
         eos_bi_map: u -> cost; eos_tri_map: (u,v) -> cost"""
         V = len(words)
-        # pair states: contexts that distinguish the future
+        # pair states: contexts that distinguish the future.  Sorted
+        # by (v, u) so the states of one word v are CONTIGUOUS: the
+        # decoder's per-word backoff fold then runs over monotone
+        # index ranges (TPU axis-0 gathers are fast only for monotone
+        # indices — a random permutation gather of an (SP, B) plane
+        # measured 30 ms/frame at SP=81k, ~20x the whole row update)
         pair_set = sorted({(u, v) for (u, v, w) in tri_map}
-                          | set(eos_tri_map))
+                          | set(eos_tri_map),
+                          key=lambda p: (p[1], p[0]))
         pid = {p: i for i, p in enumerate(pair_set)}
         SP = len(pair_set)
         pair_u = np.asarray([p[0] for p in pair_set], np.int32)

@@ -21,7 +21,7 @@ def system():
     # 20.3) — test_trigram_helps_vs_bigram depends on this
     spec = BenchCorpusSpec(vocab=30, num_phone_groups=5,
                            phones_per_group=2, words_per_utt=8,
-                           num_train=48, num_test=16, num_lm_sents=3000,
+                           num_train=48, num_test=48, num_lm_sents=3000,
                            noise=850.0, f2_gap=120.0, seed=11)
     from kaldi_tpu.recipes.chain import ChainTrainOptions
     opts = ChainTrainOptions(num_epochs=20, learning_rate=2e-3,
@@ -109,10 +109,17 @@ class TestBenchCtxDevicePipeline:
             prons, tg2, pron_word=pron_word, pron_cost=pron_cost,
             tm=sysd["chain_tm"], tree=sysd["chain_tree"], use_sil=True,
             sil_phone=lang.phones["SIL"], sil_prob=0.5)
-        wer3 = _decode_wer(sysd, graph, spec)
-        wer2 = _decode_wer(sysd, g2, spec)
-        print(f"trigram WER {wer3:.2f}% vs bigram WER {wer2:.2f}%")
-        assert wer3 <= wer2 + 0.5, (wer3, wer2)
+        # assert in the LM-dominated regime: at acoustic_scale 1.0 the
+        # two LMs differ by ~noise on this corpus (measured 4.6% vs
+        # 4.3% over 987 words), while at 0.35 the trigram's structural
+        # advantage is unambiguous (16.4% vs 22.5%) — the same reason
+        # the reference sweeps LM weight at scoring time
+        # (egs/wsj/s5/steps/score_kaldi.sh LMWT sweep)
+        wer3 = _decode_wer(sysd, graph, spec, acoustic_scale=0.35)
+        wer2 = _decode_wer(sysd, g2, spec, acoustic_scale=0.35)
+        print(f"trigram WER {wer3:.2f}% vs bigram WER {wer2:.2f}% "
+              f"(acoustic scale 0.35)")
+        assert wer3 < wer2, (wer3, wer2)
 
     def test_pruned_search_matches_exact_wer(self, system):
         sysd, graph, spec = system
