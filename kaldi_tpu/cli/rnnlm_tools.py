@@ -141,6 +141,9 @@ def rnnlm_get_sampling_lm(argv: List[str]) -> int:
         "<sentences-rspecifier> <sampling-lm-out>")
     vocab_size = po.register_value("vocab-size", 0,
                                    "Vocabulary size (0 = max id + 1)")
+    ngram_order = po.register_value(
+        "ngram-order", 3, "Proposal LM order (sampling-lm-estimate.h; "
+        "arbitrary order, higher orders pruned against their backoff)")
     po.read(argv)
     if po.num_args() != 2:
         po.print_usage()
@@ -150,19 +153,28 @@ def rnnlm_get_sampling_lm(argv: List[str]) -> int:
     if not sents:
         return 1
     V = vocab_size[0] or (max(max(s, default=0) for s in sents) + 1)
-    lm = SamplingLm(SamplingLmOptions(vocab_size=max(V, 3)))
+    lm = SamplingLm(SamplingLmOptions(vocab_size=max(V, 3),
+                                      ngram_order=ngram_order[0]))
     for s in sents:
         lm.process_line(1.0, s)
     lm.estimate()
     # persist the estimated distribution: unigram array + sparse
     # corrections packed as (hist, word, prob) rows + per-history
     # unigram weights
-    rows = [(h, w, p) for h, kept in lm.sparse.items()
+    # histories are tuples of up to order-1 words (left-padded -1)
+    H = max(lm.opts.ngram_order - 1, 1)
+
+    def hrow(h):
+        return [-1] * (H - len(h)) + list(h)
+    rows = [hrow(h) + [w, p] for h, kept in lm.sparse.items()
             for w, p in kept]
-    uw = [(h, w) for h, w in lm.unigram_weight.items()]
+    uw = [hrow(h) + [w] for h, w in lm.backoff_weight.items()]
     np.savez(po.get_arg(2), unigram=lm.unigram,
-             sparse=np.asarray(rows, np.float64).reshape(len(rows), 3),
-             uweight=np.asarray(uw, np.float64).reshape(len(uw), 2))
+             order=lm.opts.ngram_order,
+             sparse=np.asarray(rows, np.float64).reshape(
+                 len(rows), H + 2),
+             uweight=np.asarray(uw, np.float64).reshape(
+                 len(uw), H + 1))
     log(f"estimated sampling LM over V={V}: {len(lm.sparse)} sparse "
         "histories")
     return 0

@@ -48,33 +48,59 @@ class SamplingLmOptions:
 
 
 class SamplingLm:
-    """Pruned additive n-gram proposal LM.
+    """Pruned additive n-gram proposal LM of ARBITRARY order
+    (sampling-lm-estimate.h:197 keeps a higher-order n-gram only where
+    it beats its backoff distribution by `backoff_factor`; the
+    representation is additive so every history's distribution stays
+    normalized):
 
-    For a history h: p(w|h) = unigram_weight(h) * u(w) + sparse_h(w),
-    where sparse_h holds only the strongly-above-unigram words."""
+      p(w | h) = backoff_weight(h) * p(w | backoff(h)) + sparse_h(w)
+
+    with h a tuple of up to ngram_order-1 previous words (most recent
+    LAST) and backoff(h) = h[1:] down to the flattened unigram."""
 
     def __init__(self, opts: SamplingLmOptions):
         self.opts = opts
         V = opts.vocab_size
         self.unigram_counts = np.zeros(V, np.float64)
-        self.bigram_counts: Dict[int, Dict[int, float]] = {}
+        # counts[o][hist tuple of len o] -> {word: count}
+        self.counts: List[Dict[tuple, Dict[int, float]]] = [
+            {} for _ in range(max(opts.ngram_order - 1, 1))]
         self.unigram: Optional[np.ndarray] = None
-        self.sparse: Dict[int, List[Tuple[int, float]]] = {}
-        self.unigram_weight: Dict[int, float] = {}
+        self.sparse: Dict[tuple, List[Tuple[int, float]]] = {}
+        self.backoff_weight: Dict[tuple, float] = {}
 
     def process_line(self, weight: float, sentence: Sequence[int]) -> None:
         """sentence: word ids, no BOS, not EOS-terminated
         (SamplingLmEstimator::ProcessLine contract)."""
-        hist = BOS
-        for w in list(sentence) + [EOS]:
-            w = int(w)
+        seq = [BOS] + [int(w) for w in sentence] + [EOS]
+        H = self.opts.ngram_order - 1
+        for i in range(1, len(seq)):
+            w = seq[i]
             if not (0 <= w < self.opts.vocab_size):
                 raise KaldiTpuError(f"word id {w} out of range")
             self.unigram_counts[w] += weight
-            self.bigram_counts.setdefault(hist, {})
-            self.bigram_counts[hist][w] = \
-                self.bigram_counts[hist].get(w, 0.0) + weight
-            hist = w
+            for o in range(1, min(H, i) + 1):
+                h = tuple(seq[i - o:i])
+                d = self.counts[o - 1].setdefault(h, {})
+                d[w] = d.get(w, 0.0) + weight
+
+    def _value(self, hist: tuple, w: int) -> float:
+        """p(w | hist) under the additive pruned representation."""
+        if not hist:
+            return float(self.unigram[w])
+        bw = self.backoff_weight.get(hist)
+        kept = self.sparse.get(hist)
+        lower = self._value(hist[1:], w)
+        if bw is None:
+            return lower
+        v = bw * lower
+        if kept:
+            for wd, pr in kept:
+                if wd == w:
+                    v += pr
+                    break
+        return v
 
     def estimate(self) -> None:
         opts = self.opts
@@ -98,30 +124,53 @@ class SamplingLm:
         keep = np.arange(V) > 0
         self.unigram = np.maximum(self.unigram, np.where(keep, floor, 0.0))
         self.unigram /= self.unigram.sum()
-        for h, cnts in self.bigram_counts.items():
-            tot_h = sum(cnts.values())
-            factor = opts.bos_factor if h == BOS else opts.backoff_factor
-            kept: List[Tuple[int, float]] = []
-            kept_mass = 0.0
-            for w, c in cnts.items():
-                p = c / tot_h
-                if p > factor * self.unigram[w]:
-                    # additive representation: keep the part above the
-                    # unigram mixture so the total stays a distribution
-                    kept.append((w, p))
-                    kept_mass += p
-            if kept and kept_mass < 1.0:
-                self.sparse[h] = kept
-                self.unigram_weight[h] = 1.0 - kept_mass
-        log(f"SamplingLm: {len(self.sparse)} histories with sparse "
-            f"corrections (of {len(self.bigram_counts)})")
+        # low orders first: higher orders prune against the (already
+        # estimated) backoff distribution
+        n_kept = 0
+        for o in range(1, len(self.counts) + 1):
+            for h, cnts in self.counts[o - 1].items():
+                tot_h = sum(cnts.values())
+                factor = opts.bos_factor if h == (BOS,) else \
+                    opts.backoff_factor
+                kept: List[Tuple[int, float]] = []
+                kept_mass = 0.0
+                for w, c in cnts.items():
+                    p = c / tot_h
+                    if p > factor * self._value(h[1:], w):
+                        # additive: keep the part above the backoff
+                        # mixture so the total stays a distribution
+                        kept.append((w, p))
+                        kept_mass += p
+                if kept and kept_mass <= 1.0 + 1e-12:
+                    # kept_mass == 1 (deterministic history) leaves a
+                    # zero backoff weight — still a valid distribution
+                    self.sparse[h] = kept
+                    self.backoff_weight[h] = max(1.0 - kept_mass, 0.0)
+                    n_kept += len(kept)
+        log(f"SamplingLm(order {opts.ngram_order}): "
+            f"{len(self.sparse)} histories with sparse corrections, "
+            f"{n_kept} kept n-grams")
 
-    def distribution(self, hist: int) -> Tuple[float, List[Tuple[int, float]]]:
-        """(unigram_weight, [(word, prob), ...]) for one history."""
-        return (self.unigram_weight.get(hist, 1.0),
-                self.sparse.get(hist, []))
+    def distribution(self, hist) -> Tuple[float, List[Tuple[int, float]]]:
+        """(total unigram weight, [(word, prob), ...]) for one history
+        — the sparse corrections of ALL backoff levels scaled by the
+        backoff weights above them, so the pair is exactly additive
+        over the flattened unigram."""
+        h = tuple(hist) if isinstance(hist, (tuple, list, np.ndarray)) \
+            else (int(hist),)
+        h = tuple(int(x) for x in h)
+        uw = 1.0
+        out: List[Tuple[int, float]] = []
+        while h:
+            bw = self.backoff_weight.get(h)
+            if bw is not None:
+                for wd, pr in self.sparse.get(h, []):
+                    out.append((wd, uw * pr))
+                uw *= bw
+            h = h[1:]
+        return uw, out
 
-    def chunk_distribution(self, hists: Sequence[int]) -> np.ndarray:
+    def chunk_distribution(self, hists: Sequence) -> np.ndarray:
         """Average proposal distribution over the histories appearing
         in a minibatch chunk — the reference sums the minibatch's
         per-position distributions before sampling (rnnlm-example.cc),
@@ -131,11 +180,11 @@ class SamplingLm:
         n = max(len(hists), 1)
         uw = 0.0
         for h in hists:
-            w, kept = self.distribution(int(h))
+            w, kept = self.distribution(h)
             uw += w
             for wd, pr in kept:
                 p[wd] += pr
-        p += (uw / n) * self.unigram * n
+        p += uw * self.unigram
         return p / n
 
 
@@ -210,7 +259,8 @@ def sample_for_chunk(lm: SamplingLm, sampler: Sampler,
 def train_rnnlm_sampled(cfg, sentences: Sequence[Sequence[int]],
                         num_samples: int = 64, num_epochs: int = 5,
                         batch_size: int = 16, learning_rate: float = 1e-3,
-                        seed: int = 0, l2: float = 1e-4):
+                        seed: int = 0, l2: float = 1e-4,
+                        sampling_order: int = 2):
     """Sampled-softmax RNNLM training (the reference's
     rnnlm-train/ProcessRnnlmOutput objective):
 
@@ -235,12 +285,27 @@ def train_rnnlm_sampled(cfg, sentences: Sequence[Sequence[int]],
     tx = optax.adam(learning_rate)
     opt_state = tx.init(params)
 
-    # proposal LM from the same corpus
-    lm = SamplingLm(SamplingLmOptions(vocab_size=cfg.vocab_size))
+    # proposal LM from the same corpus (any order; see SamplingLm)
+    lm = SamplingLm(SamplingLmOptions(vocab_size=cfg.vocab_size,
+                                      ngram_order=sampling_order))
     for s in sentences:
         lm.process_line(1.0, s)
     lm.estimate()
     sampler = Sampler(seed)
+    H = max(sampling_order - 1, 1)
+
+    def hists_of(inp, tgt):
+        if H == 1:
+            return inp.ravel()
+        out = []
+        B_, T_ = inp.shape
+        for bb in range(B_):
+            for tt in range(T_):
+                if tgt[bb, tt] > 0:
+                    out.append(tuple(
+                        int(x) for x in inp[bb, max(0, tt - H + 1):
+                                            tt + 1]))
+        return out
 
     # pad sample count to a fixed S so one jit serves every step
     S = num_samples + batch_size * 8
@@ -282,7 +347,7 @@ def train_rnnlm_sampled(cfg, sentences: Sequence[Sequence[int]],
         for i in range(0, len(order) - batch_size + 1, batch_size):
             batch = [sentences[j] for j in order[i:i + batch_size]]
             inp, tgt = _pad_batch(batch)
-            ids, w = sample_for_chunk(lm, sampler, inp.ravel(),
+            ids, w = sample_for_chunk(lm, sampler, hists_of(inp, tgt),
                                       tgt.ravel(), num_samples)
             if len(ids) > S:
                 ids, w = ids[:S], w[:S]

@@ -58,10 +58,13 @@ def test_sampling_lm(rnnlm_env):
     # corrections (e.g. filler->3, which restarts the 3-4 pattern);
     # the deterministic 3->4 continuation carries its whole mass and
     # is represented through the history weight instead
+    # rows: [hist (order-1 cols, -1 pad), word, prob]
     sparse = data["sparse"]
+    H = int(data["order"]) - 1
+    assert sparse.shape[1] == H + 2
     assert len(sparse) > 0
-    assert any(int(r[1]) == 3 for r in sparse)
-    uw = {int(h): w for h, w in data["uweight"]}
+    assert any(int(r[H]) == 3 for r in sparse)
+    uw = {tuple(int(x) for x in r[:H]): r[H] for r in data["uweight"]}
     assert all(0.0 <= w <= 1.0 for w in uw.values())
 
 
