@@ -593,6 +593,33 @@ _register("kaldi_tpu.cli.nnet1_tools", {
     "rbm-train-cd1-frmshuff": "rbm_train_cd1_frmshuff",
 })
 
+_register("kaldi_tpu.cli.tail15_tools", {
+    "make-grammar-fst": "make_grammar_fst",
+    "nnet3-latgen-grammar": "nnet3_latgen_grammar",
+    "online2-wav-nnet3-latgen-grammar":
+        "online2_wav_nnet3_latgen_grammar",
+    "online2-wav-nnet3-latgen-incremental":
+        "online2_wav_nnet3_latgen_incremental",
+    "nnet3-compute-batch": "nnet3_compute_batch",
+    "nnet3-xvector-compute-batched": "nnet3_xvector_compute_batched",
+    "nnet3-egs-augment-image": "nnet3_egs_augment_image",
+    "compute-mfcc-feats-cuda": "compute_mfcc_feats_cuda",
+    "compute-fbank-feats-cuda": "compute_fbank_feats_cuda",
+    "compute-mfcc-online-batched-cuda":
+        "compute_mfcc_online_batched_cuda",
+    "compute-fbank-online-batched-cuda":
+        "compute_fbank_online_batched_cuda",
+    "apply-cmvn-online-cuda": "apply_cmvn_online_cuda",
+    "apply-batched-cmvn-online-cuda":
+        "apply_batched_cmvn_online_cuda",
+    "compute-online-feats-cuda": "compute_online_feats_cuda",
+    "compute-online-feats-batched-cuda":
+        "compute_online_feats_batched_cuda",
+    "batched-wav-nnet3-cuda2": "batched_wav_nnet3_cuda2",
+    "batched-wav-nnet3-cuda": "batched_wav_nnet3_cuda",
+    "batched-wav-nnet3-cuda-online": "batched_wav_nnet3_cuda_online",
+})
+
 
 def get_tool(name: str) -> Callable[[List[str]], int]:
     module_name, func = TOOLS[name]
