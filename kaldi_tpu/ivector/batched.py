@@ -58,20 +58,32 @@ class BatchedIvectorExtractor:
 
     # ------------------------------------------------------------------
     def _posteriors(self, feats):
-        """(B, T, D) -> (B, T, G) UBM component posteriors."""
+        """(B, T, D) -> (B, T, G) UBM component posteriors.
+
+        Precision note: the loglike needs the f32 mantissa — the
+        quadratic term x^2 @ inv_vars is O(1e4-1e6) for raw MFCCs
+        (c0 dominates) while the logit differences that pick the
+        component are O(1), so the TPU's default bf16 matmul passes
+        destroy the posteriors (measured: i-vector norms 3-4x off vs
+        the host extractor, WER 93% on the scale bench)."""
         import jax
         import jax.numpy as jnp
-        ll = (feats @ self._lin_w
-              - 0.5 * (feats ** 2) @ self._quad_w
+        hi = jax.lax.Precision.HIGHEST
+        ll = (jnp.einsum("btd,dg->btg", feats, self._lin_w,
+                         precision=hi)
+              - 0.5 * jnp.einsum("btd,dg->btg", feats ** 2,
+                                 self._quad_w, precision=hi)
               + self._gconst[None, None, :])
         return jax.nn.softmax(ll, axis=-1)
 
     def _stats(self, feats, mask):
         """gamma (B, G), x (B, G, D) with frame mask (B, T)."""
+        import jax
         import jax.numpy as jnp
         post = self._posteriors(feats) * mask[:, :, None]
         gamma = post.sum(axis=1)
-        x = jnp.einsum("btg,btd->bgd", post, feats)
+        x = jnp.einsum("btg,btd->bgd", post, feats,
+                       precision=jax.lax.Precision.HIGHEST)
         return gamma, x
 
     def _solve(self, quad, lin):
@@ -90,12 +102,15 @@ class BatchedIvectorExtractor:
         key = ("off", B, T, int(Dd))
         if key not in self._jit:
             def run(feats, lens):
+                hi = jax.lax.Precision.HIGHEST
                 mask = (jnp.arange(T)[None, :]
                         < lens[:, None]).astype(jnp.float32)
                 gamma, x = self._stats(feats.astype(jnp.float32), mask)
                 quad = (jnp.eye(self.R)[None]
-                        + jnp.einsum("bg,grs->brs", gamma, self._U))
-                lin = jnp.einsum("gdr,bgd->br", self._MS, x)
+                        + jnp.einsum("bg,grs->brs", gamma, self._U,
+                                     precision=hi))
+                lin = jnp.einsum("gdr,bgd->br", self._MS, x,
+                                 precision=hi)
                 lin = lin.at[:, 0].add(self.prior_offset)
                 return self._solve(quad, lin)
             self._jit[key] = jax.jit(run)
@@ -121,11 +136,14 @@ class BatchedIvectorExtractor:
         key = ("acc", feats.shape)
         if key not in self._jit:
             def run(state, feats, mask, w):
+                hi = jax.lax.Precision.HIGHEST
                 lin, quad = state
                 m = mask.astype(jnp.float32) * w
                 gamma, x = self._stats(feats.astype(jnp.float32), m)
-                quad = quad + jnp.einsum("bg,grs->brs", gamma, self._U)
-                lin = lin + jnp.einsum("gdr,bgd->br", self._MS, x)
+                quad = quad + jnp.einsum("bg,grs->brs", gamma,
+                                         self._U, precision=hi)
+                lin = lin + jnp.einsum("gdr,bgd->br", self._MS, x,
+                                       precision=hi)
                 return (lin, quad)
             self._jit[key] = jax.jit(run)
         if weights is None:
