@@ -713,7 +713,23 @@ class NgramLexDecoder:
         fold_perm = self._fold_perm
         fold_levels = self._fold_levels
         fold_fin = self._fold_fin
-        IBIG = jnp.int32(2**31 - 1)
+        # Traceback slots are carried ENCODED: enc = slot*2 + from_sil.
+        # That lets every consumer recover the silence bit with `& 1`
+        # instead of a per-element (row, lane) gather into the
+        # (U+1, B) pick_sil plane — the 2D element-gather class is the
+        # measured pathology on TPU (34 ms/frame at U=100k).
+        # Slot payloads ride the fold tree BITCAST to f32: IEEE
+        # non-negative floats order like their bit patterns, so
+        # selection-by-min still works, and value+slot become ONE
+        # (N, 2B) plane — one gather per tree level instead of two.
+        # The payload is biased by 0x40000000 before the bitcast: raw
+        # enc ints would be DENORMALS, and XLA flushes denormals to
+        # zero (measured on CPU: min(bitcast(7), bitcast(3)) == 0.0,
+        # payload destroyed).  Biased, every enc lands in the normal
+        # range [~2.0, 2.5) where ordering and min() are bit-exact.
+        SOFF = jnp.int32(0x40000000)
+        SBIG = jnp.int32(0x7F000000)     # finite-f32 sentinel (1.7e38)
+        SBIG_F = jax.lax.bitcast_convert_type(SBIG, jnp.float32)
 
         def pack_bits(dec, npad):
             # dec: (n, B) bool -> (ceil(n/8), B) uint8; pure uint8
@@ -742,9 +758,10 @@ class NgramLexDecoder:
             sval = jnp.full((S, B), INF, jnp.float32).at[
                 c["hist_ext"]].min(rmin)
             slot_iota = jnp.arange(U + 1, dtype=jnp.int32)[:, None]
+            enc_iota = slot_iota * 2 + pick_sil.astype(jnp.int32)
             sarg = jnp.full((S, B), -1, jnp.int32).at[
                 c["hist_ext"]].max(jnp.where(
-                    rmin == sval[c["hist_ext"]], slot_iota, -1))
+                    rmin == sval[c["hist_ext"]], enc_iota, -1))
             # --- backoff closure: static D2-ary reduction tree -------
             uni_direct = sval[SP:]
             if SP:
@@ -752,23 +769,30 @@ class NgramLexDecoder:
                     sval[:SP][fold_perm]
                 ps = sarg[:SP] if fold_perm is None else \
                     sarg[:SP][fold_perm]
-                val = jnp.concatenate(
-                    [pv + c["bo2_sorted"],
-                     jnp.full((1, B), INF, jnp.float32)], 0)
-                slot = jnp.concatenate(
-                    [ps, jnp.full((1, B), IBIG, jnp.int32)], 0)
+                plane = jnp.concatenate(
+                    [jnp.concatenate([pv + c["bo2_sorted"],
+                                      jax.lax.bitcast_convert_type(
+                                          ps + SOFF, jnp.float32)], 1),
+                     jnp.concatenate(
+                         [jnp.full((1, B), INF, jnp.float32),
+                          jnp.full((1, B), SBIG_F, jnp.float32)], 1)],
+                    0)                                # (SP+1, 2B)
                 for lv in fold_levels:
-                    v = val[lv]                       # (R,D2,B)
-                    s = slot[lv]
+                    v2 = plane[lv]                    # (R,D2,2B)
+                    v, s = v2[:, :, :B], v2[:, :, B:]
                     vmin = v.min(axis=1)
                     smin = jnp.min(jnp.where(v == vmin[:, None, :], s,
-                                             IBIG), axis=1)
-                    val = jnp.concatenate(
-                        [vmin, jnp.full((1, B), INF, jnp.float32)], 0)
-                    slot = jnp.concatenate(
-                        [smin, jnp.full((1, B), IBIG, jnp.int32)], 0)
-                pair_val_w = val[fold_fin]            # (V+1,B)
-                pair_slot_w = slot[fold_fin]
+                                             SBIG_F), axis=1)
+                    plane = jnp.concatenate(
+                        [jnp.concatenate([vmin, smin], 1),
+                         jnp.concatenate(
+                             [jnp.full((1, B), INF, jnp.float32),
+                              jnp.full((1, B), SBIG_F, jnp.float32)],
+                             1)], 0)
+                fin2 = plane[fold_fin]                # (V+1,2B)
+                pair_val_w = fin2[:, :B]
+                pair_slot_w = jax.lax.bitcast_convert_type(
+                    fin2[:, B:], jnp.int32) - SOFF
                 take_pair = pair_val_w < uni_direct
                 unival = jnp.where(take_pair, pair_val_w, uni_direct)
                 uslot = jnp.where(take_pair, pair_slot_w, sarg[SP:])
@@ -779,7 +803,8 @@ class NgramLexDecoder:
             nv_cand = unival + c["bo1"][:, None]
             nval = jnp.min(nv_cand, axis=0)                   # (B,)
             narg_u = jnp.argmin(nv_cand, axis=0).astype(jnp.int32)
-            nslot = uslot[narg_u, lane]
+            nslot = jnp.take_along_axis(uslot, narg_u[None, :],
+                                        axis=0)[0]
             # --- pooled arc expansion --------------------------------
             sval_ext = jnp.concatenate(
                 [sval[:SP], unival,
@@ -801,7 +826,7 @@ class NgramLexDecoder:
             # [0,SP) pair-state entries, [SP,SP+V) folded uni entries
             ent_all = jnp.full((SP + V, B), INF, jnp.float32).at[
                 dsts, lane[:, None, None]].min(cand)
-            # pool source slots (for traceback)
+            # pool source slots (for traceback; enc = slot*2 + sil bit)
             psrc = vc_src[ids]                                # (B,K)
             is_pair_src = psrc < SP
             pslot = jnp.where(
@@ -851,15 +876,11 @@ class NgramLexDecoder:
                 sil_take = jnp.zeros_like(roots, bool)
                 sil_new = sil
             sil_bits = pack_bits(sil_take, UB)
-            # pool pick_sil for sources
-            p_fromsil = pick_sil[jnp.clip(pslot, 0, U), lane[:, None]]
-            n_fromsil = pick_sil[jnp.clip(nslot, 0, U), lane]
             new_cost = jnp.where(act[None, :], new_cost, cost)
             roots_new = jnp.where(act[None, :], roots_new, roots)
             sil_new = jnp.where(act[None, :], sil_new, sil)
             ys = (row_bits, end_bits, sil_bits,
-                  ids, vals, pslot, p_fromsil,
-                  nval, nslot, n_fromsil)
+                  ids, vals, pslot, nval, nslot)
             return (new_cost, roots_new, sil_new), ys
 
         def forward(cost0, roots0, sil0, am, active):
@@ -889,8 +910,7 @@ class NgramLexDecoder:
             unit_uni_word = c["unit_uni_word"]
 
             def entry_src(u_i, x):
-                (_rb, _eb, _sb, ids, vals, pslot, p_fromsil,
-                 nval, nslot, n_fromsil) = x
+                (_rb, _eb, _sb, ids, vals, pslot, nval, nslot) = x
                 # recover the winning entry source from the pool: the
                 # pool candidate set is exactly what the forward
                 # scatter-min reduced, so values match bitwise
@@ -905,15 +925,13 @@ class NgramLexDecoder:
                 amin = jnp.argmin(flat, axis=1)
                 cmin = jnp.min(flat, axis=1)
                 k_win = (amin // D).astype(jnp.int32)
-                slot_p = pslot[lane, k_win]
-                sil_p = p_fromsil[lane, k_win]
+                enc_p = pslot[lane, k_win]
                 # uni-history units: the null-state backoff route
                 # competes with the folded explicit arcs
                 base = nval + uni_cost[w_i]
                 use_pool = unit_is_pair[u_i] | (cmin < base)
-                slot = jnp.where(use_pool, slot_p, nslot)
-                fromsil = jnp.where(use_pool, sil_p, n_fromsil)
-                return slot_to_state(slot, fromsil)
+                enc = jnp.where(use_pool, enc_p, nslot)
+                return slot_to_state(enc >> 1, (enc & 1) == 1)
 
             def unpack(bits, idx):
                 byte = bits[idx >> 3, lane].astype(jnp.int32)
