@@ -48,6 +48,13 @@ def main_scale():
             over["f2_gap"] = float(sys.argv[i + 1])
         elif a == "--ivector-dim":
             ivector_dim = int(sys.argv[i + 1])
+        elif a == "--speakers":
+            over["num_speakers"] = int(sys.argv[i + 1])
+        elif a == "--vocab":
+            over["vocab"] = int(sys.argv[i + 1])
+        elif a == "--warp":
+            lo, hi = sys.argv[i + 1].split(",")
+            over["warp_lo"], over["warp_hi"] = float(lo), float(hi)
     spec = bench_scale_spec(**over)
     if small:
         def mk_cfg(num_pdfs):
@@ -87,6 +94,17 @@ def main_scale():
         save_ivector_extractor(
             os.path.join(out_dir, name.replace("params", "ivec")),
             sysd["ivector_extractor"])
+    # the ctx tree/transition-model are DATA-dependent (built from
+    # alignments): persist them so bench.py can rebuild the decode
+    # graph without retraining (native wire format, golden-tested
+    # against reference bytes in tests/test_ref_golden.py)
+    from kaldi_tpu.util import kaldi_io
+    stem = name.replace("_params.npz", "")
+    kaldi_io.write_kaldi_object(
+        sysd["chain_tm"].write, os.path.join(out_dir, stem + ".tm"))
+    kaldi_io.write_kaldi_object(
+        sysd["chain_tree"].write,
+        os.path.join(out_dir, stem + ".tree"))
 
     t0 = time.time()
     graph = build_decode_graph_ng(sysd["lexicon"], sysd["lm_text"],

@@ -62,6 +62,26 @@ class BenchCorpusSpec:
     #                                warp + gain (utterances assigned
     #                                round-robin) — the variability the
     #                                i-vector-adapted AM removes
+    warp_lo: float = 0.88          # speaker warp range; at ±12% the
+    warp_hi: float = 1.12          # warp shift (~±240 Hz at f2=2 kHz)
+    #                                dwarfs the in-group f2_gap, so
+    #                                narrow it when the corpus must
+    #                                stay separable without perfect
+    #                                speaker normalization
+    log_spaced: bool = False       # multiplicative formant spacing:
+    #                                the speaker warp is MULTIPLICATIVE,
+    #                                so with additive spacing the same
+    #                                Hz gap is aliased at high f2 and
+    #                                resolvable at low f2 (measured:
+    #                                cross-cluster substitutions, not
+    #                                the designed minimal pairs).  With
+    #                                log spacing every phone contrast is
+    #                                a fixed RATIO vs the warp ratio —
+    #                                uniform difficulty across groups.
+    f2_member_ratio: float = 1.06  # in-group member step (log_spaced);
+    #                                ~= the ±3% warp SPREAD, so speaker
+    #                                normalization (i-vectors) stays
+    #                                load-bearing for the minimal pairs
 
     @property
     def num_phones(self) -> int:
@@ -77,8 +97,19 @@ def bench_scale_spec(**over) -> BenchCorpusSpec:
     kw = dict(vocab=20000, num_phone_groups=10, phones_per_group=3,
               min_pron=2, max_pron=5, words_per_utt=12,
               num_train=384, num_test=128, num_lm_sents=600000,
-              noise=1600.0, f2_gap=60.0, seed=11, vec_text=True,
-              num_speakers=24)
+              noise=1600.0, seed=11, vec_text=True,
+              num_speakers=24, warp_lo=0.97, warp_hi=1.03,
+              log_spaced=True, f2_member_ratio=1.06)
+    # warp +-3% multiplicative + LOG-SPACED formants: with the round-3
+    # additive 60 Hz member gap the warp shift at high f2 (~+-110 Hz
+    # at 3.7 kHz) exceeded the gap, aliasing phone identity outright —
+    # measured cross-cluster (not minimal-pair) substitutions and a
+    # 0.78 linear-probe phone-accuracy ceiling.  Log spacing makes
+    # every contrast a fixed ratio: groups 16-19% apart (any speaker),
+    # members 6% apart vs a 6% cross-speaker warp spread — confusable
+    # WITHOUT speaker normalization, separable with it, which is
+    # exactly the job the i-vector leg exists to do (run_tdnn_1d.sh's
+    # online-ivector configuration).
     kw.update(over)
     return BenchCorpusSpec(**kw)
 
@@ -88,6 +119,15 @@ def phone_inventory(spec: BenchCorpusSpec) -> Dict[str, Tuple[float, float]]:
     f2 offset (the confusability axis)."""
     inv: Dict[str, Tuple[float, float]] = {}
     for g in range(spec.num_phone_groups):
+        if spec.log_spaced:
+            # group identity rides f1 (16%/step >> warp spread, so it
+            # survives any speaker); member identity is an f2 ratio
+            f1 = 280.0 * 1.16 ** g
+            f2_base = 1100.0 * 1.19 ** g
+            for m in range(spec.phones_per_group):
+                inv[f"p{g}_{m}"] = (f1,
+                                    f2_base * spec.f2_member_ratio ** m)
+            continue
         f1 = 280.0 + 160.0 * g
         f2_base = 1100.0 + 290.0 * g
         for m in range(spec.phones_per_group):
@@ -189,7 +229,8 @@ def speaker_params(spec: BenchCorpusSpec
     S = max(spec.num_speakers, 1)
     if spec.num_speakers == 0:
         return np.ones(1), np.ones(1)
-    return (rng.uniform(0.88, 1.12, S), rng.uniform(0.7, 1.3, S))
+    return (rng.uniform(spec.warp_lo, spec.warp_hi, S),
+            rng.uniform(0.7, 1.3, S))
 
 
 def synth_utterance(words: Sequence[str],
@@ -227,9 +268,10 @@ def synth_utterance(words: Sequence[str],
     return np.concatenate(parts).astype(np.float32)
 
 
-def make_corpus(spec: BenchCorpusSpec):
+def make_corpus(spec: BenchCorpusSpec, train_audio: bool = True):
     """-> (lexicon, train_txt, train_wav, test_txt, test_wav, lm_text).
-    All deterministic in spec.seed."""
+    All deterministic in spec.seed.  train_audio=False skips the train
+    waveform synthesis (decode-side reconstruction, e.g. bench.py)."""
     lexicon = make_lexicon(spec)
     inv = phone_inventory(spec)
     train_sents = make_text(spec, spec.num_train, spec.seed + 1)
@@ -239,9 +281,10 @@ def make_corpus(spec: BenchCorpusSpec):
     test_txt = {f"te{i:04d}": s for i, s in enumerate(test_sents)}
     warps, gains = speaker_params(spec)
     S = len(warps)
-    train_wav = {u: synth_utterance(s, lexicon, inv, spec, 10_000 + i,
-                                    warps[i % S], gains[i % S])
-                 for i, (u, s) in enumerate(train_txt.items())}
+    train_wav = {} if not train_audio else \
+        {u: synth_utterance(s, lexicon, inv, spec, 10_000 + i,
+                            warps[i % S], gains[i % S])
+         for i, (u, s) in enumerate(train_txt.items())}
     test_wav = {u: synth_utterance(s, lexicon, inv, spec, 50_000 + i,
                                    warps[i % S], gains[i % S])
                 for i, (u, s) in enumerate(test_txt.items())}
