@@ -55,36 +55,39 @@ def estimate_phone_lm(phone_seqs: Sequence[Sequence[int]],
     fst.set_start(start)
     state_of = {p: fst.add_state() for p in phones}
 
-    # Above this size the dense form is intractable: at ~10k context
-    # tokens (a vocabulary-scale ctx chain system, recipes/chain.py
-    # train_chain_ctx) the dense bigram would emit 1e8 arcs.  The
-    # sparse form keeps only SEEN bigram successors per state and
-    # routes the interpolation mass through one epsilon-backoff state
-    # holding the unigram arcs — the same states-only-where-needed
-    # shape the reference's LanguageModelEstimator produces
-    # (chain/language-model.h; den fsts keep only seen histories).
-    sparse = len(phones) > 200
-
-    if sparse:
-        bo = fst.add_state()
-        end_uni = (sum(end_count.values()) + 1.0) / (tot_uni + n_seq + 1)
-        for p in phones:
-            fst.add_arc(bo, Arc(p, p, -math.log(uni_p[p]),
-                                state_of[p]))
-        fst.finals[bo] = -math.log(end_uni)
+    # Above this size the dense interpolated form is intractable: at
+    # ~10k context tokens (a vocabulary-scale ctx chain system,
+    # recipes/chain.py train_chain_ctx) the dense bigram would emit
+    # 1e8 arcs — and an epsilon-backoff state is no better, because
+    # the denominator must be epsilon-free and rm_epsilon
+    # re-materializes the dense product (measured: 148M arcs at 7.2k
+    # tokens).  So past ~1k tokens (≈1M dense arcs) the sparse form
+    # keeps ONLY the seen bigram successors, maximum-likelihood-
+    # normalized per state: a pruned-support UN-SMOOTHED denominator —
+    # exactly the reference's choice ("We don't do any smoothing",
+    # chain/language-model.h:46; den fsts keep only seen histories).
+    # Below the cutoff the smoothed dense form trains measurably
+    # better on small corpora (test_bench_ctx_e2e fixture: 16.4% vs
+    # 24.3% WER at acoustic scale 0.35).
+    sparse = len(phones) > 1000
+    log(f"estimate_phone_lm: {len(phones)} tokens, "
+        f"{'sparse unsmoothed' if sparse else 'dense interpolated'} "
+        f"bigram")
 
     def add_arcs(src: int, counts: Counter, total: float,
                  end_c: float = 0.0):
         total = total + end_c
         if sparse:
             for p, c in counts.items():
-                prob = (1 - interp) * c / total
-                fst.add_arc(src, Arc(p, p, -math.log(max(prob, 1e-10)),
+                fst.add_arc(src, Arc(p, p,
+                                     -math.log(max(c / total, 1e-10)),
                                      state_of[p]))
-            fst.add_arc(src, Arc(EPS, EPS, -math.log(interp), bo))
             if total and end_c:
-                fst.finals[src] = -math.log(
-                    max((1 - interp) * end_c / total, 1e-10))
+                fst.finals[src] = -math.log(max(end_c / total, 1e-10))
+            elif not counts:
+                # dead-end state: allow ending so the den acceptor
+                # stays coaccessible
+                fst.finals[src] = 0.0
             return
         for p in phones:
             prob = ((1 - interp) * counts.get(p, 0) / total if total else 0.0) \
