@@ -1,33 +1,34 @@
 """Benchmark: FULL-PIPELINE batched offline decode on one chip, at a
-pinned WER — wav -> fused MFCC frontend -> TRAINED chain TDNN-F
-(flagship 17x1536 shape, bf16) -> exact batched device Viterbi over a
-graph BUILT FROM DATA (real lexicon + estimated backoff bigram +
-trained-tree pdf-ids, decoder/lexchain.py) -> words -> WER.
+pinned WER, on a VOCABULARY-SCALE graph — wav -> fused MFCC frontend
+-> batched device i-vectors -> TRAINED chain TDNN-F (flagship 17x1536
+shape, bf16) -> batched device Viterbi over a ~500k-state graph BUILT
+FROM DATA (V=20k lexicon x estimated backoff TRIGRAM x trained
+TRIPHONE-tree pdf/transition tables, decoder/lexchain_ng.py) -> words
+-> WER.
 
 This mirrors the reference's metric of record, the `RealTimeX =
 total_audio/total_time` line of batched-wav-nnet3-cuda2
 (src/cudadecoderbin/batched-wav-nnet3-cuda2.cc:246-249; ~3524x RT on a
-V100 per arXiv:1910.10032) — measured, like the reference, while
-producing real transcripts whose WER is reported alongside.  Prints
-ONE JSON line {"metric", "value", "unit", "vs_baseline", "wer"}.
+V100 per arXiv:1910.10032, measured on a LibriSpeech-scale HCLG — the
+graph class this bench now matches).  Prints ONE JSON line {"metric",
+"value", "unit", "vs_baseline", "wer", "states", "vocab"}.
 
-Configuration: the deterministic bench corpus
-(kaldi_tpu/recipes/bench_corpus.py): 128 test utterances (~4.5 s,
-16 kHz int16), V=200 vocabulary, optional-silence lexicon, backoff
-bigram estimated from corpus text, chain system with real
-transition-ids; AM = flagship LibriSpeech TDNN-F trunk (17x1536,
-bottleneck 160) trained by egs/bench_corpus/train.py (weights in
-egs/bench_corpus/flagship_params.npz).  If the weights are absent the
-bench falls back to random weights and reports "wer": null.
-
---scale adds a stderr throughput line on a V=20k-vocabulary graph
-(sparse synthetic ARPA) — the vocabulary-scale demonstration.
+Configuration: the deterministic vocabulary-scale corpus
+(kaldi_tpu.recipes.bench_corpus.bench_scale_spec): 128 test utterances
+(~4.5 s, 16 kHz, 24 synthetic speakers with VTLN-like warps), V=20000
+vocabulary, optional-silence lexicon, trigram estimated from 600k
+corpus sentences, triphone chain tree (~2000 leaves); AM = flagship
+LibriSpeech TDNN-F trunk (17x1536, bottleneck 160) + 32-dim i-vectors,
+trained by `egs/bench_corpus/train.py --scale` (committed artifacts
+egs/bench_corpus/flagship_ng_*).  Falls back to the legacy V=200
+bigram bench (round 3) if the scale artifacts are absent.
 
 Timing: wall-clock host waves -> host word sequences; the traceback
 transfer forces a device sync (axon block_until_ready does not
 reliably synchronize, BASELINE.md).
 
-Usage: python bench.py [--quick] [--scale] [--with-lattices]
+Usage: python bench.py [--quick] [--legacy] [--with-lattices]
+                       [--wire=mulaw|int16] [--prune-k=N]
 """
 
 import json
@@ -38,107 +39,57 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+ART = os.path.join(REPO, "egs", "bench_corpus")
 
 
-def build_scale_graph(vocab=20000, seed=0):
-    """V=20k sparse-LM graph: Zipf-ish synthetic backoff bigram with
-    ~12 explicit successors per context, random 2-5 phone lexicon."""
-    from kaldi_tpu.decoder.lexchain import LexChainGraph
-    from kaldi_tpu.lm.bigram import BigramBackoffLm
-    rng = np.random.default_rng(seed)
-    V = vocab
-    uni = (1.0 + 2.5 * np.log1p(np.arange(V) * 0.01)).astype(np.float32)
-    n_hot = 12
-    src = np.repeat(np.arange(V + 1), n_hot)
-    dst = rng.integers(0, V, size=(V + 1) * n_hot)
-    order = np.argsort(dst, kind="stable")
-    lm = BigramBackoffLm(
-        words=[f"W{i:05d}" for i in range(V)],
-        uni=uni, bo=rng.uniform(0.3, 1.2, V + 1).astype(np.float32),
-        expl_src=src[order].astype(np.int32),
-        expl_dst=dst[order].astype(np.int32),
-        expl_cost=rng.uniform(1.0, 4.0, len(src)).astype(np.float32),
-        eos=rng.uniform(1.0, 4.0, V + 1).astype(np.float32))
-    prons = [rng.integers(1, 41, rng.integers(2, 6)).astype(np.int32)
-             for _ in range(V)]
-    return LexChainGraph.build(prons, lm, num_pdfs=3456)
-
-
-def main():
-    quick = "--quick" in sys.argv
-    import jax
-    import jax.numpy as jnp
-    from kaldi_tpu.config import enable_compilation_cache
-    enable_compilation_cache()
-    from kaldi_tpu.decoder.batched_pipeline2 import (BatchedOfflinePipeline2,
-                                                     PipelineStats)
-    from kaldi_tpu.decoder.lexchain import LexChainDecoder
-    from kaldi_tpu.feat.frontend import OfflineFeature
-    from kaldi_tpu.nnet3.models import ChainTdnnf, ChainTdnnfConfig
-    from kaldi_tpu.recipes.bench_corpus import (BenchCorpusSpec,
-                                                build_decode_graph,
-                                                chain_tm_tree_for,
-                                                load_params, make_corpus,
-                                                mfcc_options, wer_of)
-
-    if quick:
-        spec = BenchCorpusSpec(vocab=24, num_phone_groups=4,
-                               phones_per_group=2, words_per_utt=5,
-                               num_train=2, num_test=6, num_lm_sents=80)
-        cfg_dims = dict(hidden_dim=128, bottleneck_dim=32,
-                        prefinal_dim=64, num_layers=4, subsample_layer=2)
-    else:
-        spec = BenchCorpusSpec()
-        cfg_dims = dict(hidden_dim=1536, bottleneck_dim=160,
-                        prefinal_dim=256, num_layers=17,
-                        subsample_layer=8)
-
+def run_pipeline(pipe, waves, quick, graph, test_txt, utts,
+                 with_lattices=False):
+    from kaldi_tpu.decoder.batched_pipeline2 import PipelineStats
+    from kaldi_tpu.recipes.bench_corpus import wer_of
     t0 = time.time()
-    lexicon, _tr, _trw, test_txt, test_wav, lm_text = make_corpus(spec)
-    lang, chain_tm, chain_tree = chain_tm_tree_for(lexicon)
-    graph = build_decode_graph(lexicon, lm_text, chain_tm, chain_tree,
-                               lang=lang)
-    decoder = LexChainDecoder(graph)
-    print(f"# corpus+graph: V={graph.V} rows={graph.n_true} "
-          f"states={graph.num_states} explicit={graph.lm.num_explicit} "
-          f"built in {time.time() - t0:.1f}s", file=sys.stderr)
-
-    cfg = ChainTdnnfConfig(feat_dim=40, num_pdfs=chain_tm.num_pdfs,
-                           frame_subsampling_factor=3, **cfg_dims)
-    model = ChainTdnnf(cfg, train=False)
-    params_path = os.path.join(REPO, "egs/bench_corpus",
-                               "flagship_params.npz")
-    trained = (not quick) and os.path.exists(params_path)
-    if trained:
-        variables = load_params(params_path)
-        params, batch_stats = variables["params"], variables["batch_stats"]
-        print(f"# loaded trained params from {params_path}",
+    out = pipe.decode_batch(waves)                 # compile + warm
+    print(f"# compile+warmup: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    xrts = []
+    for it in range(1 if quick else 3):
+        stats = PipelineStats()
+        out = pipe.decode_batch(waves, stats=stats)
+        n_ok = sum(o is not None for o in out)
+        xrts.append(stats.xrt)
+        print(f"# iter{it}: {stats.total_audio_s:.0f}s audio in "
+              f"{stats.wall_s:.2f}s wall (feat {stats.feat_s:.2f}s, "
+              f"am {stats.am_s:.2f}s, search {stats.search_s:.2f}s), "
+              f"{n_ok}/{len(waves)} lanes decoded", file=sys.stderr)
+    xrt = sorted(xrts)[len(xrts) // 2]
+    hyps = {u: ([] if o is None else [graph.words[w] for w in o[0]])
+            for u, o in zip(utts, out)}
+    wer = wer_of(hyps, test_txt)
+    print(f"# WER: {wer:.2f}% over "
+          f"{sum(len(r) for r in test_txt.values())} words",
+          file=sys.stderr)
+    lat_xrt = None
+    if with_lattices:
+        t0 = time.time()
+        pipe.decode_batch(waves, generate_lattices=True)
+        print(f"# lattice-mode compile+warmup: {time.time() - t0:.1f}s",
               file=sys.stderr)
-    else:
-        feats0 = jnp.zeros((2, 50, cfg.feat_dim), jnp.float32)
-        variables = model.init(jax.random.PRNGKey(0), feats0)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
-        if not quick:
-            print("# WARNING: no trained params found; WER will be null "
-                  "(run egs/bench_corpus/train.py)", file=sys.stderr)
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+        lstats = PipelineStats()
+        lout = pipe.decode_batch(waves, stats=lstats,
+                                 generate_lattices=True)
+        n_lat = sum(o is not None and o[2] is not None for o in lout)
+        lhyps = {u: ([] if o is None else
+                     [graph.words[w] for w in o[0]])
+                 for u, o in zip(utts, lout)}
+        lwer = wer_of(lhyps, test_txt)
+        lat_xrt = lstats.xrt
+        print(f"# lattice pipeline: {lstats.total_audio_s:.0f}s audio "
+              f"in {lstats.wall_s:.2f}s = {lstats.xrt:.1f}x RT, "
+              f"{n_lat}/{len(waves)} lattices, best-path WER "
+              f"{lwer:.2f}%", file=sys.stderr)
+    return xrt, wer, lat_xrt
 
-    fe = OfflineFeature(mfcc_options(spec, num_ceps=40))
-    pipe = BatchedOfflinePipeline2(model, params, batch_stats, decoder,
-                                   fe, acoustic_scale=1.0,
-                                   sample_rate=spec.fs)
 
-    utts = sorted(test_wav)
-    # wire format: 8-bit mu-law by default (the tunnel-attached chip's
-    # ~20 MB/s ingest otherwise caps xRT regardless of compute;
-    # BASELINE.md); --wire=int16 for the PCM comparison
-    wire = "mulaw"
-    for a in sys.argv:
-        if a.startswith("--wire="):
-            wire = a.split("=", 1)[1]
+def stage_waves(test_wav, utts, wire):
     if wire == "mulaw":
         from kaldi_tpu.feat.frontend import mulaw_encode
         waves = [mulaw_encode(np.clip(test_wav[u], -32767, 32767))
@@ -149,96 +100,196 @@ def main():
     print(f"# wire: {wire} "
           f"({sum(w.nbytes for w in waves) / 1e6:.1f} MB/batch)",
           file=sys.stderr)
+    return waves
 
-    # --waves=N splits the batch into N ingest waves whose H2D is all
-    # launched up front (equivalence pinned by tests/
-    # test_bench_corpus_e2e.py).  Measured on this chip: W=2 LOSES
-    # (600x vs 866x) — search at B=64 twice costs more than the
-    # overlapped transfer saves — so the default is 1.
-    W = 1
-    for a in sys.argv:
-        if a.startswith("--waves="):
-            W = int(a.split("=", 1)[1])
+
+def main_scale(quick):
+    """The round-4 headline: V=20k trigram x triphone, trained
+    flagship + i-vectors, WER on a ~500k-state graph."""
+    import jax
+    from kaldi_tpu.decoder.batched_pipeline2 import \
+        BatchedOfflinePipeline2
+    from kaldi_tpu.decoder.lexchain_ng import NgramLexDecoder
+    from kaldi_tpu.feat.frontend import OfflineFeature
+    from kaldi_tpu.ivector.batched import BatchedIvectorExtractor
+    from kaldi_tpu.nnet3.models import ChainTdnnf, ChainTdnnfConfig
+    from kaldi_tpu.recipes.bench_corpus import (bench_scale_spec,
+                                                build_decode_graph_ng,
+                                                load_ivector_extractor,
+                                                load_params,
+                                                make_corpus,
+                                                mfcc_options)
+    from kaldi_tpu.hmm.transition_model import TransitionModel
+    from kaldi_tpu.tree.context_dep import ContextDependency
+    from kaldi_tpu.util import kaldi_io
+
+    spec = bench_scale_spec()
     t0 = time.time()
-    out = pipe.decode_batch(waves, num_waves=W)    # compile + warm
-    print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+    lexicon, _tr, _trw, test_txt, test_wav, lm_text = \
+        make_corpus(spec, train_audio=False)
+    chain_tm = kaldi_io.read_kaldi_object(
+        TransitionModel.read, os.path.join(ART, "flagship_ng.tm"))
+    chain_tree = kaldi_io.read_kaldi_object(
+        ContextDependency.read, os.path.join(ART, "flagship_ng.tree"))
+    graph = build_decode_graph_ng(lexicon, lm_text, chain_tm,
+                                  chain_tree, prune_bi=2, prune_tri=3)
+    decoder = NgramLexDecoder(graph)
+    print(f"# corpus+graph: V={graph.V} states={graph.num_states} "
+          f"units={graph.U} (LM: {graph.lm.SP} pair states, "
+          f"{graph.lm.num_explicit_bi} bi, "
+          f"{graph.lm.num_explicit_tri} tri) built in "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
 
-    xrts = []
-    for it in range(1 if quick else 3):
-        stats = PipelineStats()
-        out = pipe.decode_batch(waves, stats=stats, num_waves=W)
-        n_ok = sum(o is not None for o in out)
-        xrts.append(stats.xrt)
-        print(f"# iter{it}: {stats.total_audio_s:.0f}s audio in "
-              f"{stats.wall_s:.2f}s wall (feat {stats.feat_s:.2f}s, am "
-              f"{stats.am_s:.2f}s, search {stats.search_s:.2f}s), "
-              f"{n_ok}/{len(waves)} lanes decoded", file=sys.stderr)
-    xrt = sorted(xrts)[len(xrts) // 2]
+    variables = load_params(os.path.join(ART,
+                                         "flagship_ng_params.npz"))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    meta = json.load(open(os.path.join(ART, "flagship_ng_meta.json")))
+    cfg = ChainTdnnfConfig(
+        feat_dim=40, ivector_dim=32, num_pdfs=meta["num_pdfs"],
+        hidden_dim=1536, bottleneck_dim=160, prefinal_dim=256,
+        num_layers=17, subsample_layer=8, frame_subsampling_factor=3)
+    model = ChainTdnnf(cfg, train=False)
+    import jax.numpy as jnp
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        params)
+    bex = BatchedIvectorExtractor(load_ivector_extractor(
+        os.path.join(ART, "flagship_ng_ivec.npz")))
 
-    hyps = {u: ([] if o is None else [graph.words[w] for w in o[0]])
-            for u, o in zip(utts, out)}
-    wer = wer_of(hyps, test_txt)
-    print(f"# WER: {wer:.2f}% over "
-          f"{sum(len(r) for r in test_txt.values())} words "
-          f"({'trained' if trained else 'RANDOM'} model)",
-          file=sys.stderr)
+    prune_k = 128
+    for a in sys.argv:
+        if a.startswith("--prune-k="):
+            prune_k = int(a.split("=", 1)[1])
+    pipe = BatchedOfflinePipeline2(
+        model, params, batch_stats, decoder,
+        OfflineFeature(mfcc_options(spec)), acoustic_scale=1.0,
+        sample_rate=spec.fs, ivector_extractor=bex,
+        search_kwargs=dict(prune_k=prune_k, prune_beam=16.0,
+                           exact_topk=False))
+    utts = sorted(test_wav)
+    wire = "mulaw"
+    for a in sys.argv:
+        if a.startswith("--wire="):
+            wire = a.split("=", 1)[1]
+    waves = stage_waves(test_wav, utts, wire)
+    xrt, wer, lat_xrt = run_pipeline(
+        pipe, waves, quick, graph, test_txt, utts,
+        with_lattices="--with-lattices" in sys.argv)
+    baseline = 3524.0   # V100 full-pipeline RealTimeX, arXiv:1910.10032
+    out = {
+        "metric": "full_pipeline_offline_decode_xRT_per_chip",
+        "value": round(xrt, 1),
+        "unit": "x realtime",
+        "vs_baseline": round(xrt / baseline, 3),
+        "wer": round(wer, 2),
+        "states": graph.num_states,
+        "vocab": graph.V,
+    }
+    if lat_xrt is not None:
+        out["lattice_xrt"] = round(lat_xrt, 1)
+    print(json.dumps(out))
 
-    if "--with-lattices" in sys.argv:
-        t0 = time.time()
-        pipe.decode_batch(waves, generate_lattices=True)
-        print(f"# lattice-mode compile+warmup: {time.time() - t0:.1f}s",
-              file=sys.stderr)
-        lstats = PipelineStats()
-        lout = pipe.decode_batch(waves, stats=lstats,
-                                 generate_lattices=True)
-        n_lat = sum(o is not None and o[2] is not None for o in lout)
-        print(f"# lattice pipeline: {lstats.total_audio_s:.0f}s audio "
-              f"in {lstats.wall_s:.2f}s = {lstats.xrt:.1f}x RT, "
-              f"{n_lat}/{len(waves)} lattices", file=sys.stderr)
 
-    if "--scale" in sys.argv:
-        # vocabulary-scale demo: V=20k sparse-backoff graph, decoded
-        # with the beam-pruned active-context expansion on
-        # DEVICE-RESIDENT loglikes (feeding host arrays would measure
-        # the ~20 MB/s tunnel H2D, not the search — BASELINE.md)
-        from functools import partial
-        t0 = time.time()
-        gs = build_scale_graph(vocab=20000)
-        ds = LexChainDecoder(gs)
-        print(f"# scale graph: V={gs.V} states={gs.num_states} "
-              f"explicit={gs.lm.num_explicit} built in "
-              f"{time.time() - t0:.1f}s", file=sys.stderr)
-        B_s, T_s = 128, 500
-
-        @partial(jax.jit, static_argnums=1)
-        def _mk_ll(key, b):
-            return jax.random.normal(key, (b, T_s, 3456),
-                                     jnp.float32) * 2.0
-
-        ll = _mk_ll(jax.random.PRNGKey(0), B_s)
-        float(ll[0, 0, 0])                          # materialize
-        audio_s = B_s * T_s * 0.03                  # 30ms per sub-frame
-        for tag, kw in (("pruned K=128",
-                         dict(prune_k=128, exact_topk=True)),
-                        ("exact", {})):
-            ds.decode_batch(ll, **kw)               # compile + warm
-            t0 = time.time()
-            out_s = ds.decode_batch(ll, **kw)
-            dt = time.time() - t0
-            print(f"# scale decode [{tag}]: V=20k, {audio_s:.0f}s "
-                  f"audio in {dt:.2f}s = {audio_s / dt:.1f}x RT "
-                  f"(search only, device-resident loglikes), "
-                  f"{sum(o is not None for o in out_s)}/{B_s} lanes",
-                  file=sys.stderr)
-
-    baseline = 3524.0  # V100 full-pipeline RealTimeX, arXiv:1910.10032
+def main_legacy(quick):
+    """Round-3 headline (V=200 bigram lexchain), kept for continuity
+    and as the fallback when scale artifacts are absent."""
+    from kaldi_tpu.decoder.batched_pipeline2 import \
+        BatchedOfflinePipeline2
+    from kaldi_tpu.decoder.lexchain import LexChainDecoder
+    from kaldi_tpu.feat.frontend import OfflineFeature
+    from kaldi_tpu.nnet3.models import ChainTdnnf, ChainTdnnfConfig
+    from kaldi_tpu.recipes.bench_corpus import (BenchCorpusSpec,
+                                                build_decode_graph,
+                                                chain_tm_tree_for,
+                                                load_params,
+                                                make_corpus,
+                                                mfcc_options)
+    import jax
+    import jax.numpy as jnp
+    if quick:
+        spec = BenchCorpusSpec(vocab=24, num_phone_groups=4,
+                               phones_per_group=2, words_per_utt=5,
+                               num_train=2, num_test=6,
+                               num_lm_sents=80)
+        cfg_dims = dict(hidden_dim=128, bottleneck_dim=32,
+                        prefinal_dim=64, num_layers=4,
+                        subsample_layer=2)
+    else:
+        spec = BenchCorpusSpec()
+        cfg_dims = dict(hidden_dim=1536, bottleneck_dim=160,
+                        prefinal_dim=256, num_layers=17,
+                        subsample_layer=8)
+    t0 = time.time()
+    lexicon, _tr, _trw, test_txt, test_wav, lm_text = make_corpus(
+        spec, train_audio=False)
+    lang, chain_tm, chain_tree = chain_tm_tree_for(lexicon)
+    graph = build_decode_graph(lexicon, lm_text, chain_tm, chain_tree,
+                               lang=lang)
+    decoder = LexChainDecoder(graph)
+    print(f"# corpus+graph: V={graph.V} states={graph.num_states} "
+          f"built in {time.time() - t0:.1f}s", file=sys.stderr)
+    cfg = ChainTdnnfConfig(feat_dim=40, num_pdfs=chain_tm.num_pdfs,
+                           frame_subsampling_factor=3, **cfg_dims)
+    model = ChainTdnnf(cfg, train=False)
+    params_path = os.path.join(ART, "flagship_params.npz")
+    trained = (not quick) and os.path.exists(params_path)
+    if trained:
+        variables = load_params(params_path)
+        params, batch_stats = variables["params"], \
+            variables["batch_stats"]
+    else:
+        feats0 = jnp.zeros((2, 50, cfg.feat_dim), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), feats0)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        params)
+    pipe = BatchedOfflinePipeline2(
+        model, params, batch_stats, decoder,
+        OfflineFeature(mfcc_options(spec, num_ceps=40)),
+        acoustic_scale=1.0, sample_rate=spec.fs)
+    utts = sorted(test_wav)
+    wire = "mulaw"
+    for a in sys.argv:
+        if a.startswith("--wire="):
+            wire = a.split("=", 1)[1]
+    waves = stage_waves(test_wav, utts, wire)
+    xrt, wer, lat_xrt = run_pipeline(
+        pipe, waves, quick, graph, test_txt, utts,
+        with_lattices="--with-lattices" in sys.argv)
+    baseline = 3524.0
     print(json.dumps({
         "metric": "full_pipeline_offline_decode_xRT_per_chip",
         "value": round(xrt, 1),
         "unit": "x realtime",
         "vs_baseline": round(xrt / baseline, 3),
         "wer": None if not trained else round(wer, 2),
+        "states": graph.num_states,
+        "vocab": graph.V,
+        "note": "legacy V=200 bigram bench",
     }))
+
+
+def main():
+    quick = "--quick" in sys.argv
+    from kaldi_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
+    scale_ready = all(os.path.exists(os.path.join(ART, f)) for f in
+                      ("flagship_ng_params.npz", "flagship_ng.tm",
+                       "flagship_ng.tree", "flagship_ng_ivec.npz",
+                       "flagship_ng_meta.json"))
+    if "--legacy" in sys.argv or quick or not scale_ready:
+        if not scale_ready and "--legacy" not in sys.argv \
+                and not quick:
+            print("# scale artifacts missing; falling back to the "
+                  "legacy V=200 bench (run egs/bench_corpus/train.py "
+                  "--scale)", file=sys.stderr)
+        main_legacy(quick)
+    else:
+        main_scale(quick)
 
 
 def _probe_backend(timeout_s: int = 240, retries: int = 3) -> bool:

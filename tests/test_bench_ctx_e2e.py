@@ -86,17 +86,38 @@ class TestBenchCtxDevicePipeline:
         assert 0.0 < wer <= 25.0, f"WER {wer:.1f}% out of band"
 
     def test_trigram_helps_vs_bigram(self, system):
-        """The trigram graph must beat (or match) the same system
-        decoded with its bigram truncation — the text process has real
-        second-order structure by construction."""
+        """The trigram graph must beat the same system decoded with
+        its bigram truncation — the text process has real second-order
+        structure by construction.  Measured on a regime where the
+        advantage is STRUCTURAL, not sampling noise: a 128-utterance
+        held-out set (987 words; at the fixture's own 48 utts the
+        comparison flips with tie-breaking noise) and a 30k-sentence
+        LM estimate (at 3k the D=0.5 singleton trigrams overfit), in
+        the LM-dominated regime acoustic_scale=0.35 — the same reason
+        the reference sweeps LM weight at scoring time
+        (egs/wsj/s5/steps/score_kaldi.sh LMWT sweep).  Measured margin
+        here: 19.7% vs 25.7% (and OK at every scale in 0.3..1.0)."""
         from kaldi_tpu.lm.bigram import BigramBackoffLm
         from kaldi_tpu.lm.trigram import TrigramBackoffLm
         from kaldi_tpu.decoder.lexchain_ng import NgramLexGraph
+        from kaldi_tpu.recipes.bench_corpus import (make_text,
+                                                    phone_inventory,
+                                                    synth_utterance,
+                                                    wer_of)
         import math
         sysd, graph, spec = system
         lexicon, lang = sysd["lexicon"], sysd["lang"]
         vocab = sorted(lexicon)
-        bg = BigramBackoffLm.from_counts(sysd["lm_text"], vocab)
+        inv = phone_inventory(spec)
+        test_sents = make_text(spec, 128, spec.seed + 2)
+        test_txt = {f"tx{i:04d}": s for i, s in enumerate(test_sents)}
+        test_wav = {u: synth_utterance(s, lexicon, inv, spec,
+                                       50_000 + i)
+                    for i, (u, s) in enumerate(test_txt.items())}
+        lm_text = make_text(spec, 30000, spec.seed + 3)
+        tg3 = TrigramBackoffLm.from_counts(lm_text, vocab, prune_bi=1,
+                                           prune_tri=1)
+        bg = BigramBackoffLm.from_counts(lm_text, vocab)
         tg2 = TrigramBackoffLm.from_bigram(bg)
         prons, pron_word, pron_cost = [], [], []
         for wi, w in enumerate(vocab):
@@ -105,20 +126,27 @@ class TestBenchCtxDevicePipeline:
                     [lang.phones[p] for p in pron], np.int32))
                 pron_word.append(wi)
                 pron_cost.append(math.log(max(len(lexicon[w]), 1)))
-        g2 = NgramLexGraph.build(
-            prons, tg2, pron_word=pron_word, pron_cost=pron_cost,
-            tm=sysd["chain_tm"], tree=sysd["chain_tree"], use_sil=True,
-            sil_phone=lang.phones["SIL"], sil_prob=0.5)
-        # assert in the LM-dominated regime: at acoustic_scale 1.0 the
-        # two LMs differ by ~noise on this corpus (measured 4.6% vs
-        # 4.3% over 987 words), while at 0.35 the trigram's structural
-        # advantage is unambiguous (16.4% vs 22.5%) — the same reason
-        # the reference sweeps LM weight at scoring time
-        # (egs/wsj/s5/steps/score_kaldi.sh LMWT sweep)
-        wer3 = _decode_wer(sysd, graph, spec, acoustic_scale=0.35)
-        wer2 = _decode_wer(sysd, g2, spec, acoustic_scale=0.35)
+
+        def mk(lm):
+            return NgramLexGraph.build(
+                prons, lm, pron_word=pron_word, pron_cost=pron_cost,
+                tm=sysd["chain_tm"], tree=sysd["chain_tree"],
+                use_sil=True, sil_phone=lang.phones["SIL"],
+                sil_prob=0.5)
+
+        def decode_wer(g):
+            pipe = _pipeline(sysd, g, spec, acoustic_scale=0.35)
+            utts = sorted(test_wav)
+            out = pipe.decode_batch([test_wav[u] for u in utts])
+            hyps = {u: ([] if o is None else
+                        [g.words[w] for w in o[0]])
+                    for u, o in zip(utts, out)}
+            return wer_of(hyps, test_txt)
+
+        wer3 = decode_wer(mk(tg3))
+        wer2 = decode_wer(mk(tg2))
         print(f"trigram WER {wer3:.2f}% vs bigram WER {wer2:.2f}% "
-              f"(acoustic scale 0.35)")
+              f"(acoustic scale 0.35, 987 words)")
         assert wer3 < wer2, (wer3, wer2)
 
     def test_pruned_search_matches_exact_wer(self, system):
