@@ -115,6 +115,7 @@ def main_scale(quick):
     from kaldi_tpu.nnet3.models import ChainTdnnf, ChainTdnnfConfig
     from kaldi_tpu.recipes.bench_corpus import (bench_scale_spec,
                                                 build_decode_graph_ng,
+                                                corpus_fingerprint,
                                                 load_ivector_extractor,
                                                 load_params,
                                                 make_corpus,
@@ -144,6 +145,15 @@ def main_scale(quick):
                                          "flagship_ng_params.npz"))
     params, batch_stats = variables["params"], variables["batch_stats"]
     meta = json.load(open(os.path.join(ART, "flagship_ng_meta.json")))
+    # refuse to report a silently-drifted WER: the committed model must
+    # have been trained on THIS corpus generator (VERDICT r4 weak #1)
+    fp = corpus_fingerprint(spec, lexicon, test_txt, test_wav, lm_text)
+    hash_ok = meta.get("corpus_hash") == fp
+    if not hash_ok:
+        print(f"# CORPUS HASH MISMATCH: committed model trained on "
+              f"{meta.get('corpus_hash')}, generator now produces "
+              f"{fp} — WER below is NOT comparable; retrain "
+              f"(egs/bench_corpus/train.py --scale)", file=sys.stderr)
     cfg = ChainTdnnfConfig(
         feat_dim=40, ivector_dim=32, num_pdfs=meta["num_pdfs"],
         hidden_dim=1536, bottleneck_dim=160, prefinal_dim=256,
@@ -188,10 +198,15 @@ def main_scale(quick):
     }
     if lat_xrt is not None:
         out["lattice_xrt"] = round(lat_xrt, 1)
+    if not hash_ok:
+        out["degraded"] = True
+        out["note"] = ("corpus hash mismatch: committed model was "
+                       "trained on a different corpus-generator "
+                       "version; WER not comparable")
     print(json.dumps(out))
 
 
-def main_legacy(quick):
+def main_legacy(quick, degraded_reason=None):
     """Round-3 headline (V=200 bigram lexchain), kept for continuity
     and as the fallback when scale artifacts are absent."""
     from kaldi_tpu.decoder.batched_pipeline2 import \
@@ -261,7 +276,7 @@ def main_legacy(quick):
         pipe, waves, quick, graph, test_txt, utts,
         with_lattices="--with-lattices" in sys.argv)
     baseline = 3524.0
-    print(json.dumps({
+    out = {
         "metric": "full_pipeline_offline_decode_xRT_per_chip",
         "value": round(xrt, 1),
         "unit": "x realtime",
@@ -270,7 +285,23 @@ def main_legacy(quick):
         "states": graph.num_states,
         "vocab": graph.V,
         "note": "legacy V=200 bigram bench",
-    }))
+    }
+    if trained:
+        meta_path = os.path.join(ART, "flagship_meta.json")
+        meta = json.load(open(meta_path)) if \
+            os.path.exists(meta_path) else {}
+        from kaldi_tpu.recipes.bench_corpus import corpus_fingerprint
+        fp = corpus_fingerprint(spec, lexicon, test_txt, test_wav,
+                                lm_text)
+        if meta.get("corpus_hash") != fp:
+            out["degraded"] = True
+            out["note"] += ("; corpus hash mismatch (model "
+                            f"{meta.get('corpus_hash')} vs generator "
+                            f"{fp}) — WER not comparable, retrain")
+    if degraded_reason:
+        out["degraded"] = True
+        out["note"] += "; " + degraded_reason
+    print(json.dumps(out))
 
 
 def main():
@@ -282,12 +313,16 @@ def main():
                        "flagship_ng.tree", "flagship_ng_ivec.npz",
                        "flagship_ng_meta.json"))
     if "--legacy" in sys.argv or quick or not scale_ready:
+        degraded_reason = None
         if not scale_ready and "--legacy" not in sys.argv \
                 and not quick:
-            print("# scale artifacts missing; falling back to the "
+            print("# SCALE ARTIFACTS MISSING; falling back to the "
                   "legacy V=200 bench (run egs/bench_corpus/train.py "
                   "--scale)", file=sys.stderr)
-        main_legacy(quick)
+            degraded_reason = ("scale artifacts (flagship_ng_*) "
+                               "missing — this is the TOY fallback, "
+                               "not the headline metric")
+        main_legacy(quick, degraded_reason=degraded_reason)
     else:
         main_scale(quick)
 

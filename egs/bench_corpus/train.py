@@ -29,6 +29,7 @@ def main_scale():
     from kaldi_tpu.nnet3.models import ChainTdnnf, ChainTdnnfConfig
     from kaldi_tpu.recipes.bench_corpus import (bench_scale_spec,
                                                 build_decode_graph_ng,
+                                                corpus_fingerprint,
                                                 mfcc_options,
                                                 save_params,
                                                 train_system, wer_of)
@@ -142,7 +143,12 @@ def main_scale():
             "config": "scale-small" if small else "flagship-ng",
             "epochs": epochs, "vocab": spec.vocab,
             "noise": spec.noise, "f2_gap": spec.f2_gap,
-            "states": graph.num_states}
+            "states": graph.num_states,
+            # pins the corpus generator version this model was trained
+            # on; bench.py refuses to report a silently-drifted WER
+            "corpus_hash": corpus_fingerprint(
+                spec, sysd["lexicon"], sysd["test_txt"],
+                sysd["test_wav"], sysd["lm_text"])}
     with open(os.path.join(out_dir, name.replace("params.npz",
                                                  "meta.json")),
               "w") as f:
@@ -230,9 +236,13 @@ def main():
             for u, o in zip(utts, out)}
     wer = wer_of(hyps, sysd["test_txt"])
     print(f"# device-pipeline WER: {wer:.2f}%", file=sys.stderr)
+    from kaldi_tpu.recipes.bench_corpus import corpus_fingerprint
     meta = {"wer": round(wer, 2), "num_pdfs": num_pdfs,
             "config": "small" if small else "flagship",
-            "epochs": epochs}
+            "epochs": epochs,
+            "corpus_hash": corpus_fingerprint(
+                spec, sysd["lexicon"], sysd["test_txt"],
+                sysd["test_wav"], sysd["lm_text"])}
     with open(os.path.join(out_dir, name.replace("params.npz",
                                                  "meta.json")),
               "w") as f:
