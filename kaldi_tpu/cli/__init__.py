@@ -125,6 +125,12 @@ _register("kaldi_tpu.cli.misc_tools", {
     "nnet3-info": "nnet3_info",
 })
 
+_register("kaldi_tpu.cli.nnet3_latgen_tools", {
+    "nnet3-latgen-faster-looped": "nnet3_latgen_faster_looped",
+    "nnet3-latgen-faster-batch": "nnet3_latgen_faster_batch",
+    "nnet3-latgen-faster-lookahead": "nnet3_latgen_faster_lookahead",
+})
+
 _register("kaldi_tpu.cli.nnet3_tools", {
     "nnet3-latgen-faster": "nnet3_latgen_faster",
     "acc-tree-stats": "acc_tree_stats",

@@ -137,3 +137,62 @@ class LazyBiglmFst:
         if fo == float("inf") or fn == float("inf"):
             return TropicalWeight.zero
         return float(fw) + fn - fo
+
+
+class LazyComposeFst:
+    """Lazy on-the-fly composition HCLr o Gr over word labels (parity:
+    src/nnet3bin/nnet3-latgen-faster-lookahead.cc:1, which decodes an
+    HCLr graph composed on demand with a grammar Gr instead of a
+    prebuilt HCLG; OpenFst's label-lookahead matcher is a pruning
+    optimization of the same product — here dead product states die at
+    the BackoffWordFst lookup).  Exposes the VectorFst duck type
+    (start / arcs[s] / finals[s]) the decoders consume, materializing
+    states on demand."""
+
+    def __init__(self, hcl: VectorFst, g: BackoffWordFst):
+        self.hcl = hcl
+        self.g = g
+        self._ids: Dict[Tuple[int, int], int] = {}
+        self._keys: List[Tuple[int, int]] = []
+        self._arc_cache: Dict[int, list] = {}
+        self.start = self._intern((hcl.start, g.start))
+        self.arcs = _LazyArcs(self)
+        self.finals = _LazyFinals(self)
+
+    def _intern(self, key: Tuple[int, int]) -> int:
+        i = self._ids.get(key)
+        if i is None:
+            i = len(self._keys)
+            self._ids[key] = i
+            self._keys.append(key)
+        return i
+
+    def _arcs_of(self, state: int):
+        cached = self._arc_cache.get(state)
+        if cached is not None:
+            return cached
+        h, sg = self._keys[state]
+        out = []
+        for a in self.hcl.arcs[h]:
+            w = float(a.weight)
+            sg2 = sg
+            if a.olabel != EPS:
+                hit = self.g.get_arc(sg, a.olabel)
+                if hit is None:
+                    continue       # word absent from G: path dies
+                w += hit[0]
+                sg2 = hit[1]
+            out.append(Arc(a.ilabel, a.olabel, w,
+                           self._intern((a.nextstate, sg2))))
+        self._arc_cache[state] = out
+        return out
+
+    def _final_of(self, state: int):
+        h, sg = self._keys[state]
+        fw = self.hcl.finals[h]
+        if fw == TropicalWeight.zero:
+            return TropicalWeight.zero
+        fg = self.g.final(sg)
+        if fg == float("inf"):
+            return TropicalWeight.zero
+        return float(fw) + fg
