@@ -109,6 +109,118 @@ def estimate_phone_lm(phone_seqs: Sequence[Sequence[int]],
     return fst
 
 
+def estimate_window_lm(window_seqs: Sequence[Sequence[tuple]],
+                       interp: float = 0.1):
+    """Denominator LM over CONTEXT WINDOWS with tied pair states —
+    the scalable replacement for a token-level bigram when the token
+    inventory is large (a vocabulary-scale ctx chain system has ~10k
+    distinct triphone windows from only ~100k frames, so a bigram over
+    *tokens* is hopelessly sparse; unsmoothed it makes the denominator
+    miss realistic paths and LF-MMI collapses the AM to silence —
+    measured: forcing it on the known-good V=30 fixture reproduces the
+    scale failure bit-for-bit, WER 3.7% -> 96.8% with deletion-only
+    output and a non-plateauing objective).
+
+    Structure (the reference's chain den fst is the same object built
+    by composition, chain-den-graph.cc + language-model.cc: a phone
+    n-gram expanded through the context tree; here the windows ARE
+    word-internal, so consecutive windows (l,c,r) -> (c,r,x) share
+    (c,r), and word boundaries (r=0) pool into one boundary state):
+
+      states:  B (word boundary / start) + {(c, r): r != 0}
+      arcs:    B --(0,c,r)--> (c,r) or B;  (c,r) --(c,r,x)--> (r,x) or B
+      weights: interpolated phone-space estimates — dense over the
+               ~31-phone successor alphabet, independent of vocabulary.
+
+    Every valid word-internal window path is in the support
+    (numerator ⊆ denominator), the token arc count is
+    O(num_phones^3), and the estimate is smoothed like the dense
+    small-corpus path (interp to a marginal over the valid successor
+    set).  Returns (fst, ilabel_info): an acceptor over 1-based window
+    ids, ilabel_info[0] = ().
+    """
+    BOUND = ("B",)
+    counts: Dict[object, Counter] = defaultdict(Counter)
+    end_count = Counter()
+    uni = Counter()
+    phones = set()
+    n_seq = 0
+    for seq in window_seqs:
+        if not seq:
+            continue
+        n_seq += 1
+        state = BOUND
+        for win in seq:
+            win = tuple(win)
+            counts[state][win] += 1
+            uni[win] += 1
+            c, r = win[-2], win[-1]
+            phones.add(c)
+            if r:
+                phones.add(r)
+            state = BOUND if r == 0 else (c, r)
+        end_count[state] += 1
+    phones.discard(0)
+    ph = sorted(phones)
+    ph0 = ph + [0]
+
+    def succ(state):
+        if state == BOUND:
+            return [(0, c, r) for c in ph for r in ph0]
+        c, r = state
+        return [(c, r, x) for x in ph0]
+
+    # full dense pair-state closure: every (c, r) over the phone set,
+    # so every candidate arc has a real destination and the den
+    # support is the complete word-internal window language
+    pair_states = [(c, r) for c in ph for r in ph]
+    tokens: List[tuple] = []
+    seen_tok = set()
+    for s in [BOUND] + pair_states:
+        for t in succ(s):
+            if t not in seen_tok:
+                seen_tok.add(t)
+                tokens.append(t)
+    tok_id = {t: i + 1 for i, t in enumerate(tokens)}
+    ilabel_info = [()] + tokens
+
+    fst = VectorFst(TropicalWeight)
+    state_ix = {BOUND: fst.add_state()}
+    for s in pair_states:
+        state_ix[s] = fst.add_state()
+    fst.set_start(state_ix[BOUND])
+
+    END = ("</s>",)
+    for s in [BOUND] + pair_states:
+        cand = succ(s)
+        c_s = counts.get(s, Counter())
+        tot = float(sum(c_s.values()) + end_count.get(s, 0))
+        # backoff marginal over the valid successor set (+END), add-1
+        q = np.asarray([uni[t] + 1.0 for t in cand] + [n_seq + 1.0])
+        q = q / q.sum()
+        for i, t in enumerate(cand):
+            p = interp * q[i]
+            if tot:
+                p += (1 - interp) * c_s.get(t, 0) / tot
+            c, r = t[-2], t[-1]
+            dst = state_ix[BOUND] if r == 0 else state_ix.get((c, r))
+            if dst is None:
+                # unseen pair state: route its mass to the boundary
+                # (keeps the graph over seen states only; the arc's
+                # window still contributes its pdfs to the support)
+                dst = state_ix[BOUND]
+            fst.add_arc(state_ix[s],
+                        Arc(tok_id[t], tok_id[t],
+                            -math.log(max(p, 1e-10)), dst))
+        p_end = interp * q[-1]
+        if tot:
+            p_end += (1 - interp) * end_count.get(s, 0) / tot
+        fst.finals[state_ix[s]] = -math.log(max(p_end, 1e-10))
+    log(f"estimate_window_lm: {len(pair_states) + 1} states, "
+        f"{len(tokens)} window tokens, {len(ph)} phones")
+    return fst, ilabel_info
+
+
 def _stationary_initial(pg: PackedGraph, iters: int = 100) -> np.ndarray:
     """Initial probs for the denominator = approximate stationary
     distribution of the transition structure (chain-den-graph.cc

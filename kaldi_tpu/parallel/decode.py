@@ -104,6 +104,95 @@ class ShardedLexChainDecoder:
                                        np.asarray(best_cost), lengths)
 
 
+class ShardedNgramLexDecoder:
+    """Lane-sharded wrapper around decoder.lexchain_ng.NgramLexDecoder
+    — the round-4 trigram x triphone production decoder.  Identical
+    contract to the single-device decode_batch (including prune_k /
+    prune_beam / exact_topk); lanes split over the mesh's data axis
+    with shard_map, no cross-chip traffic in the hot loop."""
+
+    def __init__(self, decoder, mesh, axis: str = "data"):
+        self.decoder = decoder
+        self.mesh = mesh
+        self.axis = axis
+        self._jit = {}
+
+    def _make(self, B_local: int, K: int, beam: float,
+              exact_topk: bool):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+            sm_kwargs = {"check_vma": False}
+        except ImportError:              # older jax
+            from jax.experimental.shard_map import shard_map
+            sm_kwargs = {"check_rep": False}
+
+        dec = self.decoder
+        g = dec.g
+        Nr, U = g.Nr, g.U
+        dkey = (B_local, K, beam, bool(exact_topk))
+        if dkey not in dec._jit:
+            dec._jit[dkey] = dec._make_step(B_local, K, beam,
+                                            exact_topk)
+        fwd, fol = dec._jit[dkey]
+        eos_slot = dec._c["eos_slot"]
+
+        def local_decode(am, active):
+            cost0 = jnp.full((Nr, B_local), INF, jnp.float32)
+            roots0 = jnp.full((U + 1, B_local), INF,
+                              jnp.float32).at[U].set(0.0)
+            sil0 = jnp.full((U + 1, B_local), INF, jnp.float32)
+            cost, roots, sil, ys = fwd(cost0, roots0, sil0, am, active)
+            fin_root = roots + eos_slot
+            fin_sil = sil + eos_slot if g.use_sil else \
+                jnp.full_like(fin_root, INF)
+            allfin = jnp.concatenate([fin_root, fin_sil], axis=0)
+            best_i = jnp.argmin(allfin, axis=0)
+            best_cost = jnp.min(allfin, axis=0)
+            final_state = jnp.where(
+                best_i <= U,
+                jnp.where(best_i == U, Nr + U, Nr + best_i),
+                Nr + U + 1 + (best_i - (U + 1)))
+            first, states = fol(ys, active, final_state)
+            return states, best_cost, first
+
+        sharded = shard_map(
+            local_decode, mesh=self.mesh,
+            in_specs=(P(None, None, self.axis), P(None, self.axis)),
+            out_specs=(P(None, self.axis), P(self.axis), P(self.axis)),
+            **sm_kwargs)
+        return jax.jit(sharded)
+
+    def decode_batch(self, loglikes, acoustic_scale: float = 1.0,
+                     lengths: Optional[Sequence[int]] = None,
+                     prune_k: Optional[int] = None,
+                     prune_beam: Optional[float] = None,
+                     exact_topk: bool = True):
+        import jax.numpy as jnp
+        dec = self.decoder
+        B, T, _ = loglikes.shape
+        n_dev = self.mesh.shape[self.axis]
+        if B % n_dev:
+            raise KaldiTpuError(
+                f"batch {B} not divisible by mesh axis {n_dev}")
+        lengths = np.asarray(lengths if lengths is not None
+                             else [T] * B, np.int64)
+        K = dec.VC if prune_k is None else int(prune_k)
+        from kaldi_tpu.decoder.lexchain_ng import BIG
+        beam = float(BIG) if prune_beam is None else float(prune_beam)
+        key = (B // n_dev, K, beam, bool(exact_topk))
+        if key not in self._jit:
+            self._jit[key] = self._make(*key)
+        am = jnp.transpose(jnp.asarray(loglikes) * (-acoustic_scale),
+                           (1, 2, 0))
+        active = jnp.asarray(np.arange(T)[:, None] < lengths[None, :])
+        states, best_cost, first = self._jit[key](am, active)
+        return dec._traceback(np.asarray(states), np.asarray(first),
+                              np.asarray(best_cost), lengths)
+
+
 class ShardedBlockChainDecoder:
     """Lane-sharded wrapper around BlockChainDecoder.
 

@@ -512,14 +512,22 @@ def train_chain_ctx(sys_mono, feats: Dict[str, np.ndarray],
                     N: int = 3, P: int = 1,
                     max_leaves: int = 2000, min_gain: float = 30.0,
                     sil_phone: Optional[int] = None,
-                    ivectors: Optional[Dict[str, np.ndarray]] = None):
+                    ivectors: Optional[Dict[str, np.ndarray]] = None,
+                    window_den: Optional[bool] = None):
     """Chain training over a context-dependent (triphone) tree with
     word-internal windows.  word_prons: per utterance the transcript's
     per-word phone lists.  Returns (model, variables, den_graph,
-    chain_tm, chain_tree)."""
+    chain_tm, chain_tree).
+
+    window_den: None (auto) selects the denominator LM form — a dense
+    interpolated bigram over the seen context TOKENS below ~1000 token
+    types (small corpora), and the tied pair-state WINDOW LM
+    (supervision.estimate_window_lm) above, where a token-level bigram
+    is hopelessly sparse and its unsmoothed form collapses LF-MMI to
+    silence (round-4 scale failure; see estimate_window_lm)."""
     from kaldi_tpu.chain.supervision import (
         denominator_graph_from_phone_lm, estimate_phone_lm,
-        make_tolerance_supervision)
+        estimate_window_lm, make_tolerance_supervision)
     if opts is None:
         opts = ChainTrainOptions()
     if sil_phone is None:
@@ -554,11 +562,18 @@ def train_chain_ctx(sys_mono, feats: Dict[str, np.ndarray],
     # --- denominator: token-level phone LM through the tree ----------
     tokens = sorted({win for segs in seg_windows.values()
                      for (win, _, _, _) in segs})
-    tok_id = {w: i + 1 for i, w in enumerate(tokens)}
-    ilabel_info = [()] + list(tokens)
-    tok_seqs = [[tok_id[win] for (win, _, _, _) in segs]
-                for segs in seg_windows.values()]
-    lm = estimate_phone_lm(tok_seqs, list(tok_id.values()))
+    if window_den is None:
+        window_den = len(tokens) > 1000
+    if window_den:
+        win_seqs = [[win for (win, _, _, _) in segs]
+                    for segs in seg_windows.values()]
+        lm, ilabel_info = estimate_window_lm(win_seqs)
+    else:
+        tok_id = {w: i + 1 for i, w in enumerate(tokens)}
+        ilabel_info = [()] + list(tokens)
+        tok_seqs = [[tok_id[win] for (win, _, _, _) in segs]
+                    for segs in seg_windows.values()]
+        lm = estimate_phone_lm(tok_seqs, list(tok_id.values()))
     den_graph = denominator_graph_from_phone_lm(
         lm, chain_tm, chain_tree, ilabel_info=ilabel_info)
     # --- chunks + context-aware tolerance numerators -----------------
