@@ -254,10 +254,29 @@ def lattice_to_kws_index(argv: List[str]) -> int:
         "acoustic-scale", 1.0, "Acoustic scale for arc posteriors")
     min_post = po.register_value(
         "min-posterior", 1e-3, "Prune word tokens below this posterior")
+    index_type = po.register_value(
+        "index-type", "postings", "postings (inverted posting lists) "
+        "or factor (the reference's timed factor transducer over the "
+        "lexicographic semiring, kws/kws-functions.h)")
+    max_sil = po.register_value(
+        "max-silence-frames", 50, "Sever factors across silence "
+        "longer than this (factor index only)")
     po.read(argv)
     if po.num_args() != 2:
         po.print_usage()
         return 1
+    if index_type[0] == "factor":
+        from kaldi_tpu.kws.factor_index import FactorIndex
+        lats = {key: lat for key, lat in SequentialTableReader(
+            LatticeHolder(), po.get_arg(1))}
+        index = FactorIndex.build(lats,
+                                  acoustic_scale=acoustic_scale[0],
+                                  max_silence_frames=max_sil[0])
+        kaldi_io.write_kaldi_object(index.write, po.get_arg(2),
+                                    binary[0])
+        log(f"indexed {len(lats)} lattices: factor transducer with "
+            f"{index.fst.num_states} states")
+        return 0 if lats else 1
     from kaldi_tpu.kws.index import KwsIndex
     index = KwsIndex(min_posterior=min_post[0])
     n = 0
@@ -279,14 +298,14 @@ def kws_index_union(argv: List[str]) -> int:
     if po.num_args() < 2:
         po.print_usage()
         return 1
-    from kaldi_tpu.kws.index import KwsIndex
+    from kaldi_tpu.kws import _read_any_index
     total = None
     for i in range(2, po.num_args() + 1):
-        idx = kaldi_io.read_kaldi_object(KwsIndex.read, po.get_arg(i))
+        idx = _read_any_index(po.get_arg(i))
         if total is None:
             total = idx
         else:
-            total.union(idx)
+            total = total.union(idx) or total
     kaldi_io.write_kaldi_object(total.write, po.get_arg(1), binary[0])
     return 0
 
@@ -304,8 +323,8 @@ def kws_search(argv: List[str]) -> int:
         po.print_usage()
         return 1
     import sys as _sys
-    from kaldi_tpu.kws.index import KwsIndex
-    index = kaldi_io.read_kaldi_object(KwsIndex.read, po.get_arg(1))
+    from kaldi_tpu.kws import _read_any_index
+    index = _read_any_index(po.get_arg(1))
     out = (_sys.stdout if po.get_arg(3) == "-"
            else open(po.get_arg(3), "w"))
     n_kw = n_hits = 0

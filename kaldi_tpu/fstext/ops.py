@@ -245,6 +245,8 @@ def determinize_star(fst: VectorFst, delta: float = 1e-4,
         return sr.plus(w1, w2) == w1 and w1 != w2
 
     def quant(w):
+        if hasattr(sr, "quantize"):
+            return sr.quantize(w, delta)
         if sr is LatticeWeight:
             return (round(w[0] / delta), round(w[1] / delta))
         return round(w / delta) if w != INF else INF

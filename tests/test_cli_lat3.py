@@ -193,3 +193,34 @@ def test_kws_pipeline(tmp_path, capsys):
         f"{tmp_path}/none.txt"])
     assert rc == 0
     assert "ATWV = 0.0000" in capsys.readouterr().out
+
+
+def test_kws_pipeline_factor_transducer(tmp_path):
+    """Same pipeline through --index-type=factor (the reference's
+    timed-factor-transducer index, kws/kws-functions.h)."""
+    write_lats(f"{tmp_path}/l1.ark", [("utt1", linear([5, 6], 0.0))])
+    write_lats(f"{tmp_path}/l2.ark", [("utt2", linear([7], 0.0))])
+    for i in (1, 2):
+        rc = get_tool("lattice-to-kws-index")([
+            "lattice-to-kws-index", "--index-type=factor",
+            f"ark:{tmp_path}/l{i}.ark", f"{tmp_path}/{i}.idx"])
+        assert rc == 0
+    rc = get_tool("kws-index-union")([
+        "kws-index-union", f"{tmp_path}/all.idx",
+        f"{tmp_path}/1.idx", f"{tmp_path}/2.idx"])
+    assert rc == 0
+    with TableWriter("int-vector", f"ark:{tmp_path}/kw.ark") as w:
+        w.write("KW1", np.asarray([5, 6], np.int32))
+        w.write("KW2", np.asarray([7], np.int32))
+        w.write("KW3", np.asarray([9], np.int32))
+    rc = get_tool("kws-search")([
+        "kws-search", f"{tmp_path}/all.idx", f"ark:{tmp_path}/kw.ark",
+        f"{tmp_path}/hits.txt"])
+    assert rc == 0
+    hits = (tmp_path / "hits.txt").read_text().splitlines()
+    assert any(h.startswith("KW1 utt1") for h in hits)
+    assert any(h.startswith("KW2 utt2") for h in hits)
+    assert not any(h.startswith("KW3") for h in hits)
+    # posteriors are exact (single-path lattices): score == 1
+    for h in hits:
+        assert float(h.split()[-1]) == pytest.approx(1.0, abs=1e-4)
