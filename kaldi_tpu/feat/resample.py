@@ -54,7 +54,12 @@ class LinearResample:
     def resample(self, wave: np.ndarray) -> np.ndarray:
         wave = np.asarray(wave, np.float64)
         n_in = len(wave)
-        n_out = int(math.floor(n_in * self.rate_out / self.rate_in))
+        # number of output samples in the OPEN interval
+        # [0, n_in / rate_in): LinearResample::GetNumOutputSamples
+        # (resample.cc:58) with flush=true
+        num = n_in * int(self.rate_out)
+        den = int(self.rate_in)
+        n_out = num // den if num % den == 0 else num // den + 1
         out_times = np.arange(n_out) / self.rate_out
         centers = out_times * self.rate_in  # in input-sample units
         lo = np.floor(centers).astype(int) - self.support

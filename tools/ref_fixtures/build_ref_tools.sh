@@ -48,6 +48,11 @@ gmm/diag-gmm.cc gmm/diag-gmm-normal.cc gmm/full-gmm.cc gmm/full-gmm-normal.cc
 gmm/am-diag-gmm.cc gmm/mle-diag-gmm.cc gmm/mle-full-gmm.cc gmm/mle-am-diag-gmm.cc
 gmm/model-common.cc
 hmm/hmm-topology.cc hmm/transition-model.cc hmm/posterior.cc
+feat/feature-functions.cc feat/feature-window.cc feat/feature-mfcc.cc
+feat/feature-fbank.cc feat/feature-plp.cc feat/feature-spectrogram.cc
+feat/mel-computations.cc feat/wave-reader.cc feat/pitch-functions.cc
+feat/resample.cc feat/signal.cc feat/online-feature.cc
+transform/cmvn.cc
 "
 for f in $CC_FILES; do
   o=$OUT/obj/$(echo $f | tr / _ | sed s/.cc$/.o/)
@@ -58,7 +63,7 @@ for f in $CC_FILES; do
 done
 wait
 LIBS="/lib/x86_64-linux-gnu/liblapack.so.3 /lib/x86_64-linux-gnu/libblas.so.3 -lm -lpthread"
-for b in gmmbin/gmm-init-mono gmmbin/gmm-copy bin/copy-tree featbin/copy-feats featbin/copy-matrix; do
+for b in gmmbin/gmm-init-mono gmmbin/gmm-copy bin/copy-tree featbin/copy-feats featbin/copy-matrix featbin/compute-mfcc-feats featbin/compute-fbank-feats featbin/compute-kaldi-pitch-feats featbin/process-kaldi-pitch-feats; do
   n=$(basename $b)
   [ -f $SRC/$b.cc ] || continue
   echo "LD $n"

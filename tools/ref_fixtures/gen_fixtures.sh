@@ -47,3 +47,19 @@ $BIN/copy-feats --compress=false ark,t:/tmp/fix/train.ark ark,scp:$OUT/feats.ark
 $BIN/copy-feats --compress=true --compression-method=2 ark,t:/tmp/fix/train.ark ark:$OUT/feats_cm2.ark
 sed -i "s|$OUT/|tests/data/ref_golden/|" $OUT/feats.scp
 ls -la $OUT
+
+# ---- feature goldens on real speech (src/feat/test_data/test.wav) ----
+WAV=/root/reference/src/feat/test_data/test.wav
+echo "tst $WAV" > /tmp/fix/wav.scp
+$BIN/compute-mfcc-feats --dither=0.0 scp:/tmp/fix/wav.scp \
+  ark:$OUT/mfcc.ark
+$BIN/compute-fbank-feats --dither=0.0 scp:/tmp/fix/wav.scp \
+  ark:$OUT/fbank.ark
+$BIN/compute-kaldi-pitch-feats scp:/tmp/fix/wav.scp \
+  ark:$OUT/pitch.ark
+$BIN/compute-kaldi-pitch-feats --simulate-first-pass-online=true \
+  --frames-per-chunk=10 scp:/tmp/fix/wav.scp \
+  ark:$OUT/pitch_online.ark
+$BIN/compute-kaldi-pitch-feats scp:/tmp/fix/wav.scp ark:- | \
+  $BIN/process-kaldi-pitch-feats ark:- ark:$OUT/pitch_processed.ark
+ls -la $OUT
