@@ -65,11 +65,29 @@ def _comp_rowfn(comp: Component) -> Optional[Callable]:
         s = float(f.get("Scale", 1.0))
         return lambda x: x * s
     if t == "BatchNormComponent":
-        mean = jnp.asarray(np.asarray(f["StatsMean"]))
-        var = jnp.asarray(np.asarray(f["StatsVar"]))
         eps = float(f.get("Epsilon", 1e-3))
-        scale = float(f.get("TargetRms", 1.0)) / jnp.sqrt(var + eps)
-        return lambda x: (x - mean) * scale
+        rms = float(f.get("TargetRms", 1.0))
+        if float(f.get("Count", 0)) > 0:
+            # accumulated stats present: behave like the reference's
+            # decode binaries, which SetBatchnormTestMode(true) at load
+            # (nnet3-compute.cc:112, nnet-normalize-component.cc
+            # ComputeDerived)
+            mean = jnp.asarray(np.asarray(f["StatsMean"]))
+            var = jnp.asarray(np.asarray(f["StatsVar"]))
+            scale = rms / jnp.sqrt(var + eps)
+            return lambda x: (x - mean) * scale
+
+        def bn(x):
+            # no stats (fresh model): training-mode Propagate —
+            # normalize by the statistics of the rows in this pass
+            # (the reference's test-mode-with-no-count path instead
+            # invents RANDOM stats, nnet-normalize-component.cc:
+            # "Creating random counts" — not reproduced)
+            axes = tuple(range(x.ndim - 1))
+            mean = x.mean(axis=axes)
+            var = (x * x).mean(axis=axes) - mean * mean
+            return (x - mean) * (rms / jnp.sqrt(var + eps))
+        return bn
     if t == "ScaleAndOffsetComponent":
         s = jnp.asarray(np.asarray(f["Scales"]))
         o = jnp.asarray(np.asarray(f["Offsets"]))

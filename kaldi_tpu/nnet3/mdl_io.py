@@ -141,6 +141,7 @@ _TOKEN_KINDS = {
     "<IsGradient>": "bool", "<UseNaturalGradient>": "bool",
     "<TestMode>": "bool", "<IsUpdatable>": "bool",
     "<Count>": "double", "<OderivCount>": "double",
+    "<OderivRms>": "vector",
     "<NumDimsProcessed>": "double", "<NumDimsSelfRepaired>": "double",
     "<TimeOffsets>": "ints", "<Context>": "ints",
     "<LinearParams>": "matrix", "<Params>": "matrix",

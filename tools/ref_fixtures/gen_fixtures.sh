@@ -63,3 +63,28 @@ $BIN/compute-kaldi-pitch-feats --simulate-first-pass-online=true \
 $BIN/compute-kaldi-pitch-feats scp:/tmp/fix/wav.scp ark:- | \
   $BIN/process-kaldi-pitch-feats ark:- ark:$OUT/pitch_processed.ark
 ls -la $OUT
+
+# ---- nnet3 goldens: reference nnet3-init / nnet3-copy / nnet3-compute ----
+# a TDNN-ish raw config exercising descriptors (Append/Offset), natural-
+# gradient affine, ReLU, batchnorm, log-softmax
+cat > /tmp/fix/tdnn.config <<'EOT'
+component name=affine1 type=NaturalGradientAffineComponent input-dim=39 output-dim=16 param-stddev=0.1 bias-stddev=0.1
+component name=relu1 type=RectifiedLinearComponent dim=16
+component name=bn1 type=NormalizeComponent dim=16
+component name=affine2 type=NaturalGradientAffineComponent input-dim=48 output-dim=12 param-stddev=0.1 bias-stddev=0.1
+component name=logsoftmax type=LogSoftmaxComponent dim=12
+input-node name=input dim=13
+component-node name=affine1_node component=affine1 input=Append(Offset(input,-1), input, Offset(input,1))
+component-node name=relu1_node component=relu1 input=affine1_node
+component-node name=bn1_node component=bn1 input=relu1_node
+component-node name=affine2_node component=affine2 input=Append(Offset(bn1_node,-1), bn1_node, Offset(bn1_node,1))
+component-node name=logsoftmax_node component=logsoftmax input=affine2_node
+output-node name=output input=logsoftmax_node
+EOT
+$BIN/nnet3-init --binary=true --srand=7 /tmp/fix/tdnn.config $OUT/tdnn.raw
+$BIN/nnet3-init --binary=false --srand=7 /tmp/fix/tdnn.config $OUT/tdnn_text.raw
+$BIN/nnet3-info $OUT/tdnn.raw > $OUT/tdnn.info
+# forward golden: reference computes output on the golden feats
+$BIN/nnet3-compute --use-gpu=no $OUT/tdnn.raw ark:$OUT/feats.ark \
+  ark:$OUT/tdnn_out.ark
+ls -la $OUT
