@@ -369,6 +369,8 @@ _register("kaldi_tpu.cli.transform2_tools", {
     "gmm-basis-fmllr-accs": "gmm_basis_fmllr_accs",
     "gmm-basis-fmllr-accs-gpost": "gmm_basis_fmllr_accs_gpost",
     "gmm-est-basis-fmllr-gpost": "gmm_est_basis_fmllr_gpost",
+    "gmm-est-fmllr-raw": "gmm_est_fmllr_raw",
+    "gmm-est-fmllr-raw-gpost": "gmm_est_fmllr_raw_gpost",
 })
 
 _register("kaldi_tpu.cli.parbin_tools", {

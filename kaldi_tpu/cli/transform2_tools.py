@@ -354,3 +354,124 @@ def gmm_est_basis_fmllr_gpost(argv: List[str]) -> int:
     log(f"basis-fMLLR (gpost) transforms for {n} speakers; auxf "
         f"impr/frame {tot_impr / max(tot_beta, 1):.4f}")
     return 0 if n else 1
+
+
+def _est_fmllr_raw_common(argv: List[str], usage: str, name: str,
+                           gpost_mode: bool) -> int:
+    """Shared driver for gmm-est-fmllr-raw / -gpost: estimate fMLLR in
+    the pre-splice raw space against a model in LDA+MLLT space
+    (gmm-est-fmllr-raw.cc; math in transform/fmllr_raw.py)."""
+    po = ParseOptions(usage)
+    spk2utt = po.register_value(
+        "spk2utt", "", "rspecifier for speaker to utterance-list map")
+    raw_feat_dim = po.register_value(
+        "raw-feat-dim", 13, "Dimension of raw features prior to "
+        "splicing")
+    from kaldi_tpu.transform.fmllr_raw import (FmllrRawAccs,
+                                               FmllrRawOptions)
+    opts = FmllrRawOptions()
+    min_count = po.register_value(
+        "fmllr-min-count", opts.min_count,
+        "Minimum count required to update fMLLR")
+    num_iters = po.register_value(
+        "fmllr-num-iters", opts.num_iters,
+        "Number of iterations in fMLLR update phase")
+    po.read(argv)
+    if po.num_args() != 5:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.cli.gmm_tools import read_am_gmm
+    tm, am = read_am_gmm(po.get_arg(1))
+    from kaldi_tpu.base.io_funcs import read_matrix
+    full_mat = kaldi_io.read_kaldi_object(read_matrix, po.get_arg(2))
+    opts = FmllrRawOptions(min_count=min_count[0],
+                           num_iters=num_iters[0])
+    post_kind = "gauss-post" if gpost_mode else "posterior"
+    post_reader = RandomAccessTableReader(post_kind, po.get_arg(4))
+    writer = TableWriter("matrix", po.get_arg(5))
+    model_dim = am.get_pdf(0).dim
+
+    def accumulate(accs, feats, post):
+        for t, frame in enumerate(post):
+            if t >= feats.shape[0]:
+                break
+            if gpost_mode:
+                for pdf, vec in frame:
+                    accs.accumulate_from_posteriors(
+                        am.get_pdf(int(pdf)), feats[t],
+                        np.asarray(vec, np.float64))
+            else:
+                for tid, w in frame:
+                    if w == 0.0:
+                        continue
+                    pdf = tm.transition_id_to_pdf(int(tid))
+                    accs.accumulate_for_gmm(am.get_pdf(pdf), feats[t],
+                                            float(w))
+
+    n, tot_impr, tot_count = 0, 0.0, 0.0
+    if spk2utt[0]:
+        feat_reader = RandomAccessTableReader("matrix", po.get_arg(3))
+        groups = [(spk, [u for u in utts if u in feat_reader
+                         and u in post_reader])
+                  for spk, utts in SequentialTableReader(
+                      "token-vector", spk2utt[0])]
+    else:
+        groups = None
+    if groups is not None:
+        for spk, utts in groups:
+            accs = FmllrRawAccs(raw_feat_dim[0], model_dim, full_mat)
+            for utt in utts:
+                accumulate(accs, np.asarray(feat_reader[utt],
+                                            np.float64),
+                           post_reader[utt])
+            if accs.count == 0:
+                continue
+            F, impr, count = accs.update(opts)
+            writer.write(spk, F.astype(np.float32))
+            tot_impr += impr
+            tot_count += count
+            n += 1
+    else:
+        for utt, feats in SequentialTableReader("matrix",
+                                                po.get_arg(3)):
+            if utt not in post_reader:
+                warn(f"no posteriors for {utt}")
+                continue
+            accs = FmllrRawAccs(raw_feat_dim[0], model_dim, full_mat)
+            accumulate(accs, np.asarray(feats, np.float64),
+                       post_reader[utt])
+            if accs.count == 0:
+                continue
+            F, impr, count = accs.update(opts)
+            writer.write(utt, F.astype(np.float32))
+            tot_impr += impr
+            tot_count += count
+            n += 1
+    writer.close()
+    log(f"{name}: estimated {n} raw fMLLR transforms, auxf impr/frame "
+        f"{tot_impr / max(tot_count, 1.0):.4f} over {tot_count:.0f} "
+        f"frames")
+    return 0 if n else 1
+
+
+def gmm_est_fmllr_raw(argv: List[str]) -> int:
+    return _est_fmllr_raw_common(
+        argv,
+        "Estimate fMLLR transforms in the space before splicing and "
+        "linear transforms such as LDA+MLLT, but using models in the "
+        "space transformed by these transforms.  Requires the original "
+        "spliced features, and the full LDA+MLLT matrix including the "
+        "'rejected' rows (see get-full-lda-mat).\n"
+        "Usage: gmm-est-fmllr-raw [options] <model-in> "
+        "<full-lda-mat-in> <feature-rspecifier> <post-rspecifier> "
+        "<transform-wspecifier>", "gmm-est-fmllr-raw", False)
+
+
+def gmm_est_fmllr_raw_gpost(argv: List[str]) -> int:
+    return _est_fmllr_raw_common(
+        argv,
+        "Estimate fMLLR transforms in the space before splicing and "
+        "linear transforms, from Gaussian-level posteriors.\n"
+        "Usage: gmm-est-fmllr-raw-gpost [options] <model-in> "
+        "<full-lda-mat-in> <feature-rspecifier> <gpost-rspecifier> "
+        "<transform-wspecifier>", "gmm-est-fmllr-raw-gpost", True)
