@@ -127,6 +127,8 @@ _register("kaldi_tpu.cli.misc_tools", {
 
 _register("kaldi_tpu.cli.nnet3_latgen_tools", {
     "nnet3-latgen-faster-looped": "nnet3_latgen_faster_looped",
+    "nnet3-latgen-faster-looped-parallel":
+        "nnet3_latgen_faster_looped_parallel",
     "nnet3-latgen-faster-batch": "nnet3_latgen_faster_batch",
     "nnet3-latgen-faster-lookahead": "nnet3_latgen_faster_lookahead",
 })
@@ -483,6 +485,18 @@ _register("kaldi_tpu.cli.tail7_tools", {
 _register("kaldi_tpu.cli.online_tools2", {
     "online2-tcp-nnet3-decode-faster": "online2_tcp_nnet3_decode_faster",
     "online2-wav-dump-features": "online2_wav_dump_features",
+})
+
+_register("kaldi_tpu.cli.online_legacy_tools", {
+    "online-wav-gmm-decode-faster": "online_wav_gmm_decode_faster",
+    "online-audio-server-decode-faster":
+        "online_audio_server_decode_faster",
+    "online-audio-client": "online_audio_client",
+    "online2-wav-nnet3-wake-word-decoder-faster":
+        "online2_wav_nnet3_wake_word_decoder_faster",
+})
+
+_register("kaldi_tpu.cli.online_tools2", {
     "align-compiled-mapped": "align_compiled_mapped",
     "nnet3-align-compiled": "nnet3_align_compiled",
 })

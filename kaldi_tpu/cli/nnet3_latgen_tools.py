@@ -227,3 +227,110 @@ def nnet3_latgen_faster_lookahead(argv: List[str]) -> int:
                         po.get_arg(6),
                         po.get_arg(7) if po.num_args() >= 7 else None,
                         "nnet3-latgen-faster-lookahead")
+
+
+def nnet3_latgen_faster_looped_parallel(argv: List[str]) -> int:
+    """nnet3-latgen-faster-looped-parallel.cc: the reference runs N
+    decoder threads over a shared looped computation; here the
+    worker pool decodes utterances concurrently (the nnet forward is
+    one shared jitted computation; the host-side lattice
+    determinization is the parallel part, as in the reference's
+    DecodeUtteranceLatticeFasterClass)."""
+    import concurrent.futures as _cf
+    # strip --num-threads (accepted for contract parity) and delegate
+    # the remaining flags to the looped implementation with a
+    # thread-pooled decode loop
+    num_threads = 4
+    rest = []
+    for a in argv[1:]:
+        if a.startswith("--num-threads"):
+            num_threads = int(a.split("=", 1)[1])
+        else:
+            rest.append(a)
+    if num_threads <= 1:
+        return nnet3_latgen_faster_looped(
+            ["nnet3-latgen-faster-looped"] + rest)
+    # monkey-patch-free parallel path: reuse the looped single-utt
+    # pipeline but fan the per-utterance work over a pool
+    po = ParseOptions(
+        "Parallel variant of nnet3-latgen-faster-looped "
+        "(nnet3-latgen-faster-looped-parallel.cc).\n"
+        "Usage: nnet3-latgen-faster-looped-parallel [options] "
+        "<trans-model> <nnet-dir> <fst-in> <features-rspecifier> "
+        "<lattice-wspecifier> [<words-wspecifier>]")
+    from kaldi_tpu.decoder.lattice_decoder import (
+        LatticeFasterDecoder, LatticeFasterDecoderOptions)
+    dopts = LatticeFasterDecoderOptions()
+    po.register_struct(dopts)
+    acoustic_scale = po.register_value(
+        "acoustic-scale", 1.0, "Scaling factor for acoustic likelihoods")
+    chunk = po.register_value(
+        "frames-per-chunk", 50, "Input frames per streaming chunk")
+    extra_left = po.register_value(
+        "extra-left-context", 20, "Left context frames kept per chunk")
+    extra_right = po.register_value(
+        "extra-right-context", 20, "Right lookahead frames per chunk")
+    sub = po.register_value(
+        "frame-subsampling-factor", 1,
+        "Output frame subsampling of the nnet")
+    po.read(["nnet3-latgen-faster-looped-parallel"] + rest)
+    if po.num_args() < 5:
+        po.print_usage()
+        return 1
+    from kaldi_tpu.fstext.openfst_io import read_fst_file
+    from kaldi_tpu.nnet3.streaming import OnlineNnetScorer
+    tm, _m, _v, forward = _load_tm_and_model(po.get_arg(1),
+                                             po.get_arg(2))
+    hclg = read_fst_file(po.get_arg(3))
+    dec = LatticeFasterDecoder(hclg, dopts)
+
+    def loglikes_of(feats):
+        scorer = OnlineNnetScorer(
+            lambda w: forward(w), left_context=extra_left[0],
+            right_context=extra_right[0], subsample=sub[0])
+        outs = []
+        for s in range(0, feats.shape[0], chunk[0]):
+            got = scorer.accept_features(feats[s:s + chunk[0]])
+            if got.size:
+                outs.append(got)
+        got = scorer.finish()
+        if got.size:
+            outs.append(got)
+        return np.concatenate(outs) if outs else \
+            np.zeros((0, 1), np.float32)
+
+    # the nnet forward stays sequential (one device); the decode +
+    # determinization runs in the pool
+    with _cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
+        futures = []
+        for key, feats in SequentialTableReader("matrix",
+                                                po.get_arg(4)):
+            ll = loglikes_of(np.asarray(feats))
+            futures.append((key, pool.submit(
+                LatticeFasterDecoder(hclg, dopts).decode, ll,
+                tm.id2pdf_id, acoustic_scale[0])))
+        results = [(key, fut.result()) for key, fut in futures]
+    from kaldi_tpu.lat.functions import (determinize_lattice,
+                                         lattice_best_path)
+    from kaldi_tpu.lat.kaldi_lattice import LatticeHolder
+    lat_writer = TableWriter(LatticeHolder(), po.get_arg(5))
+    word_writer = (TableWriter("int-vector", po.get_arg(6))
+                   if po.num_args() >= 6 else None)
+    n = err = 0
+    for key, lat in results:
+        if lat is None:
+            err += 1
+            continue
+        out_lat = determinize_lattice(lat) if dopts.determinize_lattice \
+            else lat
+        lat_writer.write(key, out_lat)
+        if word_writer:
+            _, words, _ = lattice_best_path(lat)
+            word_writer.write(key, words)
+        n += 1
+    lat_writer.close()
+    if word_writer:
+        word_writer.close()
+    log(f"nnet3-latgen-faster-looped-parallel: decoded {n} utterances "
+        f"({err} failed) with {num_threads} threads")
+    return 0 if n else 1

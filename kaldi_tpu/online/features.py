@@ -277,6 +277,33 @@ class OnlineDeltaFeature(OnlineFeatureInterface):
         return np.concatenate(out)
 
 
+class OnlineTransform(OnlineFeatureInterface):
+    """Apply a linear or affine transform (e.g. LDA+MLLT or fMLLR) to
+    an online feature stream (online-feature.h OnlineTransform)."""
+
+    def __init__(self, mat: np.ndarray, src: OnlineFeatureInterface):
+        mat = np.asarray(mat, np.float32)
+        self.src = src
+        if mat.shape[1] == src.dim() + 1:   # affine: offset column
+            self.linear = mat[:, :-1]
+            self.offset = mat[:, -1]
+        else:
+            self.linear = mat
+            self.offset = np.zeros(mat.shape[0], np.float32)
+
+    def dim(self):
+        return self.linear.shape[0]
+
+    def num_frames_ready(self):
+        return self.src.num_frames_ready()
+
+    def is_last_frame(self, frame):
+        return self.src.is_last_frame(frame)
+
+    def get_frame(self, t):
+        return self.linear @ self.src.get_frame(t) + self.offset
+
+
 class OnlineAppendFeature(OnlineFeatureInterface):
     def __init__(self, src1, src2):
         self.src1, self.src2 = src1, src2

@@ -141,3 +141,26 @@ def test_lookahead_matches_base(env, base_words, tmp_path):
         f"ark:{d}/feats.ark", f"ark:{tmp_path}/lat.ark",
         f"ark:{tmp_path}/w.ark")
     assert _words(f"{tmp_path}/w.ark") == base_words
+
+
+def test_looped_parallel_matches_base(env, base_words, tmp_path):
+    d = env["d"]
+    run("nnet3-latgen-faster-looped-parallel", "--acoustic-scale=1.0",
+        "--beam=16", "--num-threads=3", "--frames-per-chunk=17",
+        "--extra-left-context=10", "--extra-right-context=10",
+        f"{d}/trans.mdl", f"{d}/nnet", f"{d}/HCLG.fst",
+        f"ark:{d}/feats.ark", f"ark:{tmp_path}/lat.ark",
+        f"ark:{tmp_path}/w.ark")
+    assert _words(f"{tmp_path}/w.ark") == base_words
+
+
+def test_looped_parallel_single_thread_delegates(env, base_words,
+                                                 tmp_path):
+    d = env["d"]
+    run("nnet3-latgen-faster-looped-parallel", "--acoustic-scale=1.0",
+        "--beam=16", "--num-threads=1", "--frames-per-chunk=17",
+        "--extra-left-context=10", "--extra-right-context=10",
+        f"{d}/trans.mdl", f"{d}/nnet", f"{d}/HCLG.fst",
+        f"ark:{d}/feats.ark", f"ark:{tmp_path}/lat.ark",
+        f"ark:{tmp_path}/w.ark")
+    assert _words(f"{tmp_path}/w.ark") == base_words
