@@ -496,6 +496,17 @@ _register("kaldi_tpu.cli.online_legacy_tools", {
         "online2_wav_nnet3_wake_word_decoder_faster",
 })
 
+_register("kaldi_tpu.cli.nnet2_tools", {
+    "raw-nnet-info": "raw_nnet_info",
+    "raw-nnet-copy": "raw_nnet_copy",
+    "raw-nnet-concat": "raw_nnet_concat",
+    "nnet-am-info": "nnet_am_info",
+    "nnet-am-copy": "nnet_am_copy",
+    "nnet-am-compute": "nnet_am_compute",
+    "nnet-to-raw-nnet": "nnet_to_raw_nnet",
+    "nnet1-to-raw-nnet": "nnet1_to_raw_nnet",
+})
+
 _register("kaldi_tpu.cli.online_tools2", {
     "align-compiled-mapped": "align_compiled_mapped",
     "nnet3-align-compiled": "nnet3_align_compiled",
