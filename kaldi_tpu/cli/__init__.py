@@ -507,6 +507,66 @@ _register("kaldi_tpu.cli.nnet2_tools", {
     "nnet1-to-raw-nnet": "nnet1_to_raw_nnet",
 })
 
+_register("kaldi_tpu.cli.nnet2_egs_tools", {
+    "nnet-get-egs": "nnet_get_egs",
+    "nnet-get-weighted-egs": "nnet_get_weighted_egs",
+    "nnet-copy-egs": "nnet_copy_egs",
+    "nnet-shuffle-egs": "nnet_shuffle_egs",
+    "nnet-subset-egs": "nnet_subset_egs",
+    "nnet-relabel-egs": "nnet_relabel_egs",
+    "nnet-compute": "nnet_compute",
+    "nnet-compute-from-egs": "nnet_compute_from_egs",
+    "nnet-compute-prob": "nnet_compute_prob",
+})
+
+_register("kaldi_tpu.cli.nnet2_train_tools", {
+    "nnet-init": "nnet_init",
+    "nnet-am-init": "nnet_am_init",
+    "nnet-train-simple": "nnet_train_simple",
+    "nnet-train-parallel": "nnet_train_parallel",
+    "nnet-train-ensemble": "nnet_train_ensemble",
+    "nnet-train-transitions": "nnet_train_transitions",
+    "nnet-combine": "nnet_combine",
+    "nnet-combine-fast": "nnet_combine_fast",
+    "nnet-am-average": "nnet_am_average",
+    "nnet-modify-learning-rates": "nnet_modify_learning_rates",
+    "nnet-adjust-priors": "nnet_adjust_priors",
+    "nnet-show-progress": "nnet_show_progress",
+})
+
+_register("kaldi_tpu.cli.nnet2_surgery_tools", {
+    "nnet-insert": "nnet_insert",
+    "nnet-replace-last-layers": "nnet_replace_last_layers",
+    "nnet-am-mixup": "nnet_am_mixup",
+    "nnet-am-widen": "nnet_am_widen",
+    "nnet-am-fix": "nnet_am_fix",
+    "nnet-am-reinitialize": "nnet_am_reinitialize",
+    "nnet-am-switch-preconditioning":
+        "nnet_am_switch_preconditioning",
+    "nnet-normalize-stddev": "nnet_normalize_stddev",
+    "nnet-get-feature-transform": "nnet_get_feature_transform",
+    "nnet-get-feature-transform-multi":
+        "nnet_get_feature_transform_multi",
+})
+
+_register("kaldi_tpu.cli.nnet2_disc_tools", {
+    "nnet-get-egs-discriminative": "nnet_get_egs_discriminative",
+    "nnet-copy-egs-discriminative": "nnet_copy_egs_discriminative",
+    "nnet-shuffle-egs-discriminative":
+        "nnet_shuffle_egs_discriminative",
+    "nnet-combine-egs-discriminative":
+        "nnet_combine_egs_discriminative",
+    "nnet-compare-hash-discriminative":
+        "nnet_compare_hash_discriminative",
+    "nnet-train-discriminative-simple":
+        "nnet_train_discriminative_simple",
+    "nnet-train-discriminative-parallel":
+        "nnet_train_discriminative_parallel",
+    "nnet-align-compiled": "nnet_align_compiled",
+    "nnet-latgen-faster": "nnet_latgen_faster",
+    "nnet-latgen-faster-parallel": "nnet_latgen_faster_parallel",
+})
+
 _register("kaldi_tpu.cli.online_tools2", {
     "align-compiled-mapped": "align_compiled_mapped",
     "nnet3-align-compiled": "nnet3_align_compiled",
