@@ -550,6 +550,18 @@ class NgramLexDecoder:
         hist_ext = np.concatenate([g.unit_hist,
                                    [g.uni_state(V)]]).astype(np.int32)
         c["hist_ext"] = jnp.asarray(hist_ext)
+        # permutation fast path: when every LM state has exactly one
+        # slot (single-pronunciation lexicons: unit (p, h) <-> state h,
+        # plus the begin slot <-> <s>), the per-frame slot->state fold
+        # is a STATIC GATHER by the inverse permutation instead of a
+        # scatter-min + equality re-gather + scatter-max (measured
+        # 3.3 ms/frame at S=101k, the #3 cost in the scale bench)
+        self._hist_inv = None
+        if len(hist_ext) == g.S and \
+                len(np.unique(hist_ext)) == g.S:
+            inv = np.empty(g.S, np.int64)
+            inv[hist_ext] = np.arange(g.S)
+            self._hist_inv = jnp.asarray(inv.astype(np.int32))
         # --- virtual-context rows ------------------------------------
         # All explicit arcs CSR by SOURCE state, with ENCODED
         # destinations: dst < SP = pair state, dst in [SP, SP+V) =
@@ -678,6 +690,10 @@ class NgramLexDecoder:
         pad_big = np.where(g.row_unit < 0, BIG, 0.0).astype(np.float32)
         c["first"] = jnp.asarray(g.row_is_first)
         c["row_unit"] = jnp.asarray(np.maximum(g.row_unit, 0))
+        fr = np.nonzero(g.row_is_first)[0].astype(np.int32)
+        c["first_rows"] = jnp.asarray(fr)
+        c["first_units"] = jnp.asarray(
+            g.row_unit[fr].astype(np.int32))
         c["pdf_fwd_row"] = jnp.asarray(g.pdf_fwd_row)
         c["pdf_self_row"] = jnp.asarray(g.pdf_self_row)
         c["fwd_extra"] = jnp.asarray((g.tr_fwd_row + pad_big)[:, None])
@@ -713,6 +729,10 @@ class NgramLexDecoder:
         fold_perm = self._fold_perm
         fold_levels = self._fold_levels
         fold_fin = self._fold_fin
+        hist_inv = self._hist_inv
+        import os as _os
+        rows_set = _os.environ.get("KALDI_TPU_NG_ROWS",
+                                   "set") == "set"
         # Traceback slots are carried ENCODED: enc = slot*2 + from_sil.
         # That lets every consumer recover the silence bit with `& 1`
         # instead of a per-element (row, lane) gather into the
@@ -753,15 +773,22 @@ class NgramLexDecoder:
                 rmin = radj
                 pick_sil = jnp.zeros_like(radj, bool)
             # --- fold slots -> LM state values -----------------------
-            # (near-unique indices: each state has ~#variants slots,
-            # so this scatter is cheap — unlike the pair fold below)
-            sval = jnp.full((S, B), INF, jnp.float32).at[
-                c["hist_ext"]].min(rmin)
-            slot_iota = jnp.arange(U + 1, dtype=jnp.int32)[:, None]
-            enc_iota = slot_iota * 2 + pick_sil.astype(jnp.int32)
-            sarg = jnp.full((S, B), -1, jnp.int32).at[
-                c["hist_ext"]].max(jnp.where(
-                    rmin == sval[c["hist_ext"]], enc_iota, -1))
+            if hist_inv is not None:
+                # one slot per state: pure static gathers
+                sval = rmin[hist_inv]
+                sarg = hist_inv[:, None] * 2 + \
+                    pick_sil[hist_inv].astype(jnp.int32)
+            else:
+                # (near-unique indices: each state has ~#variants
+                # slots, so this scatter is tolerable)
+                sval = jnp.full((S, B), INF, jnp.float32).at[
+                    c["hist_ext"]].min(rmin)
+                slot_iota = jnp.arange(U + 1,
+                                       dtype=jnp.int32)[:, None]
+                enc_iota = slot_iota * 2 + pick_sil.astype(jnp.int32)
+                sarg = jnp.full((S, B), -1, jnp.int32).at[
+                    c["hist_ext"]].max(jnp.where(
+                        rmin == sval[c["hist_ext"]], enc_iota, -1))
             # --- backoff closure: static D2-ary reduction tree -------
             uni_direct = sval[SP:]
             if SP:
@@ -769,30 +796,29 @@ class NgramLexDecoder:
                     sval[:SP][fold_perm]
                 ps = sarg[:SP] if fold_perm is None else \
                     sarg[:SP][fold_perm]
-                plane = jnp.concatenate(
-                    [jnp.concatenate([pv + c["bo2_sorted"],
-                                      jax.lax.bitcast_convert_type(
-                                          ps + SOFF, jnp.float32)], 1),
-                     jnp.concatenate(
-                         [jnp.full((1, B), INF, jnp.float32),
-                          jnp.full((1, B), SBIG_F, jnp.float32)], 1)],
-                    0)                                # (SP+1, 2B)
+                # value and slot planes ride the tree SEPARATELY: the
+                # earlier (SP+1, 2B) fused plane cost a full concat
+                # materialization per level (166 MB RW at level 0 at
+                # SP=81k); two same-index gathers fuse just as well
+                inf_row = jnp.full((1, B), INF, jnp.float32)
+                sbig_row = jnp.full((1, B), SBIG_F, jnp.float32)
+                vplane = jnp.concatenate([pv + c["bo2_sorted"],
+                                          inf_row], 0)   # (SP+1, B)
+                splane = jnp.concatenate(
+                    [jax.lax.bitcast_convert_type(ps + SOFF,
+                                                  jnp.float32),
+                     sbig_row], 0)
                 for lv in fold_levels:
-                    v2 = plane[lv]                    # (R,D2,2B)
-                    v, s = v2[:, :, :B], v2[:, :, B:]
-                    vmin = v.min(axis=1)
-                    smin = jnp.min(jnp.where(v == vmin[:, None, :], s,
-                                             SBIG_F), axis=1)
-                    plane = jnp.concatenate(
-                        [jnp.concatenate([vmin, smin], 1),
-                         jnp.concatenate(
-                             [jnp.full((1, B), INF, jnp.float32),
-                              jnp.full((1, B), SBIG_F, jnp.float32)],
-                             1)], 0)
-                fin2 = plane[fold_fin]                # (V+1,2B)
-                pair_val_w = fin2[:, :B]
+                    v2 = vplane[lv]                   # (R,D2,B)
+                    s2 = splane[lv]
+                    vmin = v2.min(axis=1)
+                    smin = jnp.min(jnp.where(v2 == vmin[:, None, :],
+                                             s2, SBIG_F), axis=1)
+                    vplane = jnp.concatenate([vmin, inf_row], 0)
+                    splane = jnp.concatenate([smin, sbig_row], 0)
+                pair_val_w = vplane[fold_fin]         # (V+1,B)
                 pair_slot_w = jax.lax.bitcast_convert_type(
-                    fin2[:, B:], jnp.int32) - SOFF
+                    splane[fold_fin], jnp.int32) - SOFF
                 take_pair = pair_val_w < uni_direct
                 unival = jnp.where(take_pair, pair_val_w, uni_direct)
                 uslot = jnp.where(take_pair, pair_slot_w, sarg[SP:])
@@ -845,8 +871,15 @@ class NgramLexDecoder:
             amf = am_t[c["pdf_fwd_row"]] + c["fwd_extra"]
             ams = am_t[c["pdf_self_row"]] + c["self_extra"]
             rolled = jnp.roll(cost, 1, axis=0)
-            fwd_src = jnp.where(c["first"][:, None],
-                                ent_unit[c["row_unit"]], rolled)
+            if rows_set:
+                # entry sources written by a static unique-index
+                # scatter over the 34% of rows that are word-initial,
+                # instead of a dense (Nr, B) gather + select
+                fwd_src = rolled.at[c["first_rows"]].set(
+                    ent_unit[c["first_units"]])
+            else:
+                fwd_src = jnp.where(c["first"][:, None],
+                                    ent_unit[c["row_unit"]], rolled)
             fwd_cand = fwd_src + amf
             self_cand = cost + ams
             take_fwd = fwd_cand < self_cand
